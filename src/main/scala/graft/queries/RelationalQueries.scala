@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.operators.Flatten
+
+/** Core relational capability queries (SURVEY §2.2–§2.5) over the synthetic
+  * TPC-H-ish tables. Each maps a reference operator family onto the
+  * idiomatic Spark primitive and carries a DuckDB oracle.
+  */
+object RelationalQueries {
+
+  /** Exact decimal sum of a double column, surfaced as double — deterministic
+    * across engines and partition orderings (see QueryDef scaladoc).
+    */
+  private def dsum(c: String, p: Int = 18, s: Int = 2) =
+    sum(col(c).cast(DecimalType(p, s))).cast(DoubleType)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    // A1/A7-style grouped aggregation (pricing summary). The reference's
+    // dormant data mart (create_future_platforms_schemas.sql:173-202) is a
+    // GROUP BY with SUM/AVG/COUNT — this is its TPC-H-shaped analogue.
+    // Partial (map-side) aggregation + one shuffle on the 6-value group key;
+    // scales linearly in input at 100 TB.
+    QueryDef(
+      "q01_pricing_summary",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        li.filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum("l_quantity").as("sum_qty"),
+            dsum("l_extendedprice").as("sum_base_price"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+              .cast(DoubleType).as("sum_disc_price"),
+            (sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
+              .as("avg_qty"),
+            count(lit(1)).as("count_order"),
+            countDistinct(col("l_orderkey")).as("count_orders_distinct"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |COUNT(*) AS count_order,
+             |COUNT(DISTINCT l_orderkey) AS count_orders_distinct
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // A1 load statistics: COUNT(*), COUNT(DISTINCT pk), MIN/MAX(ts)
+    // (tiktok_shop_staging_loader.py:155-203). One whole-table agg, no group key:
+    // partial aggregation makes this a single reduce of 32 partials.
+    QueryDef(
+      "q02_load_stats",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir).agg(
+          count(lit(1)).as("total_records"),
+          countDistinct(col("l_orderkey")).as("unique_orders"),
+          min(col("l_shipdate")).as("earliest_ship"),
+          max(col("l_shipdate")).as("latest_ship")),
+      Some("""SELECT COUNT(*) AS total_records, COUNT(DISTINCT l_orderkey) AS unique_orders,
+             |MIN(l_shipdate) AS earliest_ship, MAX(l_shipdate) AS latest_ship FROM lineitem""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // T1 order flatten: nest lineitems under their order (collect_list) and
+    // explode_outer back to line grain — the reference's one-row-per-
+    // (order,line_item) semantics incl. the zero-item null row
+    // (tiktok_shop_transformer.py:22-73,152-167). sort_array makes the
+    // nested array deterministic. Equivalent relational form: LEFT JOIN.
+    QueryDef(
+      "q03_order_flatten",
+      (spark, dir) => {
+        val nested = Tables.orders(spark, dir).join(
+          Tables.lineitem(spark, dir).groupBy(col("l_orderkey")).agg(
+            sort_array(collect_list(struct(
+              col("l_linenumber"), col("l_partkey"), col("l_quantity")))).as("line_items")),
+          col("o_orderkey") === col("l_orderkey"), "left")
+        Flatten.flattenOuter(nested, "line_items", "item",
+            Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+          .select(
+            col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("item.l_linenumber").as("item_linenumber"),
+            col("item.l_partkey").as("item_partkey"),
+            col("item.l_quantity").as("item_quantity"))
+          .orderBy(col("o_orderkey"), col("item_linenumber"))
+      },
+      Some("""SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+             |l.l_linenumber AS item_linenumber, l.l_partkey AS item_partkey, l.l_quantity AS item_quantity
+             |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |ORDER BY o_orderkey, item_linenumber""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // T11 MISA prefix-flatten: order_<col> / item_<col> renames + derived
+    // has_multiple_items / total_items_in_order with the null-array→0 rule
+    // (misa_crm_transformer.py:112-237, 151-152, 172-173).
+    QueryDef(
+      "q04_prefix_flatten",
+      (spark, dir) => {
+        val nested = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .join(
+            Tables.lineitem(spark, dir).groupBy(col("l_orderkey")).agg(
+              sort_array(collect_list(struct(
+                col("l_linenumber"), col("l_partkey")))).as("mappings")),
+            col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("mappings"))
+        Flatten.prefixFlatten(nested, "mappings")
+          .withColumn("total_items_in_order", col("total_items_in_order").cast(LongType))
+          .orderBy(col("order_o_orderkey"), col("item_l_linenumber"))
+      },
+      Some("""SELECT o.o_orderkey AS order_o_orderkey, o.o_orderstatus AS order_o_orderstatus,
+             |l.l_linenumber AS item_l_linenumber, l.l_partkey AS item_l_partkey,
+             |(COALESCE(c.n, 0) > 1) AS has_multiple_items,
+             |COALESCE(c.n, 0) AS total_items_in_order
+             |FROM orders o
+             |LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |LEFT JOIN (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey) c
+             |  ON o.o_orderkey = c.l_orderkey
+             |ORDER BY order_o_orderkey, item_l_linenumber""".stripMargin),
+    ),
+  )
+}

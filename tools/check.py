@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Reads outDir/<name>/ parquet (written by `graft.Verify`) and
+outDir/oracle_sql.json, runs each oracle SQL in DuckDB with the sfDir
+parquet tables registered under their bare names, and compares:
+  - schema: column names (sorted) must match
+  - rows: multiset equality after sorting columns by name and rows by value
+Prints PASS/FAIL per query. Exit code 1 if any FAIL.
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("f", repr(v))
+    if isinstance(v, list):
+        return ("l", tuple(canon(x) for x in v))
+    return (type(v).__name__, str(v))
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = 0
+    result_dirs = sorted(glob.glob(f"{out_dir}/*/"))
+    names = [d.rstrip("/").rsplit("/", 1)[-1] for d in result_dirs]
+    for name in names:
+        spark_rel = con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        s_cols, s_rows = list(spark_rel.columns), spark_rel.fetchall()
+        if name not in oracles:
+            print(f"  {name:28s} rows-only: {len(s_rows)} rows "
+                  f"{'PASS' if len(s_rows) > 0 else 'FAIL (0 rows)'}")
+            if len(s_rows) == 0:
+                failures += 1
+            continue
+        try:
+            o_rel = con.sql(oracles[name])
+            o_cols, o_rows = list(o_rel.columns), o_rel.fetchall()
+        except Exception as e:
+            print(f"  {name:28s} FAIL oracle error: {e}")
+            failures += 1
+            continue
+        if sorted(s_cols) != sorted(o_cols):
+            print(f"  {name:28s} FAIL schema: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            failures += 1
+            continue
+        a, b = rowset(s_cols, s_rows), rowset(o_cols, o_rows)
+        if a == b:
+            print(f"  {name:28s} PASS ({len(s_rows)} rows)")
+        else:
+            failures += 1
+            print(f"  {name:28s} FAIL values: spark {len(a)} rows vs oracle {len(b)} rows")
+            diff_a = [r for r in a if r not in set(map(tuple, b))][:3]
+            diff_b = [r for r in b if r not in set(map(tuple, a))][:3]
+            for r in diff_a:
+                print(f"      spark-only : {r}")
+            for r in diff_b:
+                print(f"      oracle-only: {r}")
+    missing = set(oracles) - set(names)
+    for name in sorted(missing):
+        print(f"  {name:28s} FAIL no spark result written")
+        failures += 1
+    print(f"{'ALL PASS' if failures == 0 else f'{failures} FAILURES'} "
+          f"({len(names)} queries, {len(oracles)} with oracle)")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs
+    RelationalQueries.defs ++ TransformQueries.defs ++ JoinQueries.defs ++
+      OpsQueries.defs ++ MartQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

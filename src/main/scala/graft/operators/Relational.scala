@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-shaped operators: the reference's upsert/dedup/retention load modes
+  * re-expressed as pure DataFrame transforms (the sink layer in
+  * graft.sources.Sinks wraps these with actual writes).
+  *
+  * Scale notes baked into each operator's contract:
+  *  - dedupAppend / mergeUpsert shuffle both sides on the key columns — at
+  *    100 TB the target side must be key-partitioned (bucketed) storage so
+  *    only the incoming batch shuffles; the transforms themselves are
+  *    partitioning-agnostic and AQE handles skewed keys.
+  *  - retention/lookback are pure filters: they push down to the scan
+  *    (PushedFilters on parquet/Delta) and prune date partitions.
+  */
+object Relational {
+
+  /** L4 dedup-append (tiktok_shop_staging_loader.py:128-153): the reference
+    * "relies on the PK to reject dupes"; the honest distributed realization
+    * is: drop in-batch duplicates, then anti-join against existing keys.
+    */
+  def dedupAppend(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.dropDuplicates(keys)
+      .join(existing.select(keys.map(col): _*).dropDuplicates(keys), keys, "left_anti")
+
+  /** L5 MERGE upsert (run_historical_backfill.py:86-183): WHEN MATCHED take
+    * the source row (reference updates every non-key column +
+    * etl_updated_at), WHEN NOT MATCHED insert it; target rows with no match
+    * survive unchanged. Realized as a full-outer join + per-column coalesce
+    * (source wins) — the Delta-less equivalent of MERGE INTO. The reference
+    * executes this row-by-row over pyodbc; here it is one set-based job.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(target.columns.sameElements(source.columns),
+      s"merge requires identical schemas: ${target.columns.mkString(",")} vs ${source.columns.mkString(",")}")
+    val t = target.alias("t")
+    val s = source.alias("s")
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val merged = target.columns.map { c =>
+      coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+    }
+    t.join(s, cond, "full_outer").select(merged.toIndexedSeq: _*)
+  }
+
+  /** L7 retention delete (misa_crm_loader.py:384-427): DELETE WHERE ts <
+    * cutoff ≙ keep-filter rewrite. On partitioned storage this prunes whole
+    * date partitions before reading a byte.
+    */
+  def retain(df: DataFrame, tsCol: String, cutoff: Column): DataFrame =
+    df.filter(col(tsCol) >= cutoff)
+
+  /** S7 incremental lookback filter with the reference's FAIL-OPEN late-data
+    * policy: rows with missing/unparseable modified_date are KEPT
+    * (misa_crm_extractor.py:267-282) so they are never silently dropped.
+    */
+  def lookbackFilter(df: DataFrame, tsCol: String, cutoff: Column): DataFrame =
+    df.filter(col(tsCol) >= cutoff || col(tsCol).isNull)
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.operators.Relational
+
+/** Join-family capability queries (SURVEY §2.3: J1–J4 + L4/L5 as pure
+  * transforms). Small dimensions are broadcast explicitly — at 100 TB the
+  * fact side never shuffles for a dimension join.
+  */
+object JoinQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    // J2 star-schema enrichment (docs/MISA_CRM_SCHEMA_DESIGN.md:96-111):
+    // revenue per nation in one region+year. lineitem⋈orders is the only
+    // shuffle; customer/nation/region are broadcast.
+    QueryDef(
+      "q09_join_enrich",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val o = Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val c = Tables.customer(spark, dir)
+        val n = Tables.nation(spark, dir)
+        val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+              .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("line_count"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |COUNT(*) AS line_count
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // J1 semi-join (the S1→S2 id-search-then-detail shape): orders having at
+    // least one max-quantity line. left_semi never duplicates or widens rows.
+    QueryDef(
+      "q10_semi_join",
+      (spark, dir) => {
+        val hot = Tables.lineitem(spark, dir)
+          .filter(col("l_quantity") >= 50).select(col("l_orderkey"))
+        Tables.orders(spark, dir)
+          .join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 50)
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // J4/L4 anti-join dedup (tiktok_shop_staging_loader.py:128-153):
+    // incoming minus already-loaded keys. Here: customers with no recent
+    // orders (the "not yet loaded this window" set).
+    QueryDef(
+      "q11_anti_join",
+      (spark, dir) =>
+        Relational.dedupAppend(
+            incoming = Tables.customer(spark, dir),
+            existing = Tables.orders(spark, dir)
+              .filter(col("o_orderdate") >= lit("2001-01-01"))
+              .select(col("o_custkey").as("c_custkey")),
+            keys = Seq("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // J3/L5 MERGE upsert (run_historical_backfill.py:86-183) as a pure
+    // transform: source rows win on match, insert on no-match, untouched
+    // target rows survive.
+    QueryDef(
+      "q12_merge_upsert",
+      (spark, dir) => {
+        val base = Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val target = base.filter(col("c_custkey") % 2 === 0)
+        val source = base.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+        Relational.mergeUpsert(target, source, Seq("c_custkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+             |COALESCE(s.c_name, t.c_name) AS c_name,
+             |COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal
+             |FROM (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+             |      FROM customer WHERE c_custkey % 3 = 0) s
+             |FULL OUTER JOIN
+             |     (SELECT c_custkey, c_name, c_acctbal
+             |      FROM customer WHERE c_custkey % 2 = 0) t
+             |ON s.c_custkey = t.c_custkey
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Aggregations, Relational}
+
+/** Operational / lifecycle capability queries (SURVEY §2.4 A2–A3, §2.6 L7,
+  * §2.7 incremental semantics) over the `events` micro-batch table.
+  */
+object OpsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    // L7 retention delete as keep-filter rewrite (misa_crm_loader.py:384-427).
+    // The predicate pushes to the parquet scan; on date-partitioned storage
+    // it prunes partitions without reading them.
+    QueryDef(
+      "q13_retention",
+      (spark, dir) =>
+        Relational.retain(Tables.events(spark, dir), "ts",
+            lit("2024-01-15 00:00:00").cast("timestamp"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("remaining"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS remaining FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // S7 incremental lookback with FAIL-OPEN nulls (misa_crm_extractor.py:
+    // 267-282): late/duplicate-safe micro-batch input selection; rows with
+    // missing timestamps are kept, never dropped.
+    QueryDef(
+      "q14_incremental_failopen",
+      (spark, dir) =>
+        Relational.lookbackFilter(Tables.events(spark, dir), "ts",
+            lit("2024-01-29 00:00:00").cast("timestamp"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("batch_rows"),
+            countDistinct(col("user_id")).as("batch_users"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS batch_rows,
+             |COUNT(DISTINCT user_id) AS batch_users FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-29 00:00:00' OR ts IS NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // A2 staging summary (misa_crm_loader.py:325-382): rowcount, distinct
+    // ids, last-load day, recency count per logical table (event_type here).
+    QueryDef(
+      "q15_staging_summary",
+      (spark, dir) =>
+        Aggregations.stagingSummary(Tables.events(spark, dir),
+            groupCol = "event_type", idCol = "user_id", tsCol = "ts",
+            recentCutoff = lit("2024-01-30 00:00:00").cast("timestamp"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS total_records,
+             |COUNT(DISTINCT user_id) AS unique_ids,
+             |CAST(MAX(ts) AS DATE) AS last_loaded_day,
+             |SUM(CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00' THEN 1 ELSE 0 END) AS recent_records
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // A3 data-quality gate (production_etl_orchestrator.py:264-327): one
+    // count per staging table + non-empty flag; the reference passes a cycle
+    // iff ≥5/6 tables are non-empty.
+    QueryDef(
+      "q16_quality_gate",
+      (spark, dir) =>
+        Aggregations.qualityCounts(spark, dir,
+            Seq("customer", "orders", "lineitem", "events", "documents", "embeddings"))
+          .orderBy(col("table_name")),
+      Some("""SELECT * FROM (
+             |SELECT 'customer' AS table_name, COUNT(*) AS row_cnt, COUNT(*) > 0 AS non_empty FROM customer
+             |UNION ALL SELECT 'orders', COUNT(*), COUNT(*) > 0 FROM orders
+             |UNION ALL SELECT 'lineitem', COUNT(*), COUNT(*) > 0 FROM lineitem
+             |UNION ALL SELECT 'events', COUNT(*), COUNT(*) > 0 FROM events
+             |UNION ALL SELECT 'documents', COUNT(*), COUNT(*) > 0 FROM documents
+             |UNION ALL SELECT 'embeddings', COUNT(*), COUNT(*) > 0 FROM embeddings
+             |) ORDER BY table_name""".stripMargin),
+    ),
+  )
+}

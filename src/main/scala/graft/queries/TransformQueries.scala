@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{SafeCasts, Tables}
+import graft.operators.EtlMeta
+
+/** Scalar-transform capability queries (SURVEY §2.2: T5–T10, T14, T15). */
+object TransformQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    // T6/T7 null-safe casts + T14 JSON access: pull a field out of the
+    // events.props JSON string and try_cast it; try_cast garbage → null,
+    // never error (the reference's _safe_float/_safe_int contract).
+    QueryDef(
+      "q05_safe_cast",
+      (spark, dir) =>
+        Tables.events(spark, dir).select(
+          col("event_id"),
+          SafeCasts.safeLong(get_json_object(col("props"), "$.k")).as("k_val"),
+          SafeCasts.safeDouble(col("event_type")).as("etype_as_num"),
+          col("value"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             |TRY_CAST(event_type AS DOUBLE) AS etype_as_num,
+             |value
+             |FROM events ORDER BY event_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // T9 NVARCHAR(n) length clamp (tiktok_shop_staging_loader.py:276-288).
+    QueryDef(
+      "q06_string_clamp",
+      (spark, dir) =>
+        SafeCasts.clampStrings(
+            Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+            Map("text" -> 40))
+          .withColumn("clamped_len", length(col("text")).cast(LongType))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, substr(text, 1, 40) AS text,
+             |length(substr(text, 1, 40)) AS clamped_len
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // T5 ETL lineage stamping, deterministic variant (batch-constant id;
+    // tiktok_shop_transformer.py:169-177).
+    QueryDef(
+      "q07_etl_stamp",
+      (spark, dir) =>
+        EtlMeta.stampDeterministic(
+            Tables.nation(spark, dir), batchId = "r1-batch-001", source = "graft")
+          .orderBy(col("n_nationkey")),
+      Some("""SELECT n_nationkey, n_name, n_regionkey,
+             |'r1-batch-001' AS etl_batch_id, 'graft' AS etl_source
+             |FROM nation ORDER BY n_nationkey""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // T15 column-intersection projection (misa_crm_loader.py:159-175):
+    // the target schema asks for a column the frame doesn't have — it is
+    // skipped, not an error.
+    QueryDef(
+      "q08_column_intersect",
+      (spark, dir) =>
+        SafeCasts.intersectColumns(
+            Tables.customer(spark, dir),
+            target = Seq("c_custkey", "c_name", "c_acctbal", "c_phone_not_present"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector math over `array<float>` embedding columns, built from codegen'd
+  * builtin higher-order functions (`zip_with` / `aggregate`) — no UDFs, so
+  * the whole similarity pipeline stays inside whole-stage codegen.
+  *
+  * All arithmetic is routed through DOUBLE (cast once, then sequential
+  * left-to-right folds) so results are deterministic and engine-comparable:
+  * float accumulation order would otherwise make every run differ in the
+  * low bits.
+  */
+object VectorFunctions {
+
+  /** Cast an array<float> to array<double> once, up front. */
+  def asDoubles(v: Column): Column = v.cast(ArrayType(DoubleType))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane signature: `nBits` sign bits of projections onto
+    * deterministic pseudo-random hyperplanes (SimHash for real vectors —
+    * Charikar, STOC'02). Plane components are derived from xxhash64 of
+    * (planeIdx, dimIdx) so the "random" planes are reproducible with no
+    * RNG state: hash → [-0.5, 0.5) double.
+    *
+    * This is the bucketing primitive for LSH ANN: vectors in the same
+    * bucket (equal signature prefix) are near-neighbor candidates, so a
+    * 100 TB corpus shuffles once on the signature instead of cross-joining.
+    */
+  def hyperplaneSignature(v: Column, nBits: Int): Column = {
+    val dimIdx = transform(v, (_, i) => i)
+    val bits = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(v, dimIdx, (x, i) =>
+          x * (pmod(xxhash64(lit(p), i), lit(100000L)).cast(DoubleType) / 100000.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1)).otherwise(lit(0))
+    }
+    array(bits: _*)
+  }
+}

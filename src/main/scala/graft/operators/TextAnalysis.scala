@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting, fingerprinting. All scalar, all codegen'd
+  * builtins — they run at scan speed and never shuffle.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. Tiny on
+    * purpose: the heuristic is a cheap first-pass filter; its contract is
+    * determinism, not linguistic perfection.
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "que", "los", "un", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+  )
+
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Count of tokens belonging to a stopword set. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language-ID heuristic: argmax of stopword hits across profiles; ties
+    * and all-zero go to "und" (undetermined). Deterministic: profiles are
+    * compared in fixed order and a strictly-greater rule breaks ties.
+    */
+  def langId(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val scored = StopwordProfiles.map { case (lang, words) =>
+      (lang, stopwordHits(toks, words))
+    }
+    val maxScore = greatest(scored.map(_._2): _*)
+    val pick = scored.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score === maxScore && maxScore > 0 && acc === "und", lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality metrics: token count, type-token ratio (distinct/total),
+    * mean token length, stopword ratio (any profile). A doc "passes" the
+    * quality gate when it has enough tokens and lexical diversity — the
+    * length/stopword heuristics used by C4/Gopher-style corpus filters.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val allStops = StopwordProfiles.flatMap(_._2).distinct
+    df.withColumn("n_tokens", size(toks).cast(LongType))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast(DoubleType) / size(toks).cast(DoubleType))
+      .withColumn("mean_token_len",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+          size(toks).cast(DoubleType))
+      .withColumn("stopword_ratio",
+        stopwordHits(toks, allStops).cast(DoubleType) / size(toks).cast(DoubleType))
+      .withColumn("quality_pass", col("n_tokens") >= 10 && col("distinct_ratio") >= 0.2)
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish subword proxy (runs of
+    * letters, digits, or single non-space symbols — the shape of a GPT-2
+    * pre-tokenizer without the merges table).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))).cast(LongType))
+      .withColumn("subword_tokens",
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast(LongType))
+
+  /** Content fingerprint: MD5 of case-folded, whitespace-collapsed text.
+    * Dedup at 100 TB shuffles these 32-hex digests instead of bodies.
+    */
+  def fingerprint(c: Column): Column =
+    md5(to_binary(regexp_replace(trim(lower(c)), "\\s+", " "), lit("utf-8")))
+
+  /** Polynomial rolling hash (Rabin-Karp shape) over the token stream —
+    * an order-SENSITIVE fingerprint, unlike the MD5 of the normalized text:
+    * hash = Σ tok_hash(t_i)·B^i mod P, computed as a left fold.
+    */
+  def rollingHash(c: Column): Column = {
+    // P < 2^31 and B ≈ 2^20 keep acc·B + h < 2^52 — no ANSI long overflow.
+    val B = 1000003L
+    val Pm = 2147483647L // 2^31 - 1
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => pmod(acc * B + pmod(xxhash64(t), lit(Pm)), lit(Pm)))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Deduplication capability queries over the `documents` corpus. The corpus
+  * plants ~25 near-duplicate pairs (3-gram Jaccard ≥ 0.9) in an otherwise
+  * well-separated space (all other pairs < 0.1), so threshold 0.5 is far
+  * from any data point on either side.
+  */
+object DedupQueries {
+
+  /** DuckDB exact word-3-gram Jaccard pair query — the oracle for both the
+    * exact operator (q22) and the MinHash+LSH pipeline (q23): with k=128 /
+    * bands=32 the LSH miss probability at jac ≥ 0.9 is ≈ 5e-6, and the
+    * corpus has no pairs in (0.1, 0.9), so approximate == exact here.
+    */
+  private val jaccardOracle =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+      |  list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s FROM toks),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    // Exact dedup: hash-aggregate on the text, min-id survivor policy.
+    QueryDef(
+      "q21_dedup_exact",
+      (spark, dir) =>
+        Dedup.exactDedup(Tables.documents(spark, dir), "text", "doc_id")
+          .orderBy(col("survivor_id")),
+      Some("""SELECT text, MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count
+             |FROM documents GROUP BY text ORDER BY survivor_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Exact n-gram Jaccard near-dup pairs (the non-approximate baseline;
+    // all-pairs within one block — test scale only, LSH is the scale path).
+    QueryDef(
+      "q22_ngram_jaccard",
+      (spark, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+            idCol = "doc_id", textCol = "text", blockCol = lit(1),
+            n = 3, threshold = 0.5)
+          .withColumn("jac", round(col("jac"), 6))
+          .orderBy(col("id_a"), col("id_b")),
+      Some(jaccardOracle),
+    ),
+
+    // ----------------------------------------------------------------
+    // MinHash+LSH near-dup pipeline: one-pass 128-wide signatures, 32-band
+    // bucketing, candidate verification by exact Jaccard. Same oracle as
+    // q22 — see jaccardOracle note on recall.
+    QueryDef(
+      "q23_minhash_lsh",
+      (spark, dir) =>
+        Dedup.minhashNearDupPairs(Tables.documents(spark, dir),
+            idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5)
+          .withColumn("jac", round(col("jac"), 6))
+          .orderBy(col("id_a"), col("id_b")),
+      Some(jaccardOracle),
+    ),
+
+    // ----------------------------------------------------------------
+    // SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk blocking
+    // (pigeonhole guarantee for Hamming ≤ 3), exact Hamming verification.
+    // No SQL oracle (xxhash64 is engine-specific) → rows-only check; the
+    // ScalaTest suite pins the planted-pair recall instead.
+    QueryDef(
+      "q24_simhash",
+      (spark, dir) =>
+        Dedup.simhashNearDupPairs(Tables.documents(spark, dir),
+            idCol = "doc_id", textCol = "text", maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b")),
+      None,
+    ),
+
+    // ----------------------------------------------------------------
+    // Embedding cosine near-dup pairs, exact all-pairs baseline. Threshold
+    // 0.45 sits ≥ 5e-4 from every data point, far beyond double-vs-double
+    // engine noise.
+    QueryDef(
+      "q25_embed_neardup",
+      (spark, dir) =>
+        Dedup.embeddingNearDupPairs(Tables.embeddings(spark, dir),
+            idCol = "vec_id", vecCol = "embedding", threshold = 0.45)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_cosine_similarity(a.v, b.v) AS c
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, ROUND(c, 4) AS cos_sim FROM p
+             |WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin),
+    ),
+  )
+}

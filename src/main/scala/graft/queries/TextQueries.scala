@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Text-analysis + multimodal capability queries over `documents`. */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    // Language-ID heuristic: stopword-profile argmax, first-profile-wins
+    // tie rule, "und" when nothing matches. The oracle mirrors the exact
+    // decision procedure.
+    QueryDef(
+      "q28_lang_id",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang").as("labeled_lang"),
+            TextAnalysis.langId(col("text")).as("pred_lang"))
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |s AS (SELECT doc_id, lang,
+             |  len(list_filter(l, x -> list_contains(['the','a','of','and','to','is','in','that','it','for'], x))) AS s_en,
+             |  len(list_filter(l, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','für'], x))) AS s_de,
+             |  len(list_filter(l, x -> list_contains(['el','la','de','y','es','en','que','los','un','por'], x))) AS s_es,
+             |  len(list_filter(l, x -> list_contains(['le','la','les','et','est','un','une','des','que','pour'], x))) AS s_fr
+             |  FROM t),
+             |m AS (SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_es, s_fr,
+             |  greatest(s_en, s_de, s_es, s_fr) AS mx FROM s)
+             |SELECT doc_id, labeled_lang,
+             |  CASE WHEN mx = 0 THEN 'und'
+             |       WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
+             |       WHEN s_es = mx THEN 'es' ELSE 'fr' END AS pred_lang
+             |FROM m ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Quality scoring: token count, type-token ratio, mean token length,
+    // stopword ratio, pass/fail gate — the C4/Gopher-style corpus filters.
+    QueryDef(
+      "q29_text_quality",
+      (spark, dir) =>
+        TextAnalysis.qualityMetrics(
+            Tables.documents(spark, dir).select(col("doc_id"), col("text")), "text")
+          .drop("text")
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |m AS (SELECT doc_id,
+             |  CAST(len(l) AS BIGINT) AS n_tokens,
+             |  len(list_distinct(l)) * 1.0 / len(l) AS distinct_ratio,
+             |  list_sum(list_transform(l, x -> length(x))) * 1.0 / len(l) AS mean_token_len,
+             |  len(list_filter(l, x -> list_contains(
+             |    ['the','a','of','and','to','is','in','that','it','for',
+             |     'der','die','das','und','ist','nicht','ein','mit','auf','für',
+             |     'el','la','de','y','es','en','que','los','un','por',
+             |     'le','les','et','est','une','des','pour'], x))) * 1.0 / len(l) AS stopword_ratio
+             |  FROM t)
+             |SELECT doc_id, n_tokens, distinct_ratio, mean_token_len, stopword_ratio,
+             |  (n_tokens >= 10 AND distinct_ratio >= 0.2) AS quality_pass
+             |FROM m ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Token counting: whitespace tokens + BPE-ish subword proxy (letter
+    // runs / digit runs / single symbols).
+    QueryDef(
+      "q30_token_count",
+      (spark, dir) =>
+        TextAnalysis.tokenCounts(
+            Tables.documents(spark, dir).select(col("doc_id"), col("text")), "text")
+          .drop("text")
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS subword_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Document fingerprinting: MD5 over case-folded whitespace-collapsed
+    // text (the shuffle-cheap dedup key). The order-sensitive rolling hash
+    // variant is covered rows-only in q33's feature pipeline + ScalaTests.
+    QueryDef(
+      "q31_fingerprint",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Multimodal metadata path: binary payload + typed metadata columns;
+    // the projection must never deserialize the blob (column pruning).
+    QueryDef(
+      "q32_multimodal_meta",
+      (spark, dir) => {
+        val media = Multimodal.attachBinary(
+          Tables.documents(spark, dir), "doc_id", "text")
+        media.select(col("media_id"), col("format"), col("n_bytes"),
+            md5(col("media")).as("checksum"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id, 'text/plain' AS format,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |md5(text) AS checksum
+             |FROM documents ORDER BY media_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Multimodal decode/feature pipeline with the stubbed decoder: binary
+    // batches → per-partition decode → feature vectors + rolling-hash
+    // fingerprint join. Features aren't SQL-expressible → rows-only check.
+    QueryDef(
+      "q33_media_features",
+      (spark, dir) => {
+        implicit val s = spark
+        import spark.implicits._
+        val media = Multimodal.attachBinary(
+          Tables.documents(spark, dir), "doc_id", "text")
+        val feats = Multimodal.extractFeatures(
+          media.as[Multimodal.MediaRow], Multimodal.StubDecoder)
+        feats.toDF()
+          .join(Tables.documents(spark, dir)
+            .select(col("doc_id").as("media_id"),
+              TextAnalysis.rollingHash(col("text")).as("rolling_fp")), Seq("media_id"))
+          .select(col("media_id"), col("format"), col("n_bytes"),
+            col("feature"), col("rolling_fp"))
+          .orderBy(col("media_id"))
+      },
+      None,
+    ),
+  )
+}

@@ -40,12 +40,12 @@ object VectorFunctions {
     * bucket (equal signature prefix) are near-neighbor candidates, so a
     * 100 TB corpus shuffles once on the signature instead of cross-joining.
     */
-  def hyperplaneSignature(v: Column, nBits: Int): Column = {
+  def hyperplaneSignature(v: Column, nBits: Int, seed: Int = 0): Column = {
     val dimIdx = transform(v, (_, i) => i)
     val bits = (0 until nBits).map { p =>
       val proj = aggregate(
         zip_with(v, dimIdx, (x, i) =>
-          x * (pmod(xxhash64(lit(p), i), lit(100000L)).cast(DoubleType) / 100000.0 - 0.5)),
+          x * (pmod(xxhash64(lit(seed * 8191 + p), i), lit(100000L)).cast(DoubleType) / 100000.0 - 0.5)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1)).otherwise(lit(0))
     }

@@ -37,22 +37,30 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** LSH-bucketed ANN: bucket = first `prefixBits` bits of the hyperplane
-    * signature; score only same-bucket pairs, then top-k per query. Recall
-    * < 1 by design; the exact top-1 neighbor of a query lands in the same
-    * bucket with probability (1 - θ/π)^prefixBits for angle θ.
+  /** Multi-table LSH-bucketed ANN: `tables` independent hyperplane hash
+    * tables, each bucketing on `prefixBits` sign bits; a pair becomes a
+    * candidate if it collides in ANY table (standard LSH OR-construction).
+    * Per-table collision probability for angle θ is (1 - θ/π)^prefixBits,
+    * overall recall 1-(1-p)^tables — tune tables↑ for recall, prefixBits↑
+    * for selectivity. The shuffle is on (table, bucket), never a cross
+    * join: each vector expands to `tables` rows regardless of corpus size.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nBits: Int = 16, prefixBits: Int = 8): DataFrame = {
+      nBits: Int = 16, prefixBits: Int = 8, tables: Int = 8): DataFrame = {
     def sig(df: DataFrame, id: String, vAlias: String) =
       df.select(col(idCol).as(id), asDoubles(col(vecCol)).as(vAlias))
-        .withColumn("bucket",
-          slice(hyperplaneSignature(col(vAlias), nBits), 1, prefixBits))
+        .withColumn("buckets", array((0 until tables).map(t =>
+          hyperplaneSignature(col(vAlias), prefixBits, seed = t)): _*))
+        .select(col(id), col(vAlias), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val c = sig(corpus, "neighbor_id", "v_c")
     val q = sig(queries, "query_id", "v_q")
-    val scored = q.join(c, Seq("bucket"))
+    val candidates = q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("v_q"), col("v_c"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
       .withColumn("cos_sim", round(cosine(col("v_q"), col("v_c")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

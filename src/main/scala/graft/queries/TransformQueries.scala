@@ -72,5 +72,21 @@ object TransformQueries {
           .orderBy(col("c_custkey")),
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // S11 request signing as a Catalyst expression (auth.py:32-65): hex
+    // HMAC-SHA256 over a per-row request path. No DuckDB HMAC → rows-only;
+    // the ScalaTest suite pins RFC 4231 test vectors.
+    QueryDef(
+      "q34_hmac_sign",
+      (spark, dir) =>
+        Tables.nation(spark, dir).select(
+          col("n_nationkey"),
+          graft.functions.HmacSha256.hmac_sha256(
+            lit("graft-secret"),
+            concat(lit("/api/orders/search?nation="), col("n_name"))).as("signature"))
+          .orderBy(col("n_nationkey")),
+      None,
+    ),
   )
 }

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Staging sinks over partitioned parquet — the engine's substrate for the
+  * reference's 6 SQL Server staging tables (SURVEY §2.6 L1–L8). A JDBC
+  * deployment swaps `format("parquet").save(path)` for
+  * `format("jdbc").option("dbtable", t)` — the mode semantics are identical.
+  *
+  * Scale notes:
+  *  - every writer takes `partitionBy` (load-date partitioning is the
+  *    parquet analogue of the reference's ~25 date/key indexes): retention
+  *    and incremental reads then prune partitions instead of scanning.
+  *  - dedupAppend/mergeUpsert read the CURRENT target; at 100 TB the target
+  *    must be key- or date-partitioned so the rewrite touches only affected
+  *    partitions. The pure-transform halves live in operators.Relational
+  *    and are partition-agnostic.
+  */
+object Sinks {
+
+  /** L1 append (database.py:212-247). */
+  def append(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** L2/L3 truncate-insert / replace (tiktok_shop_staging_loader.py:93-101):
+    * on parquet both collapse to overwrite.
+    */
+  def truncateInsert(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  private def targetExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** L4 incremental append with PK dedup (tiktok_shop_staging_loader.py:
+    * 128-153): in-batch dropDuplicates + anti-join against the target's
+    * keys, then append. Returns rows actually appended.
+    */
+  def dedupAppend(spark: SparkSession, df: DataFrame, path: String,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+    val fresh =
+      if (targetExists(spark, path))
+        Relational.dedupAppend(df, spark.read.parquet(path), keys)
+      else df.dropDuplicates(keys)
+    // The anti-join must resolve before the append starts mutating the
+    // target directory it reads from.
+    val materialized = fresh.cache()
+    val n = materialized.count()
+    if (n > 0) append(materialized, path, partitionBy)
+    materialized.unpersist()
+    n
+  }
+
+  /** L5 MERGE upsert (run_historical_backfill.py:86-183): set-based merge
+    * then atomic-swap rewrite (write to `path.tmp`, swap directories) —
+    * the plain-parquet realization of MERGE INTO; Delta would replace the
+    * swap with a transactional commit.
+    */
+  def mergeUpsert(spark: SparkSession, source: DataFrame, path: String,
+      keys: Seq[String]): Unit = {
+    if (!targetExists(spark, path)) { truncateInsert(source, path); return }
+    val merged = Relational.mergeUpsert(
+      spark.read.parquet(path).select(source.columns.map(col).toIndexedSeq: _*),
+      source, keys)
+    val tmp = path + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    fs.rename(hTmp, hPath)
+  }
+
+  /** L7 retention delete (misa_crm_loader.py:384-427) as keep-filter
+    * rewrite; on date-partitioned storage, drop whole partitions instead.
+    */
+  def retentionDelete(spark: SparkSession, path: String, tsCol: String,
+      cutoff: Column): Long = {
+    val kept = Relational.retain(spark.read.parquet(path), tsCol, cutoff)
+    val tmp = path + ".tmp"
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    fs.rename(hTmp, hPath)
+    spark.read.parquet(path).count()
+  }
+}

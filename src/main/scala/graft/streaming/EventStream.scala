@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming parity for the reference's micro-batch semantics
+  * (SURVEY §2.7): 10-min incremental cycles with overlapping lookback
+  * windows, idempotent via PK dedup at the sink.
+  *
+  *  - trigger cadence  ≙ Trigger.ProcessingTime / AvailableNow (backfill)
+  *  - lookback window  ≙ withWatermark + fail-open null handling
+  *  - PK idempotency   ≙ dropDuplicates on business keys inside the stream
+  */
+object EventStream {
+
+  /** The streaming twin of q19_hourly_events: hourly tumbling window per
+    * event_type with a 1-hour watermark for late events.
+    */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** In-stream exactly-once shaping: drop duplicate business keys within
+    * the watermark horizon — the streaming analogue of L4's PK dedup.
+    */
+  def dedupedStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates(keys :+ "ts")
+
+  /** Backfill runner: process everything currently available, then stop —
+    * the reference's manual-backfill DAG path (misa_crm_etl_dag.py:346-397)
+    * with checkpointed exactly-once parquet output.
+    */
+  def runAvailableNow(transformed: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    transformed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Read a parquet directory as a file stream (test/backfill source). */
+  def parquetStream(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(srcDir)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy cat tonight"), // near-dup of 1
+    (3L, "completely different words about spark query engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+    (5L, "tiny doc"), // shorter than shingle width
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: min-id survivor, dup_count") {
+    val out = Dedup.exactDedup(corpus, "text", "doc_id")
+      .orderBy("survivor_id").collect()
+    assert(out.length === 4)
+    val first = out.head
+    assert(first.getLong(first.fieldIndex("survivor_id")) === 1L)
+    assert(first.getLong(first.fieldIndex("dup_count")) === 2L)
+  }
+
+  test("shingles: 3-grams, short docs yield empty not descending-sequence garbage") {
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(5L).isEmpty)
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).contains("lazy dog tonight"))
+  }
+
+  test("exact n-gram Jaccard finds the near-dup and exact-dup pairs only") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", lit(1), 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("MinHash+LSH pipeline reproduces the exact pair set on the fixture") {
+    val got = Dedup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhash signature: identical texts identical sigs; sig length k") {
+    val sigs = corpus.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length === 128)
+    assert(sigs(1L) === sigs(4L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("simhash: exact dup at Hamming 0; near-dup within 16; unrelated far") {
+    val sims = corpus.select(col("doc_id"),
+      Dedup.simhash64(Dedup.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(4L)) === 0)
+    assert(ham(sims(1L), sims(2L)) <= 16)
+    assert(ham(sims(1L), sims(3L)) > 16)
+  }
+
+  test("simhash near-dup pairs finds the exact dup via chunk blocking") {
+    val got = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup pairs on a hand-built set") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)), // cos ≈ 0.999
+      (3L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Flatten, Validators}
+
+/** Encoders require top-level case classes (inner classes trip
+  * outerScopeFailureForNewInstanceError).
+  */
+case class Item(product_id: String, quantity: Int)
+case class Order(order_id: String, status: String, line_items: Seq[Item])
+
+/** T1/T11 flatten semantics per FIXTURES.md: (a) N>1 items → N rows,
+  * (b) 1 item → 1 row, (c) empty/missing items → 1 all-null-item row.
+  */
+class FlattenSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  def fixture = Seq(
+    Order("o1", "PAID", Seq(Item("p1", 1), Item("p2", 2), Item("p3", 3))),
+    Order("o2", "PAID", Seq(Item("p4", 4))),
+    Order("o3", "UNPAID", Seq.empty),
+    Order("o4", "CANCELLED", null),
+  ).toDF()
+
+  test("explode_outer flatten: N items → N rows, zero/null items → one null row") {
+    val flat = Flatten.flattenOuter(fixture, "line_items", "item", Seq("order_id", "status"))
+    assert(flat.count() === 6) // 3 + 1 + 1 + 1
+    val nullRows = flat.filter(col("item").isNull).select("order_id")
+      .collect().map(_.getString(0)).sorted
+    assert(nullRows === Array("o3", "o4"))
+    val o1 = flat.filter(col("order_id") === "o1")
+      .select(col("item.product_id")).collect().map(_.getString(0)).sorted
+    assert(o1 === Array("p1", "p2", "p3"))
+  }
+
+  test("prefix-flatten: order_/item_ renames + derived columns, null-array → 0") {
+    val flat = Flatten.prefixFlatten(fixture, "line_items")
+    assert(flat.columns.toSet === Set(
+      "order_order_id", "order_status", "item_product_id", "item_quantity",
+      "has_multiple_items", "total_items_in_order"))
+    val byOrder = flat.select("order_order_id", "has_multiple_items", "total_items_in_order")
+      .distinct().collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getInt(2)))).toMap
+    assert(byOrder("o1") === ((true, 3)))
+    assert(byOrder("o2") === ((false, 1)))
+    assert(byOrder("o3") === ((false, 0)))
+    assert(byOrder("o4") === ((false, 0)))
+  }
+
+  test("A5 invariants hold on the fixture flatten") {
+    val flat = Flatten.flattenOuter(fixture, "line_items", "item", Seq("order_id"))
+    val inv = Validators.flattenInvariants(
+      fixture, "order_id", itemsCount = 4, flat, "order_id", "item")
+    assert(inv.holds, inv.toString)
+    assert(inv.totalRowsOut === 6)
+    assert(inv.itemRowsOut === 4)
+  }
+
+  test("jsonify serializes nested arrays to JSON strings (T14)") {
+    val j = fixture.filter(col("order_id") === "o1")
+      .select(Flatten.jsonify(col("line_items")).as("j")).head().getString(0)
+    assert(j === """[{"product_id":"p1","quantity":1},{"product_id":"p2","quantity":2},{"product_id":"p3","quantity":3}]""")
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{HmacSha256, VectorFunctions}
+import graft.operators.TextAnalysis
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("hmac_sha256 matches RFC 4231 test case 2") {
+    val out = Seq(("Jefe", "what do ya want for nothing?")).toDF("k", "d")
+      .select(HmacSha256.hmac_sha256(col("k"), col("d"))).head().getString(0)
+    assert(out === "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+  }
+
+  test("hmac_sha256 registers for SQL use") {
+    HmacSha256.register(spark)
+    val out = spark.sql(
+      "SELECT hmac_sha256('Jefe', 'what do ya want for nothing?') AS s").head().getString(0)
+    assert(out === "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+  }
+
+  test("hmac_sha256 is null-safe and type-checked") {
+    val out = Seq((null.asInstanceOf[String], "data")).toDF("k", "d")
+      .select(HmacSha256.hmac_sha256(col("k"), col("d"))).head()
+    assert(out.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1, 2)).toDF("k", "d")
+        .select(HmacSha256.hmac_sha256(col("k"), col("d"))).collect()
+    }
+  }
+
+  test("requestSignature sorts params like the reference signer (S11)") {
+    val sig1 = HmacSha256.requestSignature("s", "/path", Map("b" -> "2", "a" -> "1"))
+    val sig2 = HmacSha256.requestSignature("s", "/path", Map("a" -> "1", "b" -> "2"))
+    assert(sig1 === sig2)
+    assert(sig1.length === 64)
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+    ).toDF("a", "b").select(VectorFunctions.cosine(
+      VectorFunctions.asDoubles(col("a")), VectorFunctions.asDoubles(col("b"))).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("hyperplane signature: deterministic, scale-invariant (sign-based)") {
+    val df = Seq(
+      (1L, Array(0.3f, -0.7f, 0.2f)),
+      (2L, Array(0.6f, -1.4f, 0.4f)), // same direction, 2x magnitude
+    ).toDF("id", "v").select(col("id"),
+      VectorFunctions.hyperplaneSignature(
+        VectorFunctions.asDoubles(col("v")), 16).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L).length === 16)
+  }
+
+  test("rollingHash is order-sensitive, fingerprint is not") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("t").select(
+      TextAnalysis.rollingHash(col("t")).as("rh"),
+      TextAnalysis.fingerprint(concat_ws(" ",
+        array_sort(split(col("t"), " ")))).as("fp"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) !== rows(1).getLong(0))
+    assert(rows(0).getString(1) === rows(1).getString(1))
+  }
+
+  test("langId picks the profile with most stopword hits; und when none") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "der hund ist nicht mit der katze auf das",
+      "xyzzy plugh qwerty",
+    ).toDF("text").select(TextAnalysis.langId(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)) === Array("en", "de", "und"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("mergeUpsert: source wins on match, inserts on no-match, target survives") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
+    val source = Seq((2L, "b2", 99.0), (3L, "c", 30.0)).toDF("id", "name", "bal")
+    val out = Relational.mergeUpsert(target, source, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out === Array((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("mergeUpsert is idempotent: applying the same source twice == once") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
+    val source = Seq((2L, "b2", 99.0), (3L, "c", 30.0)).toDF("id", "name", "bal")
+    val once = Relational.mergeUpsert(target, source, Seq("id"))
+    val twice = Relational.mergeUpsert(once, source, Seq("id"))
+    assert(once.orderBy("id").collect() === twice.orderBy("id").collect())
+  }
+
+  test("mergeUpsert rejects mismatched schemas") {
+    val target = Seq((1L, "a")).toDF("id", "name")
+    val source = Seq((1L, 2.0)).toDF("id", "bal")
+    intercept[IllegalArgumentException] {
+      Relational.mergeUpsert(target, source, Seq("id"))
+    }
+  }
+
+  test("dedupAppend: in-batch dups dropped, existing keys excluded (L4)") {
+    val incoming = Seq((1L, "x"), (1L, "x-dup"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val existing = Seq((2L, "old")).toDF("id", "v")
+    val out = Relational.dedupAppend(incoming, existing, Seq("id"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(out === Array(1L, 3L))
+  }
+
+  test("lookbackFilter keeps null timestamps — fail-open (S7)") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-10 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-20 00:00:00")),
+      (3L, null.asInstanceOf[Timestamp]),
+    ).toDF("id", "ts")
+    val out = Relational.lookbackFilter(df, "ts",
+      lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(out === Array(2L, 3L)) // late-but-parsed dropped, null KEPT
+  }
+
+  test("retain drops rows older than cutoff (L7)") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-10 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-20 00:00:00")),
+    ).toDF("id", "ts")
+    val out = Relational.retain(df, "ts", lit("2024-01-15 00:00:00").cast("timestamp"))
+    assert(out.select("id").collect().map(_.getLong(0)) === Array(2L))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{PaginatedSource, Sinks}
+
+class SinksAndSourcesSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("t").toString
+
+  test("dedupAppend sink: re-appending the same batch is a no-op (idempotent cycles)") {
+    val path = tmpDir("dedup-append")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Sinks.dedupAppend(spark, batch, path, Seq("id")) === 2L)
+    assert(Sinks.dedupAppend(spark, batch, path, Seq("id")) === 0L) // PK rejects dupes
+    val batch2 = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+    assert(Sinks.dedupAppend(spark, batch2, path, Seq("id")) === 1L)
+    assert(spark.read.parquet(path).count() === 3L)
+  }
+
+  test("mergeUpsert sink rewrites target with merged content (L5)") {
+    val path = tmpDir("merge")
+    Sinks.truncateInsert(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path)
+    Sinks.mergeUpsert(spark, Seq((2L, 99.0), (3L, 30.0)).toDF("id", "bal"), path, Seq("id"))
+    val out = spark.read.parquet(path).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out === Array((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("retentionDelete keeps only rows past the cutoff (L7)") {
+    val path = tmpDir("retention")
+    Sinks.truncateInsert(Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))).toDF("id", "ts"), path)
+    val remaining = Sinks.retentionDelete(spark, path, "ts",
+      lit("2024-01-15 00:00:00").cast("timestamp"))
+    assert(remaining === 1L)
+    assert(spark.read.parquet(path).head().getLong(0) === 2L)
+  }
+
+  test("truncateInsert replaces prior content (L2)") {
+    val path = tmpDir("truncate")
+    Sinks.truncateInsert(Seq((1L, "old")).toDF("id", "v"), path)
+    Sinks.truncateInsert(Seq((2L, "new")).toDF("id", "v"), path)
+    val out = spark.read.parquet(path).collect()
+    assert(out.length === 1 && out.head.getString(1) === "new")
+  }
+
+  // ------------------------------------------------------------- sources
+
+  /** Fake endpoint: 25 records served in pages (misa pagination shape). */
+  class FakePages(total: Int) extends PaginatedSource.PageFetcher {
+    override def fetchPage(page: Int, pageSize: Int): Seq[String] = {
+      val from = page * pageSize
+      (from until math.min(from + pageSize, total)).map(i =>
+        s"""{"id": $i, "modified_date": "2024-01-${10 + i % 20} 00:00:00"}""")
+    }
+  }
+
+  test("fullScan paginates until short page; maxPages caps like LIMIT (S5/S6)") {
+    val df = PaginatedSource.fullScan(spark, new FakePages(25), pageSize = 10, maxPages = 10)
+    assert(df.count() === 25)
+    val capped = PaginatedSource.fullScan(spark, new FakePages(25), pageSize = 10, maxPages = 2)
+    assert(capped.count() === 20)
+  }
+
+  test("incrementalScan applies the fail-open lookback filter (S7)") {
+    val df = PaginatedSource.incrementalScan(spark, new FakePages(25),
+      pageSize = 10, maxPages = 10, tsCol = "modified_date",
+      cutoff = java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    // ids with modified 2024-01-(10+i%20) >= 20 → i%20 >= 10
+    val ids = df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === (0 until 25).filter(i => (i % 20) >= 10).map(_.toLong).toSet)
+  }
+
+  test("timeSlicedScan distributes slices across tasks (S1-S3 shape)") {
+    val fetcher = new PaginatedSource.SliceFetcher {
+      override def fetchSlice(from: Long, to: Long): Seq[String] =
+        (from until to).map(t => s"""{"create_time": $t}""")
+    }
+    val df = PaginatedSource.timeSlicedScan(spark, fetcher, 1000L, 1040L, slices = 8)
+    assert(df.count() === 40)
+    assert(df.agg(min(col("create_time")), max(col("create_time")))
+      .head().toSeq === Seq(1000L, 1039L))
+  }
+}

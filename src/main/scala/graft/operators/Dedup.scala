@@ -32,13 +32,14 @@ object Dedup {
   /** Whitespace tokens of a text column. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word n-gram shingles. For the tiny-vocabulary corpora common
-    * in synthetic data, word UNIgrams do not discriminate (every doc shares
-    * most of the vocabulary); 3-gram shingles separate near-dups from
-    * unrelated docs by orders of magnitude.
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column. Always stage tokenization into its own projection before
+    * calling this: Catalyst inlines (not CSEs) the token expression into
+    * every element_at inside the lambda, so shingling straight off
+    * `split(text)` re-splits the text once per gram element — a 50×
+    * slowdown observed at sf0.1.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     if (n <= 1) array_distinct(toks)
     else {
       // Guard: sequence(1, x) with x < 1 produces a DESCENDING sequence in
@@ -51,25 +52,56 @@ object Dedup {
     }
   }
 
+  /** Convenience composition for single-expression contexts (tests, small
+    * data). Hot paths must use tokens-projection + [[shinglesFromTokens]].
+    */
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
+
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
 
-  /** All-pairs n-gram Jaccard near-dup detection within a blocking key —
-    * the exact (non-approximate) baseline. Output: (id_a, id_b, jac) with
-    * jac ≥ threshold. The blocking key bounds the pair space; pass a
-    * constant column to compare across the whole corpus (test scale only).
+  /** Exact n-gram Jaccard near-dup detection as an inverted-index
+    * set-similarity join: explode shingles, self-join on the shingle (one
+    * shuffle), count shared shingles per pair, and derive
+    * jac = shared / (|A| + |B| - shared). EXACT — same result as a nested
+    * all-pairs array_intersect — but the work is proportional to the
+    * number of co-occurring shingle instances, not n²·|shingles|: the
+    * nested-loop form took 350s at sf0.1 where this shape takes seconds.
+    * Pairs sharing zero shingles (jac = 0) never materialize at all.
+    *
+    * `blockCol` optionally restricts comparisons (e.g. same language);
+    * pass a constant to compare across the whole corpus.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: Column, n: Int, threshold: Double): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"), blockCol.as("block"),
-      shingles(col(textCol), n).as("sh"))
-    val a = withSh.select(col("id").as("id_a"), col("block"), col("sh").as("sh_a"))
-    val b = withSh.select(col("id").as("id_b"), col("block"), col("sh").as("sh_b"))
-    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jac") >= threshold)
+    val withSh = df
+      .select(col(idCol).as("id"), blockCol.as("block"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("block"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    // explode_outer + post-filter, NOT explode: plain explode makes
+    // InferFiltersFromGenerate push a size(sh)>0 predicate down to the
+    // scan, where it re-inlines (and re-evaluates) the whole shingle
+    // expression per row. The isNotNull filter on the GENERATED attribute
+    // cannot sink below the Generate.
+    val ex = withSh.select(col("id"), col("block"), col("sz"),
+      explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    val a = ex.select(col("id").as("id_a"), col("block"), col("sz").as("sz_a"), col("s"))
+    val b = ex.select(col("id").as("id_b"), col("block"), col("sz").as("sz_b"), col("s"))
+    a.join(b, Seq("block", "s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac", col("shared").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("shared")).cast(DoubleType))
+      // coalesce blocks constraint propagation: a bare jac >= t filter
+      // infers isnotnull(sz_a), which Catalyst pushes to the scan and
+      // re-inlines as isnotnull(size(<entire shingle expression>)) — an
+      // extra full shingle evaluation per row. jac is never null here.
+      .filter(coalesce(col("jac") >= threshold, lit(false)))
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
@@ -86,16 +118,20 @@ object Dedup {
 
   /** k-min MinHash signature of a shingle array, computed in ONE fold over
     * the shingles (k mins updated per shingle via zip_with/least) — not k
-    * passes.
+    * passes. The string shingle is hashed ONCE (`transform` pre-pass);
+    * the k universal hashes are cheap modular arithmetic on that long —
+    * hashing the string inside the fold would cost k string hashes per
+    * shingle.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column = {
     val params = hashParams(k)
     val init = array_repeat(lit(P), k)
-    aggregate(shingleCol, init, (acc, s) => {
-      // Reduce the 64-bit hash mod P BEFORE multiplying: a,b < P < 2^31 so
-      // the product stays under 2^62 — no ANSI long overflow.
+    // Reduce the 64-bit hash mod P up front: a,b < P < 2^31 keeps a·h + b
+    // under 2^62 — no ANSI long overflow.
+    val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
+    aggregate(hashed, init, (acc, h) => {
       val hs = array(params.map { case (a, b) =>
-        pmod(pmod(xxhash64(s), lit(P)) * lit(a) + lit(b), lit(P))
+        pmod(h * lit(a) + lit(b), lit(P))
       }: _*)
       zip_with(acc, hs, (x, y) => least(x, y))
     })
@@ -134,7 +170,9 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, k: Int = 128, bands: Int = 32): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val withSh = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
     val candidates = lshCandidatePairs(lshBands(withSh, "id", "sig", bands))
     candidates
@@ -151,13 +189,16 @@ object Dedup {
     * bit is the sign of Σ_tokens (±1 by that bit of xxhash64(token)).
     */
   def simhash64(tokensCol: Column): Column = {
+    // Hash each token ONCE, then derive all 64 bit contributions from the
+    // long — one pass over tokens updating 64 running sums, instead of 64
+    // passes re-hashing every token.
     // Column-valued shift amounts need call_function: the Scala DSL's
     // shiftright/shiftleft only accept Int literals, the SQL function
     // accepts expressions.
-    val bitSums = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(tokensCol, lit(0L), (acc, t) =>
-        acc + when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L)))
+    val hashed = transform(tokensCol, t => xxhash64(t))
+    val bitSums = aggregate(hashed, array_repeat(lit(0L), 64), (acc, h) =>
+      zip_with(acc, sequence(lit(0), lit(63)), (s, b) =>
+        s + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)), (s, b) =>
         when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
@@ -200,11 +241,15 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions._
+    // Normalize each vector ONCE so the per-pair work is a single dot
+    // product instead of dot + two norms (3× fewer flops on the O(n²) side).
     val v = df.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .select(col("id"), transform(col("v"), x => x / col("nrm")).as("v"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
   }

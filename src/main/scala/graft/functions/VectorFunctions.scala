@@ -18,13 +18,15 @@ object VectorFunctions {
   /** Cast an array<float> to array<double> once, up front. */
   def asDoubles(v: Column): Column = v.cast(ArrayType(DoubleType))
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product — native codegen'd expression (see [[DotProduct]]: the
+    * higher-order-function fold is CodegenFallback and dominates all-pairs
+    * work). Summation is left-to-right in both implementations, so values
+    * are bit-identical.
+    */
+  def dot(a: Column, b: Column): Column = DotProduct.dot_product(a, b)
 
   /** Euclidean norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column =

@@ -107,35 +107,21 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash
 
-  /** Large prime modulus for the universal-hash family h_i(x) = (a_i·x + b_i) mod P. */
+  /** Large prime modulus for the universal-hash family h_i(x) = (a_i·x + b_i) mod P
+    * (parameters live in [[graft.functions.MinHashSignature]]).
+    */
   private val P = 2147483647L // 2^31 - 1 (Mersenne)
 
-  /** Deterministic hash-family parameters (no RNG state — reproducible
-    * across runs and executors).
+  /** k-min MinHash signature of a shingle array. Each shingle string is
+    * hashed ONCE (`transform` pre-pass, reduced mod P so a·h + b stays
+    * under 2^62 — no ANSI overflow); the k×n min-update loop runs in the
+    * native codegen'd [[graft.functions.MinHashSignature]] expression —
+    * the equivalent aggregate/zip_with fold is CodegenFallback and ran
+    * interpreted in the per-document hot path.
     */
-  private def hashParams(k: Int): Seq[(Long, Long)] =
-    (0 until k).map(i => ((2654435761L * (i + 1)) % P | 1L, (40503L * (i + 7)) % P))
-
-  /** k-min MinHash signature of a shingle array, computed in ONE fold over
-    * the shingles (k mins updated per shingle via zip_with/least) — not k
-    * passes. The string shingle is hashed ONCE (`transform` pre-pass);
-    * the k universal hashes are cheap modular arithmetic on that long —
-    * hashing the string inside the fold would cost k string hashes per
-    * shingle.
-    */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
-    val params = hashParams(k)
-    val init = array_repeat(lit(P), k)
-    // Reduce the 64-bit hash mod P up front: a,b < P < 2^31 keeps a·h + b
-    // under 2^62 — no ANSI long overflow.
-    val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
-    aggregate(hashed, init, (acc, h) => {
-      val hs = array(params.map { case (a, b) =>
-        pmod(h * lit(a) + lit(b), lit(P))
-      }: _*)
-      zip_with(acc, hs, (x, y) => least(x, y))
-    })
-  }
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    graft.functions.MinHashSignature.minhash_signature(
+      transform(shingleCol, s => pmod(xxhash64(s), lit(P))), k)
 
   /** LSH banding: split the k-wide signature into `bands` bands of k/bands
     * rows and emit (id, band_idx, band_hash) — docs agreeing on ANY band
@@ -188,22 +174,11 @@ object Dedup {
   /** 64-bit SimHash (Charikar) of a token array, packed into a long: each
     * bit is the sign of Σ_tokens (±1 by that bit of xxhash64(token)).
     */
-  def simhash64(tokensCol: Column): Column = {
-    // Hash each token ONCE, then derive all 64 bit contributions from the
-    // long — one pass over tokens updating 64 running sums, instead of 64
-    // passes re-hashing every token.
-    // Column-valued shift amounts need call_function: the Scala DSL's
-    // shiftright/shiftleft only accept Int literals, the SQL function
-    // accepts expressions.
-    val hashed = transform(tokensCol, t => xxhash64(t))
-    val bitSums = aggregate(hashed, array_repeat(lit(0L), 64), (acc, h) =>
-      zip_with(acc, sequence(lit(0), lit(63)), (s, b) =>
-        s + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)), (s, b) =>
-        when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash64(tokensCol: Column): Column =
+    // Hash each token ONCE (transform pre-pass); the 64×n sign-sum loop
+    // runs in the native codegen'd SimHash64 expression (the higher-order
+    // fold equivalent is CodegenFallback — interpreted per document).
+    graft.functions.SimHash64.simhash64(transform(tokensCol, t => xxhash64(t)))
 
   /** Hamming distance between two packed 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -37,6 +37,46 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** IVF-style ANN: a deterministic subsample of the corpus acts as the
+    * centroid codebook (every `centroidEvery`-th vector — training-free,
+    * reproducible); each corpus vector is assigned to its nearest centroid
+    * (one broadcast join + max_by aggregation, no shuffle of the corpus
+    * beyond the assignment), and each query probes its `nProbe` nearest
+    * centroids' inverted lists. At 100 TB the inverted lists are the
+    * partitioning key: a query touches nProbe partitions instead of the
+    * whole corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroidEvery: Int = 50, nProbe: Int = 4): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
+    val centroids = v.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .select(col("id").as("centroid_id"), col("v").as("cv"))
+    // Assign each corpus vector to its best centroid (broadcast codebook).
+    val assigned = v.join(broadcast(centroids))
+      .withColumn("cscore", cosine(col("v"), col("cv")))
+      .groupBy(col("id"), col("v"))
+      .agg(max_by(col("centroid_id"), struct(col("cscore"), col("centroid_id"))).as("centroid_id"))
+    // Each query probes its nProbe nearest centroids.
+    val q = queries.select(col(idCol).as("query_id"), asDoubles(col(vecCol)).as("v_q"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pscore").desc, col("centroid_id"))
+    val probes = q.join(broadcast(centroids))
+      .withColumn("pscore", cosine(col("v_q"), col("cv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("v_q"), col("centroid_id"))
+    // Score only vectors in the probed lists.
+    val scored = probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos_sim", round(cosine(col("v_q"), col("v")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
+  }
+
   /** Multi-table LSH-bucketed ANN: `tables` independent hyperplane hash
     * tables, each bucketing on `prefixBits` sign bits; a pair becomes a
     * candidate if it collides in ANY table (standard LSH OR-construction).

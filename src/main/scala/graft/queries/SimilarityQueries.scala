@@ -50,5 +50,22 @@ object SimilarityQueries {
       },
       None,
     ),
+
+    // ----------------------------------------------------------------
+    // IVF-bucketed ANN: training-free deterministic codebook, broadcast
+    // centroid assignment, nProbe inverted-list probing. Approximate →
+    // rows-only; ScalaTest measures recall vs brute force.
+    QueryDef(
+      "q35_ann_ivf",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.ivfTopK(
+            corpus = emb, queries = emb.filter(col("vec_id") < 10),
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            centroidEvery = 50, nProbe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None,
+    ),
   )
 }

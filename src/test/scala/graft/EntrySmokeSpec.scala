@@ -40,4 +40,31 @@ class EntrySmokeSpec extends AnyFunSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall $recall")
   }
+
+  test("IVF ANN returns k results per query with sane recall at sf0.001") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      centroidEvery = 25, nProbe = 4))
+    assert(ivf.size === exact.size) // full k per query
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("SQL exposure: views + custom functions queryable via spark.sql") {
+    val out = GraftSession.sql(spark, sf,
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       hmac_sha256('k', l_returnflag) AS sig
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    assert(out.count() === 3)
+    assert(out.head().getString(2).length === 64)
+    // window/rollup fall out free once views exist
+    val roll = spark.sql(
+      "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY ROLLUP(o_orderpriority)")
+    assert(roll.count() > 0)
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Flatten, Relational, Validators}
+
+/** Property-based encodings of the reference's invariants (SURVEY §5.2):
+  * for ARBITRARY order payloads the flatten preserves order counts, emits
+  * Σ items non-null-item rows and Σ max(items,1) total rows; MERGE is
+  * idempotent for arbitrary key overlaps.
+  *
+  * Uses ScalaCheck generators with FIXED seeds (the scalatest-scalacheck
+  * bridge isn't on the offline classpath): deterministic, reproducible
+  * samples instead of a shrinking harness.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default.withSize(12)
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(params, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A], n: Int = 8)(body: A => Unit): Unit = {
+    val ss = samples(g, n)
+    assert(ss.nonEmpty, "generator produced no samples")
+    ss.foreach(body)
+  }
+
+  private val orderGen: Gen[Seq[Order]] = for {
+    n <- Gen.choose(1, 12)
+    orders <- Gen.listOfN(n, for {
+      items <- Gen.choose(0, 5)
+      status <- Gen.oneOf("PAID", "UNPAID", "CANCELLED")
+    } yield (items, status))
+  } yield orders.zipWithIndex.map { case ((items, status), i) =>
+    Order(s"o$i", status,
+      if (items == 0) Seq.empty
+      else (1 to items).map(j => Item(s"o$i-p$j", j)))
+  }
+
+  test("A5 invariants hold for arbitrary order payloads") {
+    forAll(orderGen) { orders =>
+      val df = orders.toDF()
+      val flat = Flatten.flattenOuter(df, "line_items", "item", Seq("order_id"))
+      val itemsIn = orders.map(_.line_items.size).sum.toLong
+      val inv = Validators.flattenInvariants(df, "order_id", itemsIn, flat, "order_id", "item")
+      assert(inv.holds, inv.toString)
+      assert(inv.totalRowsOut === orders.map(o => math.max(o.line_items.size, 1)).sum.toLong)
+    }
+  }
+
+  test("prefix-flatten derived columns match item counts for arbitrary payloads") {
+    forAll(orderGen) { orders =>
+      val flat = Flatten.prefixFlatten(orders.toDF(), "line_items")
+      val expected = orders.map(o => o.order_id ->
+        ((o.line_items.size > 1, o.line_items.size))).toMap
+      val got = flat.select("order_order_id", "has_multiple_items", "total_items_in_order")
+        .distinct().collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(1), r.getInt(2)))).toMap
+      assert(got === expected)
+    }
+  }
+
+  private val kvGen: Gen[(Seq[(Long, String)], Seq[(Long, String)])] = for {
+    t <- Gen.listOf(Gen.choose(0L, 20L))
+    s <- Gen.listOf(Gen.choose(0L, 20L))
+  } yield (
+    t.distinct.map(k => k -> s"t$k"),
+    s.distinct.map(k => k -> s"s$k"))
+
+  test("MERGE upsert: source wins, union of keys, idempotent — arbitrary overlaps") {
+    forAll(kvGen) { case (t, s) =>
+      if (t.nonEmpty || s.nonEmpty) {
+        val target = t.toDF("id", "v")
+        val source = s.toDF("id", "v")
+        val merged = Relational.mergeUpsert(target, source, Seq("id"))
+        val got = merged.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        val expected = t.toMap ++ s.toMap // source wins on overlap
+        assert(got === expected)
+        val twice = Relational.mergeUpsert(merged, source, Seq("id"))
+        assert(twice.collect().map(r => r.getLong(0) -> r.getString(1)).toMap === expected)
+      }
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, HmacSha256, MinHashSignature, SimHash64}
+
+/** SparkSessionExtensions entry point: registers graft's custom expressions
+  * as SQL functions at session build time —
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * so `SELECT hmac_sha256(k, d)`, `dot_product(a, b)`,
+  * `minhash_signature(hashes, k)`, `simhash64(hashes)` work everywhere a
+  * session does (SQL files, thrift server, notebooks) without imperative
+  * registration. This is the (c)-tier extension mechanism from the build
+  * guide used at the lightest justified level: function injection only —
+  * no custom rules or strategies are needed because every operator is
+  * expressible in stock Catalyst.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("hmac_sha256"),
+      info("hmac_sha256", "hmac_sha256(key, data) - hex HMAC-SHA256 of data under key"),
+      (exprs: Seq[Expression]) => HmacSha256(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(hashes, k) - k-wide MinHash signature over pre-hashed array<bigint>"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash over pre-hashed array<bigint>"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+  }
+}

@@ -79,6 +79,21 @@ object Sinks {
     fs.rename(hTmp, hPath)
   }
 
+  /** Bucketed staging table: pre-shuffles once at write time on the join/
+    * merge key so every subsequent key join or MERGE against this table is
+    * CO-LOCATED — no Exchange on the bucketed side. This is the 100 TB
+    * answer to "the L5 merge shuffles the whole target every cycle": the
+    * target is bucketed on its PK, only the incoming batch shuffles.
+    * (bucketBy requires the table catalog, hence saveAsTable.)
+    */
+  def bucketedTable(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** L7 retention delete (misa_crm_loader.py:384-427) as keep-filter
     * rewrite; on date-partitioned storage, drop whole partitions instead.
     */

@@ -38,8 +38,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(hashes, k) - k-wide MinHash signature over pre-hashed array<bigint>"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        // k must be a foldable integer; accept int/long literals and fail
+        // with a named error instead of a ClassCastException.
+        val kExpr = exprs(1)
+        val k =
+          if (!kExpr.foldable) throw new IllegalArgumentException(
+            "minhash_signature: k must be an integer literal, got a non-foldable expression")
+          else kExpr.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.intValue()
+            case other => throw new IllegalArgumentException(
+              s"minhash_signature: k must be an integer literal, got $other")
+          }
+        MinHashSignature(exprs(0), k)
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit SimHash over pre-hashed array<bigint>"),

@@ -13,11 +13,13 @@ object GraftSession {
 
   /** Register every test table as a temp view plus graft SQL functions. */
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    Tables.All.foreach { t =>
+    // events FIRST: its adapter sets the nanosAsLong conf that a plain
+    // load of events.parquet needs — a fresh session would otherwise die
+    // on PARQUET_TYPE_ILLEGAL in the generic loop below.
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    Tables.All.filterNot(_ == "events").foreach { t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
     }
-    // events needs the ns→µs normalization — re-register over the adapter.
-    Tables.events(spark, sfDir).createOrReplaceTempView("events")
     HmacSha256.register(spark)
   }
 

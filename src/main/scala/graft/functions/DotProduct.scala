@@ -17,15 +17,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the engine's one hot-path custom expression (SURVEY §4.2 stance: custom
   * Catalyst work only where builtins genuinely can't express the cost).
   *
-  * Summation order is left-to-right, identical to the sequential
-  * aggregate() fold it replaces — results are bit-identical, keeping the
-  * DuckDB oracle parity.
+  * Semantics match the aggregate(zip_with(a,b,_*_), 0.0, _+_) fold it
+  * replaces exactly: left-to-right summation (bit-identical values, DuckDB
+  * oracle parity), NULL when the lengths differ (zip_with pads with nulls →
+  * fold is null) and NULL when any element is null.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def prettyName: String = "dot_product"
   override def dataType: DataType = DoubleType
+  // Null elements / ragged lengths produce NULL even when both array
+  // columns themselves are non-nullable.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -39,10 +43,12 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       sum += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -55,12 +61,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -38,8 +38,15 @@ object Relational {
     val t = target.alias("t")
     val s = source.alias("s")
     val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    // Row-presence test, NOT per-column coalesce: WHEN MATCHED takes the
+    // whole source row, so a NULL in a matched source column must
+    // overwrite the target value (the reference MERGE updates every
+    // non-key column, run_historical_backfill.py:152-183). Per-column
+    // coalesce would let stale target values survive a cleared field.
+    val sourcePresent = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
     val merged = target.columns.map { c =>
-      coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+      if (keys.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+      else when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
     }
     t.join(s, cond, "full_outer").select(merged.toIndexedSeq: _*)
   }

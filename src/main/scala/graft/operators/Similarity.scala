@@ -87,7 +87,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nBits: Int = 16, prefixBits: Int = 8, tables: Int = 8): DataFrame = {
+      prefixBits: Int = 8, tables: Int = 8): DataFrame = {
     def sig(df: DataFrame, id: String, vAlias: String) =
       df.select(col(idCol).as(id), asDoubles(col(vecCol)).as(vAlias))
         .withColumn("buckets", array((0 until tables).map(t =>

@@ -38,11 +38,14 @@ object Validators {
   def flattenInvariants(orders: DataFrame, orderKey: String, itemsCount: Long,
       flattened: DataFrame, flatOrderKey: String, itemCol: String): FlattenInvariants = {
     val ordersIn = orders.count()
+    // coalesce: sum() over an EMPTY frame aggregates to null, and
+    // Row.getLong(null) throws — an empty micro-batch must validate as the
+    // trivially-correct empty flatten, not NPE.
     val row = flattened.agg(
       countDistinct(col(flatOrderKey)).as("d"),
-      sum(when(col(itemCol).isNotNull, 1L).otherwise(0L)).as("i"),
+      coalesce(sum(when(col(itemCol).isNotNull, 1L).otherwise(0L)), lit(0L)).as("i"),
       count(lit(1)).as("t"),
-      sum(when(col(flatOrderKey).isNull, 1L).otherwise(0L)).as("np")).head()
+      coalesce(sum(when(col(flatOrderKey).isNull, 1L).otherwise(0L)), lit(0L)).as("np")).head()
     FlattenInvariants(ordersIn, row.getLong(0), itemsCount, row.getLong(1),
       row.getLong(2), row.getLong(3))
   }

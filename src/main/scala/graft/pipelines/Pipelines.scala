@@ -53,10 +53,15 @@ object Pipelines {
         Flatten.prefixFlatten(raw, "sale_order_product_mappings")
       else raw
     val normalized = EtlMeta.stamp(SchemaRegistry.normalize(shaped, spec), batch)
-    val keys = spec.keys.filter(normalized.columns.contains)
-    val effectiveKeys = if (keys.nonEmpty) keys else normalized.columns.take(1).toSeq
+    // Refuse to load when the registry's PK columns are missing: deduping
+    // on an arbitrary fallback column would silently collapse distinct
+    // rows — a malformed payload must fail loudly, not lose data.
+    val missing = spec.keys.filterNot(normalized.columns.contains)
+    require(missing.isEmpty,
+      s"endpoint $endpoint payload is missing key column(s) ${missing.mkString(",")}; " +
+        s"present: ${normalized.columns.mkString(",")}")
     val appended = Sinks.dedupAppend(
-      spark, normalized, s"$stagingRoot/${spec.name}", effectiveKeys)
+      spark, normalized, s"$stagingRoot/${spec.name}", spec.keys)
     EndpointResult(endpoint, normalized.count(), appended)
   }
 
@@ -86,10 +91,16 @@ object Pipelines {
     }
 
     val results = misaResults :+ tiktokResult
-    // A3 gate: ≥5/6 staging tables non-empty (orchestrator:307-312); here:
-    // all touched tables must be non-empty to pass a first cycle.
-    val counts = results.map(r =>
-      (r.endpoint, spark.read.parquet(s"$stagingRoot/${r.endpoint}").count()))
+    // A3 gate (orchestrator:307-312): at most one staging table may be
+    // empty (the reference's 5-of-6 rule). A table whose path was never
+    // created (zero rows ever appended) counts as empty, not as a crash.
+    val counts = results.map { r =>
+      val path = s"$stagingRoot/${r.endpoint}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val n = if (fs.exists(p)) spark.read.parquet(path).count() else 0L
+      (r.endpoint, n)
+    }
     val nonEmpty = counts.count(_._2 > 0)
     CycleReport(results, nonEmpty >= counts.size - 1, batch.batchId)
   }

@@ -109,8 +109,8 @@ object JoinQueries {
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
-             |COALESCE(s.c_name, t.c_name) AS c_name,
-             |COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal
+             |CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+             |CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal
              |FROM (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
              |      FROM customer WHERE c_custkey % 3 = 0) s
              |FULL OUTER JOIN

@@ -45,7 +45,7 @@ object SimilarityQueries {
         Similarity.lshTopK(
             corpus = emb, queries = emb.filter(col("vec_id") < 10),
             idCol = "vec_id", vecCol = "embedding", k = 5,
-            nBits = 16, prefixBits = 4)
+            prefixBits = 4)
           .orderBy(col("query_id"), col("rank"))
       },
       None,

@@ -71,11 +71,17 @@ object PaginatedSource {
   def timeSlicedScan(spark: SparkSession, fetcher: SliceFetcher,
       fromEpochSec: Long, toEpochSec: Long, slices: Int): DataFrame = {
     import spark.implicits._
-    val width = math.max(1L, (toEpochSec - fromEpochSec) / slices)
-    val raw: Dataset[String] = spark.range(slices.toLong).flatMap { i =>
-      val lo = fromEpochSec + i * width
-      val hi = if (i == slices - 1) toEpochSec else lo + width
-      fetcher.fetchSlice(lo, hi)
+    require(toEpochSec >= fromEpochSec, s"window [$fromEpochSec, $toEpochSec) is inverted")
+    // Proportional split: slice i covers [from + span·i/n, from + span·(i+1)/n).
+    // A fixed width would overrun `to` (and invert the last slice) whenever
+    // slices > span; proportional bounds tile [from, to) exactly, with
+    // surplus slices degenerating to empty [x, x) ranges.
+    val span = toEpochSec - fromEpochSec
+    val n = slices.toLong
+    val raw: Dataset[String] = spark.range(n).flatMap { i =>
+      val lo = fromEpochSec + span * i / n
+      val hi = fromEpochSec + span * (i + 1) / n
+      if (hi > lo) fetcher.fetchSlice(lo, hi) else Seq.empty[String]
     }
     if (raw.isEmpty) spark.emptyDataFrame else spark.read.json(raw)
   }

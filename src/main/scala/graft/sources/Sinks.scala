@@ -72,11 +72,28 @@ object Sinks {
       source, keys)
     val tmp = path + ".tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapInto(spark, tmp, path)
+  }
+
+  /** Backup-ordered directory swap: current → `.old`, `.tmp` → current,
+    * then drop `.old`. Every rename result is CHECKED, and at no point is
+    * the data unrecoverable: a crash between the renames leaves the full
+    * previous table at `.old` (and the new one at `.tmp`) — unlike
+    * delete-then-rename, which has a window where the only copy is gone.
+    * Delta/Iceberg would replace this with a transactional commit; neither
+    * is on this classpath.
+    */
+  private def swapInto(spark: SparkSession, tmp: String, path: String): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val hOld = new org.apache.hadoop.fs.Path(path + ".old")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
-    fs.rename(hTmp, hPath)
+    fs.delete(hOld, true)
+    if (fs.exists(hPath)) {
+      require(fs.rename(hPath, hOld), s"swap: rename $path -> $hOld failed")
+    }
+    require(fs.rename(hTmp, hPath), s"swap: rename $tmp -> $path failed")
+    fs.delete(hOld, true)
   }
 
   /** Bucketed staging table: pre-shuffles once at write time on the join/
@@ -102,11 +119,7 @@ object Sinks {
     val kept = Relational.retain(spark.read.parquet(path), tsCol, cutoff)
     val tmp = path + ".tmp"
     kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val hTmp = new org.apache.hadoop.fs.Path(tmp)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
-    fs.rename(hTmp, hPath)
+    swapInto(spark, tmp, path)
     spark.read.parquet(path).count()
   }
 }

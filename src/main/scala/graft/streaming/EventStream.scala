@@ -25,11 +25,14 @@ object EventStream {
       .select(col("win.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** In-stream exactly-once shaping: drop duplicate business keys within
+  /** In-stream exactly-once shaping: drop duplicate BUSINESS keys within
     * the watermark horizon — the streaming analogue of L4's PK dedup.
+    * dropDuplicatesWithinWatermark dedups on the keys alone (a late
+    * redelivery with a different event timestamp is still a duplicate);
+    * dropDuplicates(keys :+ ts) would wrongly keep it.
     */
   def dedupedStream(events: DataFrame, keys: Seq[String]): DataFrame =
-    events.withWatermark("ts", "1 hour").dropDuplicates(keys :+ "ts")
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(keys.toArray)
 
   /** Backfill runner: process everything currently available, then stop —
     * the reference's manual-backfill DAG path (misa_crm_etl_dag.py:346-397)

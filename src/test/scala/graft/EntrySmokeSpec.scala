@@ -36,7 +36,7 @@ class EntrySmokeSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
     val approx = pairs(Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
-      nBits = 16, prefixBits = 4))
+      prefixBits = 4))
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall $recall")
   }

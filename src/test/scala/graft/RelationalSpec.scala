@@ -25,6 +25,13 @@ class RelationalSpec extends AnyFunSuite {
     assert(once.orderBy("id").collect() === twice.orderBy("id").collect())
   }
 
+  test("mergeUpsert: NULL in a matched source column overwrites the target value") {
+    val target = Seq((1L, Option("keep-me"))).toDF("id", "v")
+    val source = Seq((1L, Option.empty[String])).toDF("id", "v")
+    val out = Relational.mergeUpsert(target, source, Seq("id")).head()
+    assert(out.isNullAt(1)) // source row matched → its NULL wins
+  }
+
   test("mergeUpsert rejects mismatched schemas") {
     val target = Seq((1L, "a")).toDF("id", "name")
     val source = Seq((1L, 2.0)).toDF("id", "bal")

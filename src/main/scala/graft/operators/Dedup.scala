@@ -208,6 +208,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ------------------------------------------- duplicate clusters
+
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected components)
+    * and elect one survivor per cluster — the final step of corpus dedup:
+    * a↔b and b↔c must collapse to ONE kept document, which pairwise
+    * filtering alone can't decide.
+    *
+    * Algorithm: iterative min-label propagation over the undirected edge
+    * set until fixpoint (each iteration is one shuffle join; diameter of
+    * near-dup clusters is tiny in practice, so few iterations). `maxIters`
+    * bounds the loop; the fixpoint check is a driver-side count of changed
+    * labels. At extreme scale swap in a large-star/small-star variant —
+    * the operator contract (ids → (id, cluster_root, is_survivor)) stays.
+    */
+  def duplicateClusters(ids: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("root"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("root")).as("nbr_root"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("nbr_root"), col("root"))).as("root"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("root", "old_root"), "id")
+        .filter(col("root") =!= col("old_root")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumn("is_survivor", col("id") === col("root"))
+      .withColumnRenamed("root", "cluster_root")
+  }
+
   // ------------------------------------------- embedding near-duplicates
 
   /** Embedding cosine near-dup pairs, exact all-pairs baseline within a

@@ -78,6 +78,32 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(to_binary(regexp_replace(trim(lower(c)), "\\s+", " "), lit("utf-8")))
 
+  /** TF-IDF top terms per document: term frequency from the exploded token
+    * stream, smoothed idf = ln((N+1)/(df+1)) + 1 (scikit-learn's
+    * formulation), score = tf·idf, top `perDoc` terms ranked by
+    * (round(score,6) DESC, term) for engine-stable ordering. Two shuffles:
+    * the (doc,term) aggregate and the per-term document frequency — both
+    * partial-aggregated.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      perDoc: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = toks.select(col("doc"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.count()
+    val scored = tf.join(docFreq, "term")
+      .withColumn("tfidf", round(
+        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= perDoc)
+      .select(col("doc").as(idCol), col("term_rank"), col("term"), col("tfidf"))
+  }
+
   /** Polynomial rolling hash (Rabin-Karp shape) over the token stream —
     * an order-SENSITIVE fingerprint, unlike the MD5 of the normalized text:
     * hash = Σ tok_hash(t_i)·B^i mod P, computed as a left fold.

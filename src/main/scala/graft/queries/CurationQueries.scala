@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Corpus-curation capability queries: duplicate-cluster resolution,
+  * deterministic dataset splitting, class-balanced sampling, TF-IDF.
+  */
+object CurationQueries {
+
+  /** Recursive-CTE transitive closure over the exact 3-gram Jaccard pair
+    * set — the oracle for duplicate clusters.
+    */
+  private val clustersOracle =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+      |  list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s FROM toks),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+      |cc AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id)
+      |SELECT id AS doc_id, cluster_root, id = cluster_root AS is_survivor
+      |FROM cc ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    // Near-dup pairs → duplicate clusters (connected components) → one
+    // survivor per cluster. Pairwise filters alone can't resolve a↔b↔c.
+    QueryDef(
+      "q36_dedup_clusters",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1), 3, 0.5)
+        Dedup.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("cluster_root"), col("is_survivor"))
+          .orderBy(col("doc_id"))
+      },
+      Some(clustersOracle),
+    ),
+
+    // ----------------------------------------------------------------
+    // Deterministic train/val/test split: id-hash bucketing, never rand().
+    QueryDef(
+      "q37_train_split",
+      (spark, dir) =>
+        Sampling.trainValTestSplit(Tables.documents(spark, dir), "doc_id")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("split")),
+      Some("""WITH b AS (SELECT doc_id,
+             |  ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 AS bucket FROM documents),
+             |s AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+             |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
+             |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+             |FROM s GROUP BY split ORDER BY split""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Class-balanced subsample: ≤ perClass rows per label, hash-ranked.
+    QueryDef(
+      "q38_balanced_sample",
+      (spark, dir) =>
+        Sampling.balancedSample(
+            Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+            labelCol = "label", idCol = "vec_id", perClass = 20)
+          .orderBy(col("label"), col("vec_id")),
+      Some("""WITH r AS (SELECT vec_id, label, ROW_NUMBER() OVER (
+             |  PARTITION BY label ORDER BY
+             |    ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1000000, vec_id) AS rk
+             |  FROM embeddings)
+             |SELECT vec_id, label FROM r WHERE rk <= 20
+             |ORDER BY label, vec_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // TF-IDF top-3 terms per document (smoothed sklearn idf). ln() routed
+    // through round(6) on both engines.
+    QueryDef(
+      "q39_tfidf",
+      (spark, dir) =>
+        TextAnalysis.tfidfTopTerms(
+            Tables.documents(spark, dir), "doc_id", "text", perDoc = 3)
+          .orderBy(col("doc_id"), col("term_rank")),
+      Some("""WITH toks AS (SELECT doc_id AS doc, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
+             |tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY doc, term),
+             |docfreq AS (SELECT term, COUNT(DISTINCT doc) AS df FROM toks GROUP BY term),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |scored AS (SELECT doc, tf.term, ROUND(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+             |  FROM tf JOIN docfreq ON tf.term = docfreq.term CROSS JOIN n),
+             |r AS (SELECT doc, term, tfidf, ROW_NUMBER() OVER (
+             |  PARTITION BY doc ORDER BY tfidf DESC, term) AS term_rank FROM scored)
+             |SELECT doc AS doc_id, term_rank, term, tfidf FROM r WHERE term_rank <= 3
+             |ORDER BY doc_id, term_rank""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("duplicateClusters: a-b + b-c chain collapses to one cluster, min-id survivor") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out === Array(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+  }
+
+  test("duplicateClusters converges on a longer chain within maxIters") {
+    val n = 8L
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(ids, "doc_id", pairs)
+    assert(out.filter(col("cluster_root") === 1L).count() === n)
+    assert(out.filter(col("is_survivor")).count() === 1L)
+  }
+
+  test("trainValTestSplit: deterministic, complete, ~80/10/10") {
+    val df = (1L to 1000L).toDF("id")
+    val split = Sampling.trainValTestSplit(df, "id")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 1000L)
+    assert(counts("train") > 700L && counts("train") < 900L)
+    // identical assignment on re-run (no rand())
+    val again = Sampling.trainValTestSplit(df, "id")
+    assert(split.collect().toSet === again.collect().toSet)
+  }
+
+  test("balancedSample caps every class and is deterministic") {
+    val df = (1L to 300L).map(i => (i, (i % 3).toInt)).toDF("id", "label")
+    val sampled = Sampling.balancedSample(df, "label", "id", perClass = 10)
+    val counts = sampled.groupBy("label").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ === 10L))
+    assert(sampled.collect().toSet === Sampling.balancedSample(df, "label", "id", 10).collect().toSet)
+  }
+
+  test("tfidf ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rare_one rare_one"),
+      (2L, "common filler filler"),
+      (3L, "common other words"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", perDoc = 1)
+      .filter(col("doc_id") === 1L).head()
+    // rare_one: tf=2, df=1 → 2·(ln(4/2)+1)≈3.39; common: tf=1, df=3 → 1.0
+    assert(out.getString(2) === "rare_one")
+  }
+}

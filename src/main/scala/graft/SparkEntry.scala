@@ -12,7 +12,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ TransformQueries.defs ++ JoinQueries.defs ++
       OpsQueries.defs ++ MartQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextQueries.defs ++ CurationQueries.defs
+      SimilarityQueries.defs ++ TextQueries.defs ++ CurationQueries.defs ++
+      AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

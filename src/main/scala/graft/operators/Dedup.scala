@@ -224,8 +224,11 @@ object Dedup {
     */
   def duplicateClusters(ids: DataFrame, idCol: String,
       pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // Cache the edge set: without it every iteration (plus its fixpoint
+    // count) re-executes the full upstream pair-generation plan.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("root"))
     var converged = false
     var iter = 0
@@ -245,6 +248,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels.withColumn("is_survivor", col("id") === col("root"))
       .withColumnRenamed("root", "cluster_root")
   }

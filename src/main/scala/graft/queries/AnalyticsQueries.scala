@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Analytics shapes beyond the reference's surface that a user of a Spark
+  * engine expects for free: rollup aggregation, as-of joins, gap-based
+  * sessionization.
+  */
+object AnalyticsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    // ROLLUP: subtotal hierarchy (priority, status) → priority → grand
+    // total. Stock Catalyst Expand; one shuffle.
+    QueryDef(
+      "q40_rollup",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+              .as("total_price"))
+          .orderBy(col("o_orderpriority").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+             |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // AS-OF join: each 'purchase' event matched to the same user's most
+    // recent prior-or-equal 'click' event. Composed from existing ops
+    // (preference (a) of the custom-operator ladder): union-tag + window
+    // last-non-null over user/time ordering — no cross product, one
+    // shuffle on user_id. Oracle: DuckDB's native ASOF JOIN.
+    QueryDef(
+      "q41_asof_join",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_p"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_p"))
+        // clicks sort before purchases at equal ts (is_p ascending), so a
+        // same-instant click is "prior-or-equal" — matching ASOF >=.
+        val tagged = purchases.unionByName(clicks)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_p"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tagged
+          .withColumn("last_click_ts",
+            last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 1)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("purchases"),
+            sum(when(col("last_click_ts").isNotNull, 1L).otherwise(0L))
+              .as("purchases_with_prior_click"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+             |j AS (SELECT p.user_id, p.ts, c.ts AS click_ts
+             |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+             |SELECT user_id, COUNT(*) AS purchases,
+             |SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS purchases_with_prior_click
+             |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Gap-based sessionization: a >30-minute silence starts a new session.
+    // lag + cumulative sum of boundaries — the batch twin of
+    // flatMapGroupsWithState sessionization; one shuffle on user_id.
+    QueryDef(
+      "q42_sessionize",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(spark, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          // unix_micros, not unix_timestamp: second-truncation would
+          // disagree with the oracle's fractional epoch at gap boundaries.
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx", sum(col("new_session")).over(wRun))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("longest_session"),
+            sum(col("n_events")).as("total_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH o AS (SELECT user_id, ts, event_id,
+             |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+             |b AS (SELECT user_id, ts, event_id,
+             |  CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM o),
+             |s AS (SELECT user_id,
+             |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM b),
+             |agg AS (SELECT user_id, session_idx, COUNT(*) AS n_events FROM s GROUP BY user_id, session_idx)
+             |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS longest_session,
+             |SUM(n_events) AS total_events
+             |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+  )
+}

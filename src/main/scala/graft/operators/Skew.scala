@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is pathological (one
+  * hot key owning a large fraction of rows — e.g. a null-like sentinel id
+  * or a mega-customer at 100 TB).
+  *
+  * First resort is AQE's runtime skew-join splitting
+  * (spark.sql.adaptive.skewJoin.enabled, on by default); this operator is
+  * the explicit fallback for cases AQE can't fix — e.g. when the skewed
+  * side must aggregate after the join, or the planner lacks stats.
+  *
+  * Technique: salt the LEFT (skewed) side with a deterministic per-row
+  * salt in [0, factor), replicate the RIGHT side `factor` times, and join
+  * on (key, salt) — the hot key's rows spread over `factor` reducers.
+  * Results are identical to the unsalted join (tested), cost is factor×
+  * replication of the right side, so keep it for broadcast-size rights.
+  */
+object Skew {
+
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      factor: Int, joinType: String = "inner"): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    // Deterministic salt: hash of the whole left row modulo factor —
+    // stable across retries (monotonically_increasing_id is not).
+    val salted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(factor)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

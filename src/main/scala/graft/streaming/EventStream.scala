@@ -4,6 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+/** Typed rows for the stateful example (top-level for Encoder derivation). */
+case class UserEvent(user_id: Long, value: Double)
+case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
 /** Structured-Streaming parity for the reference's micro-batch semantics
   * (SURVEY §2.7): 10-min incremental cycles with overlapping lookback
   * windows, idempotent via PK dedup at the sink.
@@ -47,6 +51,29 @@ object EventStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Custom keyed state via flatMapGroupsWithState (SURVEY §2.7 notes the
+    * reference needs none — this is the extension point a user of the
+    * engine gets for state the built-in windows can't express): running
+    * per-user event count + cumulative value, emitted on every batch.
+    */
+  def statefulUserTotals(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val updated = UserTotal(userId, n, v)
+          state.update(updated)
+          Iterator(updated)
+      }
+  }
 
   /** Read a parquet directory as a file stream (test/backfill source). */
   def parquetStream(spark: SparkSession, srcDir: String,

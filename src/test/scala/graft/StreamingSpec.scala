@@ -58,6 +58,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 3L)
   }
 
+  test("stream-static enrichment join (dimension lookup inside a stream)") {
+    val src = Files.createTempDirectory("graft-ss-src").toString
+    eventsFixture.write.mode("overwrite").parquet(src)
+    val userDim = Seq((1L, "alice"), (2L, "bob"), (3L, "carol"), (4L, "dave"))
+      .toDF("event_id", "user_name") // keyed by event_id for the fixture
+    val stream = EventStream.parquetStream(spark, src, eventsFixture.schema)
+      .join(userDim, Seq("event_id"), "left")
+    val q = stream.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enrich_test").orderBy("event_id").collect()
+      assert(out.length === 4)
+      assert(out.head.getAs[String]("user_name") === "alice")
+    } finally q.stop()
+  }
+
   test("stream dedup drops duplicate business keys (L4 streaming analogue)") {
     val src = Files.createTempDirectory("graft-dd-src").toString
     val dup = eventsFixture.union(eventsFixture.limit(2))

@@ -104,6 +104,34 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("term_rank"), col("term"), col("tfidf"))
   }
 
+  /** BM25 top terms per document (Robertson/Sparck-Jones, k1=1.2 b=0.75):
+    * adds document-length normalization over TF-IDF — long documents stop
+    * winning on raw term counts. Same two-shuffle shape as tfidfTopTerms
+    * plus a broadcast scalar (avgdl).
+    */
+  def bm25TopTerms(df: DataFrame, idCol: String, textCol: String,
+      perDoc: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+    val docFreq = toks.select(col("doc"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.count()
+    val avgdl = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val scored = tf.join(docFreq, "term").join(dl, "doc").crossJoin(avgdl)
+      .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("bm25", round(
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("bm25").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= perDoc)
+      .select(col("doc").as(idCol), col("term_rank"), col("term"), col("bm25"))
+  }
+
   /** Polynomial rolling hash (Rabin-Karp shape) over the token stream —
     * an order-SENSITIVE fingerprint, unlike the MD5 of the normalized text:
     * hash = Σ tok_hash(t_i)·B^i mod P, computed as a left fold.

@@ -99,5 +99,32 @@ object CurationQueries {
              |SELECT doc AS doc_id, term_rank, term, tfidf FROM r WHERE term_rank <= 3
              |ORDER BY doc_id, term_rank""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // BM25 top-3 terms per document (k1=1.2, b=0.75): doc-length
+    // normalized relevance. The oracle mirrors the exact operation order.
+    QueryDef(
+      "q43_bm25",
+      (spark, dir) =>
+        TextAnalysis.bm25TopTerms(
+            Tables.documents(spark, dir), "doc_id", "text", perDoc = 3)
+          .orderBy(col("doc_id"), col("term_rank")),
+      Some("""WITH toks AS (SELECT doc_id AS doc, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
+             |tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY doc, term),
+             |dl AS (SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc),
+             |docfreq AS (SELECT term, COUNT(DISTINCT doc) AS df FROM toks GROUP BY term),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+             |scored AS (SELECT tf.doc, tf.term,
+             |  ROUND(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * (1.2 + 1.0))
+             |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+             |  FROM tf JOIN docfreq ON tf.term = docfreq.term
+             |  JOIN dl ON tf.doc = dl.doc CROSS JOIN n CROSS JOIN ad),
+             |r AS (SELECT doc, term, bm25, ROW_NUMBER() OVER (
+             |  PARTITION BY doc ORDER BY bm25 DESC, term) AS term_rank FROM scored)
+             |SELECT doc AS doc_id, term_rank, term, bm25 FROM r WHERE term_rank <= 3
+             |ORDER BY doc_id, term_rank""".stripMargin),
+    ),
   )
 }

@@ -34,23 +34,15 @@ object VectorFunctions {
 
   /** Random-hyperplane signature: `nBits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes (SimHash for real vectors —
-    * Charikar, STOC'02). Plane components are derived from xxhash64 of
-    * (planeIdx, dimIdx) so the "random" planes are reproducible with no
-    * RNG state: hash → [-0.5, 0.5) double.
+    * Charikar, STOC'02), reproducible with no RNG state.
     *
     * This is the bucketing primitive for LSH ANN: vectors in the same
     * bucket (equal signature prefix) are near-neighbor candidates, so a
     * 100 TB corpus shuffles once on the signature instead of cross-joining.
+    * Runs as the native codegen'd [[HyperplaneSignature]] expression (the
+    * higher-order fold form was CodegenFallback — nBits×dims interpreted
+    * lambda evals per vector).
     */
-  def hyperplaneSignature(v: Column, nBits: Int, seed: Int = 0): Column = {
-    val dimIdx = transform(v, (_, i) => i)
-    val bits = (0 until nBits).map { p =>
-      val proj = aggregate(
-        zip_with(v, dimIdx, (x, i) =>
-          x * (pmod(xxhash64(lit(seed * 8191 + p), i), lit(100000L)).cast(DoubleType) / 100000.0 - 0.5)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1)).otherwise(lit(0))
-    }
-    array(bits: _*)
-  }
+  def hyperplaneSignature(v: Column, nBits: Int, seed: Int = 0): Column =
+    HyperplaneSignature.hyperplane_signature(v, nBits, seed)
 }

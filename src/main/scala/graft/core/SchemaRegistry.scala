@@ -16,11 +16,17 @@ import graft.core.SafeCasts.CastSpec
   */
 object SchemaRegistry {
 
+  /** @param nestedItemsColumn when present, ingest payloads carry a nested
+    *        item array under this name and must be prefix-flattened before
+    *        normalization (drives the pipeline dispatch — no endpoint-name
+    *        string matching in pipeline code).
+    */
   final case class TableSpec(
       name: String,
       keys: Seq[String],
       casts: CastSpec,
-      partitionBy: Seq[String] = Seq("etl_load_date"))
+      partitionBy: Seq[String] = Seq("etl_load_date"),
+      nestedItemsColumn: Option[String] = None)
 
   /** TikTok order detail: PK per create_tiktok_shop_orders_table.sql:82;
     * casts handled structurally in TikTokFlatten.
@@ -54,6 +60,7 @@ object SchemaRegistry {
   val misaSaleOrders: TableSpec = TableSpec(
     name = "misa_sale_orders_flattened",
     keys = Seq("order_id", "item_id"),
+    nestedItemsColumn = Some("sale_order_product_mappings"),
     casts = CastSpec(
       numeric = Seq("order_sale_order_amount", "order_total_summary",
         "order_tax_summary", "order_discount_summary", "order_exchange_rate",

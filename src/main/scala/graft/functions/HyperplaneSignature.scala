@@ -30,6 +30,14 @@ case class HyperplaneSignature(child: Expression, nBits: Int, seed: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dims = v.numElements()
+    // Null elements poison every projection (the fold form yielded a null
+    // proj → bit 0 on all planes): emit the all-zero signature rather than
+    // silently reading the null slot as 0.0.
+    var i0 = 0
+    while (i0 < dims) {
+      if (v.isNullAt(i0)) return new GenericArrayData(new Array[Int](nBits))
+      i0 += 1
+    }
     val sig = new Array[Int](nBits)
     var p = 0
     while (p < nBits) {
@@ -52,16 +60,24 @@ case class HyperplaneSignature(child: Expression, nBits: Int, seed: Int)
       val sig = ctx.freshName("sig")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
+      val i0 = ctx.freshName("i0")
       val proj = ctx.freshName("proj")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $dims = $input.numElements();
          |int[] $sig = new int[$nBits];
-         |for (int $p = 0; $p < $nBits; $p++) {
-         |  double $proj = 0.0;
-         |  for (int $i = 0; $i < $dims; $i++) {
-         |    $proj += $input.getDouble($i) * $hp.plane($seed, $p, $i);
+         |boolean $hasNull = false;
+         |for (int $i0 = 0; $i0 < $dims; $i0++) {
+         |  if ($input.isNullAt($i0)) { $hasNull = true; break; }
+         |}
+         |if (!$hasNull) {
+         |  for (int $p = 0; $p < $nBits; $p++) {
+         |    double $proj = 0.0;
+         |    for (int $i = 0; $i < $dims; $i++) {
+         |      $proj += $input.getDouble($i) * $hp.plane($seed, $p, $i);
+         |    }
+         |    $sig[$p] = ($proj > 0) ? 1 : 0;
          |  }
-         |  $sig[$p] = ($proj > 0) ? 1 : 0;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
        """.stripMargin

@@ -223,7 +223,7 @@ object Dedup {
     * the operator contract (ids → (id, cluster_root, is_survivor)) stays.
     */
   def duplicateClusters(ids: DataFrame, idCol: String,
-      pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // Cache the edge set: without it every iteration (plus its fixpoint
     // count) re-executes the full upstream pair-generation plan.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -249,6 +249,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // Unconverged labels would silently mis-cluster deep chains (the min
+    // label moves one hop per iteration) — fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge within $maxIters iterations — " +
+        "raise maxIters (cluster diameter exceeds it)")
     labels.withColumn("is_survivor", col("id") === col("root"))
       .withColumnRenamed("root", "cluster_root")
   }

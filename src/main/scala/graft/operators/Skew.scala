@@ -20,9 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types that preserve correctness under right-side replication:
+    * right rows never surface unmatched, so the factor-1 surplus replicas
+    * are invisible. right/full outer joins would emit spurious
+    * null-extended rows per unmatched replica.
+    */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "cross",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports left-preserving joins only, got '$joinType' " +
+        "(a replicated right side would emit spurious unmatched rows)")
     // Deterministic salt: hash of the whole left row modulo factor —
     // stable across retries (monotonically_increasing_id is not).
     val salted = left.withColumn("__salt",

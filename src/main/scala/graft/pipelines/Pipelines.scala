@@ -45,13 +45,14 @@ object Pipelines {
     val raw = PaginatedSource.incrementalScan(
       spark, fetcher, pageSize, maxPages, "modified_date", cutoff)
     if (raw.isEmpty) return EndpointResult(endpoint, 0L, 0L)
-    // prefixFlatten maps top-level `id` → `order_id` and mapping `id` →
-    // `item_id`, which is exactly the registry's (order_id, item_id) key.
-    val shaped =
-      if (endpoint == "misa_sale_orders_flattened" &&
-          raw.columns.contains("sale_order_product_mappings"))
-        Flatten.prefixFlatten(raw, "sale_order_product_mappings")
-      else raw
+    // Spec-driven flatten: prefixFlatten maps top-level `id` → `order_id`
+    // and mapping `id` → `item_id`, which is exactly the registry's
+    // (order_id, item_id) key.
+    val shaped = spec.nestedItemsColumn match {
+      case Some(nested) if raw.columns.contains(nested) =>
+        Flatten.prefixFlatten(raw, nested)
+      case _ => raw
+    }
     val normalized = EtlMeta.stamp(SchemaRegistry.normalize(shaped, spec), batch)
     // Refuse to load when the registry's PK columns are missing: deduping
     // on an arbitrary fallback column would silently collapse distinct
@@ -74,6 +75,11 @@ object Pipelines {
       tiktokDocs: Seq[String],
       stagingRoot: String,
       cutoff: java.sql.Timestamp): CycleReport = {
+    // A fetcher keyed by an unknown endpoint would be silently skipped —
+    // a misspelled name must fail loudly, not drop the endpoint.
+    val unknown = misaFetchers.keySet -- endpointPriority.toSet
+    require(unknown.isEmpty,
+      s"unknown endpoint(s) ${unknown.mkString(",")}; known: ${endpointPriority.mkString(",")}")
     val batch = EtlMeta.newBatch("incremental_cycle")
 
     val misaResults = endpointPriority.flatMap { ep =>
@@ -96,9 +102,8 @@ object Pipelines {
     // created (zero rows ever appended) counts as empty, not as a crash.
     val counts = results.map { r =>
       val path = s"$stagingRoot/${r.endpoint}"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val n = if (fs.exists(p)) spark.read.parquet(path).count() else 0L
+      val n = if (Sinks.targetExists(spark, path))
+        spark.read.parquet(path).count() else 0L
       (r.endpoint, n)
     }
     val nonEmpty = counts.count(_._2 > 0)
@@ -113,14 +118,18 @@ object Pipelines {
       fetchBatch: (java.time.LocalDate, java.time.LocalDate) => DataFrame,
       from: java.time.LocalDate, to: java.time.LocalDate, batchDays: Int,
       stagingPath: String, keys: Seq[String]): Seq[(String, Long)] = {
+    require(batchDays > 0, "batchDays must be positive")
     Iterator.iterate(from)(_.plusDays(batchDays.toLong))
       .takeWhile(_.isBefore(to))
       .map { start =>
         val end = Seq(start.plusDays(batchDays.toLong), to).min(
           Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
-        val batchDf = fetchBatch(start, end)
+        // Cache: count + merge would otherwise re-execute the extraction
+        // (2-3 fetches of the same remote window per batch).
+        val batchDf = fetchBatch(start, end).cache()
         val n = batchDf.count()
         if (n > 0) Sinks.mergeUpsert(spark, batchDf, stagingPath, keys)
+        batchDf.unpersist()
         (s"$start..$end", n)
       }.toSeq
   }

@@ -117,8 +117,8 @@ object CurationQueries {
              |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
              |scored AS (SELECT tf.doc, tf.term,
              |  ROUND(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-             |    * (tf * (1.2 + 1.0))
-             |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+             |    * (tf * CAST(2.2 AS DOUBLE))
+             |    / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)), 6) AS bm25
              |  FROM tf JOIN docfreq ON tf.term = docfreq.term
              |  JOIN dl ON tf.doc = dl.doc CROSS JOIN n CROSS JOIN ad),
              |r AS (SELECT doc, term, bm25, ROW_NUMBER() OVER (

@@ -68,21 +68,32 @@ object PaginatedSource {
     * (tiktok_shop_extractor.py:31-212). Slices are the unit of retry and
     * of idempotent re-extraction.
     */
+  /** Proportional slice bounds for [from, to): slice i covers
+    * [from + span·i/n, from + span·(i+1)/n). A fixed width would overrun
+    * `to` (and invert the last slice) whenever slices > span; proportional
+    * bounds tile the window exactly, with surplus slices degenerating to
+    * empty ranges. BigInt intermediate arithmetic: span·i overflows Long
+    * for windows like (0, Long.MaxValue), silently dropping partitions.
+    */
+  def sliceBounds(from: Long, to: Long, slices: Int): Seq[(Long, Long)] = {
+    require(to >= from, s"window [$from, $to) is inverted")
+    require(slices > 0, "slices must be positive")
+    val span = BigInt(to) - BigInt(from)
+    (0 until slices).flatMap { i =>
+      val lo = (BigInt(from) + span * i / slices).toLong
+      val hi = (BigInt(from) + span * (i + 1) / slices).toLong
+      if (hi > lo) Some((lo, hi)) else None
+    }
+  }
+
   def timeSlicedScan(spark: SparkSession, fetcher: SliceFetcher,
       fromEpochSec: Long, toEpochSec: Long, slices: Int): DataFrame = {
     import spark.implicits._
-    require(toEpochSec >= fromEpochSec, s"window [$fromEpochSec, $toEpochSec) is inverted")
-    // Proportional split: slice i covers [from + span·i/n, from + span·(i+1)/n).
-    // A fixed width would overrun `to` (and invert the last slice) whenever
-    // slices > span; proportional bounds tile [from, to) exactly, with
-    // surplus slices degenerating to empty [x, x) ranges.
-    val span = toEpochSec - fromEpochSec
-    val n = slices.toLong
-    val raw: Dataset[String] = spark.range(n).flatMap { i =>
-      val lo = fromEpochSec + span * i / n
-      val hi = fromEpochSec + span * (i + 1) / n
-      if (hi > lo) fetcher.fetchSlice(lo, hi) else Seq.empty[String]
-    }
+    val bounds = sliceBounds(fromEpochSec, toEpochSec, slices)
+    val raw: Dataset[String] = spark
+      .createDataset(bounds)
+      .repartition(math.max(1, bounds.size))
+      .flatMap { case (lo, hi) => fetcher.fetchSlice(lo, hi) }
     if (raw.isEmpty) spark.emptyDataFrame else spark.read.json(raw)
   }
 

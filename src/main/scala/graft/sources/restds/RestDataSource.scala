@@ -139,14 +139,11 @@ class RestScan(schema: StructType, fetcherKey: String, slices: Int,
   override def planInputPartitions(): Array[InputPartition] = {
     val full = RestFetcherRegistry.get(fetcherKey).fullRange
     val lo = window._1.getOrElse(full._1)
-    val hi = window._2.getOrElse(full._2)
-    val span = math.max(0L, hi - lo)
-    val n = slices.toLong
-    (0 until slices).flatMap { i =>
-      val sLo = lo + span * i / n
-      val sHi = lo + span * (i + 1) / n
-      if (sHi > sLo) Some(RestInputPartition(sLo, sHi): InputPartition) else None
-    }.toArray
+    val hi = math.max(window._2.getOrElse(full._2), lo)
+    // Shared overflow-safe proportional split (see PaginatedSource.sliceBounds).
+    graft.sources.PaginatedSource.sliceBounds(lo, hi, slices)
+      .map { case (sLo, sHi) => RestInputPartition(sLo, sHi): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -111,6 +111,34 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Partition-scoped MERGE upsert — the SURVEY §7.4.4 answer to "the
+    * full-outer rewrite must not touch 100 TB": the target is partitioned
+    * on `partitionCol`; only partitions PRESENT IN THE SOURCE are read
+    * (partition pruning), merged, and swapped — every other partition's
+    * files are untouched. Requires the partition value to be derivable
+    * from the row (true for load-date partitioning where the business key
+    * embeds the date, or any stable row→partition mapping).
+    */
+  def mergeUpsertPartitioned(spark: SparkSession, source: DataFrame,
+      path: String, keys: Seq[String], partitionCol: String): Unit = {
+    if (!targetExists(spark, path)) {
+      truncateInsert(source, path, partitionBy = Seq(partitionCol)); return
+    }
+    val affected = source.select(partitionCol).distinct()
+      .collect().map(_.get(0))
+    val target = spark.read.parquet(path)
+      .filter(col(partitionCol).isInCollection(affected.toSeq))
+      .select(source.columns.map(col).toIndexedSeq: _*)
+    val merged = Relational.mergeUpsert(target, source, keys)
+    affected.foreach { pv =>
+      val partPath = s"$path/$partitionCol=$pv"
+      val tmp = partPath + ".tmp"
+      merged.filter(col(partitionCol) === pv).drop(partitionCol)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      swapInto(spark, tmp, partPath)
+    }
+  }
+
   /** L7 retention delete (misa_crm_loader.py:384-427) as keep-filter
     * rewrite; on date-partitioned storage, drop whole partitions instead.
     */

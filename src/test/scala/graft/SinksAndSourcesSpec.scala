@@ -42,6 +42,28 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).head().getLong(0) === 2L)
   }
 
+  test("mergeUpsertPartitioned rewrites ONLY the partitions the source touches") {
+    val path = tmpDir("merge-part")
+    Sinks.truncateInsert(Seq(
+      (1L, 10.0, "2024-06-01"), (2L, 20.0, "2024-06-02"), (3L, 30.0, "2024-06-03"))
+      .toDF("id", "bal", "d"), path, partitionBy = Seq("d"))
+    val untouched = new java.io.File(s"$path/d=2024-06-03")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    // Source touches only 2024-06-02: update id=2, insert id=4.
+    Sinks.mergeUpsertPartitioned(spark,
+      Seq((2L, 99.0, "2024-06-02"), (4L, 40.0, "2024-06-02")).toDF("id", "bal", "d"),
+      path, Seq("id"), "d")
+
+    val out = spark.read.parquet(path).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out === Array((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+    // The 06-03 partition's files were never rewritten.
+    val after = new java.io.File(s"$path/d=2024-06-03")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(after === untouched)
+  }
+
   test("truncateInsert replaces prior content (L2)") {
     val path = tmpDir("truncate")
     Sinks.truncateInsert(Seq((1L, "old")).toDF("id", "v"), path)

@@ -83,5 +83,35 @@ object OpsQueries {
              |UNION ALL SELECT 'embeddings', COUNT(*), COUNT(*) > 0 FROM embeddings
              |) ORDER BY table_name""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Column profiling — the A3 quality scan generalized to the per-column
+    // statistics a curation pipeline reports: counts, null counts,
+    // distincts, min/max, exact interpolated percentiles (decimal-routed
+    // means for engine parity).
+    QueryDef(
+      "q44_profile",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        ev.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
+          countDistinct(col("user_id")).as("distinct_users"),
+          countDistinct(col("event_type")).as("distinct_types"),
+          Aggregations.dsum(col("value"), 18, 6).as("value_sum"),
+          (Aggregations.dsum(col("value"), 18, 6) / count(lit(1))).as("value_mean"),
+          round(expr("percentile(value, 0.5)"), 6).as("value_p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("value_p95"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+             |COUNT(DISTINCT user_id) AS distinct_users,
+             |COUNT(DISTINCT event_type) AS distinct_types,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS value_mean,
+             |ROUND(quantile_cont(value, 0.5), 6) AS value_p50,
+             |ROUND(quantile_cont(value, 0.95), 6) AS value_p95
+             |FROM events""".stripMargin),
+    ),
   )
 }

@@ -56,8 +56,9 @@ class ProductionMonitor(
       alerts += Alert("no_data",
         s"$consecutiveNoData consecutive cycles with zero records")
     // Rate alert only once the window has enough history to be meaningful
-    // (the reference evaluates over its last-10 window).
-    if (cycles.size >= 10 && successRate < minSuccessRate)
+    // (the reference evaluates over its last-10 window; smaller configured
+    // windows use their own full size or the alert could never fire).
+    if (cycles.size >= math.min(10, windowSize) && successRate < minSuccessRate)
       alerts += Alert("low_success_rate",
         f"success rate $successRate%.2f < $minSuccessRate%.2f over last ${cycles.size} cycles")
     alerts.toSeq

@@ -75,7 +75,9 @@ object Multimodal {
       lit("text/plain").as("format"),
       lit(0).as("width"),
       lit(0).as("height"),
-      octet_length(to_binary(col(payloadCol), lit("utf-8"))).cast(LongType).as("n_bytes"))
+      // octet_length of the string is already its UTF-8 byte length — no
+      // second to_binary conversion.
+      octet_length(col(payloadCol)).cast(LongType).as("n_bytes"))
 
   /** Decode/feature-extract over partition batches (narrow, no shuffle). */
   def extractFeatures(media: Dataset[MediaRow], decoder: MediaDecoder)
@@ -109,9 +111,11 @@ object Multimodal {
       rows.map { r =>
         val srcArea = math.max(1L, r.width.toLong * r.height.toLong)
         val frac = math.min(1.0, (targetW.toLong * targetH).toDouble / srcArea)
-        val newLen = math.max(1, (r.media.length * frac).toInt)
-        r.copy(media = r.media.take(newLen), width = targetW, height = targetH,
-          n_bytes = newLen.toLong)
+        val resized = r.media.take(math.max(1, (r.media.length * frac).toInt))
+        // n_bytes from the ACTUAL payload (an empty blob stays 0 bytes) —
+        // metadata must never disagree with the blob.
+        r.copy(media = resized, width = targetW, height = targetH,
+          n_bytes = resized.length.toLong)
       }
   }
 

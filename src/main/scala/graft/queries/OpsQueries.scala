@@ -99,7 +99,9 @@ object OpsQueries {
           countDistinct(col("user_id")).as("distinct_users"),
           countDistinct(col("event_type")).as("distinct_types"),
           Aggregations.dsum(col("value"), 18, 6).as("value_sum"),
-          (Aggregations.dsum(col("value"), 18, 6) / count(lit(1))).as("value_mean"),
+          // mean over NON-NULL values: SUM skips nulls, so the denominator
+          // must too (count(col), not count(*)).
+          (Aggregations.dsum(col("value"), 18, 6) / count(col("value"))).as("value_mean"),
           round(expr("percentile(value, 0.5)"), 6).as("value_p50"),
           round(expr("percentile(value, 0.95)"), 6).as("value_p95"))
       },
@@ -108,7 +110,7 @@ object OpsQueries {
              |COUNT(DISTINCT user_id) AS distinct_users,
              |COUNT(DISTINCT event_type) AS distinct_types,
              |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
-             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS value_mean,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_mean,
              |ROUND(quantile_cont(value, 0.5), 6) AS value_p50,
              |ROUND(quantile_cont(value, 0.95), 6) AS value_p95
              |FROM events""".stripMargin),

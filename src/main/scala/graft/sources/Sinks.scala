@@ -34,7 +34,22 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Crash recovery for the backup-ordered swap: a crash between the two
+    * renames leaves the table at `path.old` and nothing at `path` — every
+    * entry point probes through here so the backup is restored before any
+    * decision (like truncateInsert-on-missing) can destroy it.
+    */
+  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hOld = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath) && fs.exists(hOld)) {
+      require(fs.rename(hOld, hPath), s"swap recovery: rename $hOld -> $path failed")
+    }
+  }
+
   private[graft] def targetExists(spark: SparkSession, path: String): Boolean = {
+    recoverSwap(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).nonEmpty
@@ -50,12 +65,14 @@ object Sinks {
       if (targetExists(spark, path))
         Relational.dedupAppend(df, spark.read.parquet(path), keys)
       else df.dropDuplicates(keys)
-    // The anti-join must resolve before the append starts mutating the
-    // target directory it reads from.
-    val materialized = fresh.cache()
+    // localCheckpoint, not cache: the anti-join must fully resolve before
+    // the append mutates the directory it reads from. Cached blocks lost
+    // mid-append would RECOMPUTE through the half-written target (silent
+    // row loss); a checkpoint severs lineage so block loss fails loudly
+    // instead.
+    val materialized = fresh.localCheckpoint(true)
     val n = materialized.count()
     if (n > 0) append(materialized, path, partitionBy)
-    materialized.unpersist()
     n
   }
 
@@ -84,6 +101,7 @@ object Sinks {
     * is on this classpath.
     */
   private def swapInto(spark: SparkSession, tmp: String, path: String): Unit = {
+    recoverSwap(spark, path) // never clobber a backup that is the only copy
     val hPath = new org.apache.hadoop.fs.Path(path)
     val hTmp = new org.apache.hadoop.fs.Path(tmp)
     val hOld = new org.apache.hadoop.fs.Path(path + ".old")
@@ -124,19 +142,34 @@ object Sinks {
     if (!targetExists(spark, path)) {
       truncateInsert(source, path, partitionBy = Seq(partitionCol)); return
     }
-    val affected = source.select(partitionCol).distinct()
-      .collect().map(_.get(0))
+    val affected = source.select(partitionCol).distinct().collect().map(_.get(0))
+    val nonNull = affected.filter(_ != null).toSeq
+    // Null partition values must be read too — isInCollection never
+    // matches null, which would silently drop the target's null partition.
+    val partFilter =
+      if (affected.contains(null))
+        col(partitionCol).isInCollection(nonNull) || col(partitionCol).isNull
+      else col(partitionCol).isInCollection(nonNull)
     val target = spark.read.parquet(path)
-      .filter(col(partitionCol).isInCollection(affected.toSeq))
+      .filter(partFilter)
       .select(source.columns.map(col).toIndexedSeq: _*)
     val merged = Relational.mergeUpsert(target, source, keys)
-    affected.foreach { pv =>
-      val partPath = s"$path/$partitionCol=$pv"
-      val tmp = partPath + ".tmp"
-      merged.filter(col(partitionCol) === pv).drop(partitionCol)
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      swapInto(spark, tmp, partPath)
+    // Materialize the merge ONCE into a partitioned tmp dir BEFORE any
+    // swap mutates `path`: executing the lazy plan per-partition inside
+    // the loop would re-scan target files earlier iterations already
+    // renamed. Spark's writer also Hive-escapes partition directory names
+    // (and emits __HIVE_DEFAULT_PARTITION__ for null), so swapping by the
+    // EMITTED directory names is correct for any partition value.
+    val tmpRoot = path + ".merge-tmp"
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(tmpRoot)
+    val hTmpRoot = new org.apache.hadoop.fs.Path(tmpRoot)
+    val fs = hTmpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hTmpRoot).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol=")).foreach { s =>
+      swapInto(spark, s.getPath.toString, s"$path/${s.getPath.getName}")
     }
+    fs.delete(hTmpRoot, true)
   }
 
   /** L7 retention delete (misa_crm_loader.py:384-427) as keep-filter
@@ -148,6 +181,8 @@ object Sinks {
     val tmp = path + ".tmp"
     kept.write.mode(SaveMode.Overwrite).parquet(tmp)
     swapInto(spark, tmp, path)
+    // Metadata-only count: a bare count() over parquet reads row-group
+    // footers, not data pages.
     spark.read.parquet(path).count()
   }
 }

@@ -50,14 +50,16 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     val untouched = new java.io.File(s"$path/d=2024-06-03")
       .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
 
-    // Source touches only 2024-06-02: update id=2, insert id=4.
+    // Source touches TWO partitions (exercises the materialize-before-swap
+    // path): update id=2 in 06-02, update id=1 + insert id=4 in 06-01.
     Sinks.mergeUpsertPartitioned(spark,
-      Seq((2L, 99.0, "2024-06-02"), (4L, 40.0, "2024-06-02")).toDF("id", "bal", "d"),
+      Seq((2L, 99.0, "2024-06-02"), (1L, 11.0, "2024-06-01"), (4L, 40.0, "2024-06-01"))
+        .toDF("id", "bal", "d"),
       path, Seq("id"), "d")
 
     val out = spark.read.parquet(path).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-    assert(out === Array((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+    assert(out === Array((1L, 11.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
     // The 06-03 partition's files were never rewritten.
     val after = new java.io.File(s"$path/d=2024-06-03")
       .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet

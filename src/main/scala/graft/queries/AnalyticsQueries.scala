@@ -6,10 +6,18 @@ import org.apache.spark.sql.types._
 import graft.core.Tables
 
 /** Analytics shapes beyond the reference's surface that a user of a Spark
-  * engine expects for free: rollup aggregation, as-of joins, gap-based
-  * sessionization.
+  * engine expects for free: rollup/grouping-sets aggregation, as-of joins,
+  * gap-based sessionization.
   */
 object AnalyticsQueries {
+
+  /** Per-query view registration for the SQL-text queries (scoped names so
+    * concurrent queries don't clash with GraftSession's views).
+    */
+  private[queries] object GraftSessionlessViews {
+    def register(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -30,6 +38,31 @@ object AnalyticsQueries {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
              |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
              |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // GROUPING SETS with grouping_id: arbitrary subtotal combinations in
+    // one pass ((priority,status), (priority), (status), ()).
+    QueryDef(
+      "q45_grouping_sets",
+      (spark, dir) => {
+        GraftSessionlessViews.register(spark, dir)
+        spark.sql(
+          """SELECT o_orderpriority, o_orderstatus,
+            |CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+            |COUNT(*) AS n_orders
+            |FROM orders_v
+            |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+            |  (o_orderpriority), (o_orderstatus), ())
+            |ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+             |COUNT(*) AS n_orders
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+             |  (o_orderpriority), (o_orderstatus), ())
+             |ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
     ),
 
     // ----------------------------------------------------------------

@@ -75,6 +75,27 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks within `withinSeconds` BEFORE the purchase. Both sides carry
+    * watermarks so the join state is bounded — the streaming twin of the
+    * batch as-of shape (q41).
+    */
+  def streamStreamClickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      withinSeconds: Long): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinSeconds SECONDS"),
+      "inner")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Read a parquet directory as a file stream (test/backfill source). */
   def parquetStream(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =

@@ -75,6 +75,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join bounds click-to-purchase attribution") {
+    val clickSrc = Files.createTempDirectory("graft-ssj-c").toString
+    val purchSrc = Files.createTempDirectory("graft-ssj-p").toString
+    Seq(
+      (10L, Timestamp.valueOf("2024-01-01 10:00:00"), "click", 0.0, 7L),
+      (11L, Timestamp.valueOf("2024-01-01 10:50:00"), "click", 0.0, 7L),
+      (12L, Timestamp.valueOf("2024-01-01 08:00:00"), "click", 0.0, 8L),
+    ).toDF("event_id", "ts", "event_type", "value", "user_id")
+      .write.mode("overwrite").parquet(clickSrc)
+    Seq(
+      (20L, Timestamp.valueOf("2024-01-01 11:00:00"), "purchase", 5.0, 7L),
+      (21L, Timestamp.valueOf("2024-01-01 11:00:00"), "purchase", 5.0, 8L),
+    ).toDF("event_id", "ts", "event_type", "value", "user_id")
+      .write.mode("overwrite").parquet(purchSrc)
+
+    val schema = spark.read.parquet(clickSrc).schema
+    val joined = EventStream.streamStreamClickToPurchase(
+      EventStream.parquetStream(spark, clickSrc, schema),
+      EventStream.parquetStream(spark, purchSrc, schema),
+      withinSeconds = 3600)
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("ssj_test")
+        .select("user_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // user 7: both clicks within the hour window; user 8's click at
+      // 08:00 is outside [10:00, 11:00] → no attribution.
+      assert(out === Set((7L, 20L)))
+      assert(spark.table("ssj_test").count() === 2) // two qualifying clicks for user 7
+    } finally q.stop()
+  }
+
   test("stream dedup drops duplicate business keys (L4 streaming analogue)") {
     val src = Files.createTempDirectory("graft-dd-src").toString
     val dup = eventsFixture.union(eventsFixture.limit(2))

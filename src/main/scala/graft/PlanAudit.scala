@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** Physical-plan audit across every declared query: shuffle count,
+  * broadcast count, join strategies, whole-stage-codegen coverage. The
+  * per-query shuffle budget is the first thing to re-check when a change
+  * regresses scale behavior. Usage: runMain graft.PlanAudit <sfDir>
+  */
+object PlanAudit {
+
+  final case class Audit(shuffles: Int, broadcasts: Int, bhj: Int, smj: Int)
+
+  // Codegen spans are deliberately NOT counted: under AQE the pre-execution
+  // plan has no WholeStageCodegenExec nodes yet (stages wrap at
+  // materialization), so the count would always read 0 here.
+  def audit(plan: SparkPlan): Audit = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => Nil
+      }
+      (p +: p.children.flatMap(walk)) ++ inner
+    }
+    val nodes = walk(plan)
+    Audit(
+      shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
+      broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
+      bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec]),
+      smj = nodes.count(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(f"${"query"}%-26s ${"shuffles"}%8s ${"bcast"}%6s ${"BHJ"}%4s ${"SMJ"}%4s")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val a = audit(fn(spark, sfDir).queryExecution.executedPlan)
+        println(f"$name%-26s ${a.shuffles}%8d ${a.broadcasts}%6d ${a.bhj}%4d ${a.smj}%4d")
+      } catch {
+        case e: Throwable => println(f"$name%-26s  audit failed: ${e.getMessage.take(60)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -130,6 +130,7 @@ object Dedup {
     * collide — near-perfect recall at ~0 false-candidate cost.
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     df.select(col(idCol).as("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         hash(slice(col(sigCol), b * (size(col(sigCol)) / bands) + 1,
@@ -156,10 +157,19 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, k: Int = 128, bands: Int = 32): DataFrame = {
+    // bands > k would make every slice() empty (all docs collide into one
+    // bucket per band — quadratic candidate blowup); k % bands != 0 would
+    // silently drop the signature tail and weaken the recall math above.
+    require(bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature width k ($k)")
     val withSh = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
+      // Referenced three times below (band generation + both verification
+      // joins); cache so the tokenize→shingle→k-hash signature work — the
+      // most expensive per-document stage — runs once, not three times.
+      .cache()
     val candidates = lshCandidatePairs(lshBands(withSh, "id", "sig", bands))
     candidates
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

@@ -100,7 +100,7 @@ object AnalyticsQueries {
              |j AS (SELECT p.user_id, p.ts, c.ts AS click_ts
              |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
              |SELECT user_id, COUNT(*) AS purchases,
-             |SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS purchases_with_prior_click
+             |CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS purchases_with_prior_click
              |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
 
@@ -139,7 +139,7 @@ object AnalyticsQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM b),
              |agg AS (SELECT user_id, session_idx, COUNT(*) AS n_events FROM s GROUP BY user_id, session_idx)
              |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS longest_session,
-             |SUM(n_events) AS total_events
+             |CAST(SUM(n_events) AS BIGINT) AS total_events
              |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
   )

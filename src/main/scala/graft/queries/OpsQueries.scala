@@ -60,7 +60,7 @@ object OpsQueries {
       Some("""SELECT event_type, COUNT(*) AS total_records,
              |COUNT(DISTINCT user_id) AS unique_ids,
              |CAST(MAX(ts) AS DATE) AS last_loaded_day,
-             |SUM(CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00' THEN 1 ELSE 0 END) AS recent_records
+             |CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS recent_records
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
 
@@ -106,7 +106,7 @@ object OpsQueries {
           round(expr("percentile(value, 0.95)"), 6).as("value_p95"))
       },
       Some("""SELECT COUNT(*) AS n_rows,
-             |SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+             |CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
              |COUNT(DISTINCT user_id) AS distinct_users,
              |COUNT(DISTINCT event_type) AS distinct_types,
              |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

@@ -123,15 +123,52 @@ object TextQueries {
           Tables.documents(spark, dir), "doc_id", "text")
         val feats = Multimodal.extractFeatures(
           media.as[Multimodal.MediaRow], Multimodal.StubDecoder)
+        // The stub features are k/65535 in float32; multiplying back by
+        // 65535 and rounding recovers the exact 16-bit integer chunk
+        // (float32 rel-error ≪ 0.5/65535), so the output is pure BIGINT —
+        // no float-representation hazard in the oracle compare, and no
+        // raw array column (the driver's comparer can't sort those).
+        def chunk(i: Int) =
+          round(element_at(col("feature"), i + 1) * lit(65535.0)).cast("long")
         feats.toDF()
-          .join(Tables.documents(spark, dir)
-            .select(col("doc_id").as("media_id"),
-              TextAnalysis.rollingHash(col("text")).as("rolling_fp")), Seq("media_id"))
           .select(col("media_id"), col("format"), col("n_bytes"),
-            col("feature"), col("rolling_fp"))
+            chunk(0).as("f0"), chunk(1).as("f1"),
+            chunk(2).as("f2"), chunk(3).as("f3"))
           .orderBy(col("media_id"))
       },
-      None,
+      // FNV-1a 64 over the first 8 UTF-8 bytes, unrolled in HUGEINT
+      // modular arithmetic (all document texts are ≥48 ASCII chars, so
+      // ascii(substring(..)) IS the byte). Chunks via div/mod = logical
+      // shifts on the unsigned 64-bit value.
+      Some("""WITH b AS (
+             |  SELECT doc_id, 'text/plain' AS format,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    CAST(ascii(substring(text,1,1)) AS HUGEINT) AS b1,
+             |    CAST(ascii(substring(text,2,1)) AS HUGEINT) AS b2,
+             |    CAST(ascii(substring(text,3,1)) AS HUGEINT) AS b3,
+             |    CAST(ascii(substring(text,4,1)) AS HUGEINT) AS b4,
+             |    CAST(ascii(substring(text,5,1)) AS HUGEINT) AS b5,
+             |    CAST(ascii(substring(text,6,1)) AS HUGEINT) AS b6,
+             |    CAST(ascii(substring(text,7,1)) AS HUGEINT) AS b7,
+             |    CAST(ascii(substring(text,8,1)) AS HUGEINT) AS b8
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, format, n_bytes,
+             |    (xor(CAST(1469598103934665603 AS HUGEINT), b1) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT) AS h1,
+             |    (xor(h1,b2)*1099511628211) % CAST('18446744073709551616' AS HUGEINT) AS h2,
+             |    (xor(h2,b3)*1099511628211) % CAST('18446744073709551616' AS HUGEINT) AS h3,
+             |    (xor(h3,b4)*1099511628211) % CAST('18446744073709551616' AS HUGEINT) AS h4,
+             |    (xor(h4,b5)*1099511628211) % CAST('18446744073709551616' AS HUGEINT) AS h5,
+             |    (xor(h5,b6)*1099511628211) % CAST('18446744073709551616' AS HUGEINT) AS h6,
+             |    (xor(h6,b7)*1099511628211) % CAST('18446744073709551616' AS HUGEINT) AS h7,
+             |    (xor(h7,b8)*1099511628211) % CAST('18446744073709551616' AS HUGEINT) AS h8
+             |  FROM b)
+             |SELECT doc_id AS media_id, format, n_bytes,
+             |  CAST(h8 % 65536 AS BIGINT) AS f0,
+             |  CAST((h8 // 65536) % 65536 AS BIGINT) AS f1,
+             |  CAST((h8 // 4294967296) % 65536 AS BIGINT) AS f2,
+             |  CAST((h8 // CAST(281474976710656 AS HUGEINT)) % 65536 AS BIGINT) AS f3
+             |FROM f ORDER BY media_id""".stripMargin),
     ),
   )
 }

@@ -39,12 +39,19 @@ object PaginatedSource {
   def fullScan(spark: SparkSession, fetcher: PageFetcher,
       pageSize: Int, maxPages: Int): DataFrame = {
     import spark.implicits._
+    // A SHORT page (size < pageSize, the usual REST last-page contract) is
+    // included and then terminates the loop — no extra request after it.
     val pages = Iterator.from(0)
       .map(p => fetcher.fetchPage(p, pageSize))
-      .takeWhile(_.nonEmpty)
       .take(maxPages)
-      .toSeq
-    val all = pages.iterator.takeWhile(_.nonEmpty).flatten.toSeq
+    val buf = Seq.newBuilder[String]
+    var done = false
+    while (!done && pages.hasNext) {
+      val pg = pages.next()
+      buf ++= pg
+      done = pg.size < pageSize
+    }
+    val all = buf.result()
     if (all.isEmpty) spark.emptyDataFrame
     else spark.read.json(spark.createDataset(all))
   }

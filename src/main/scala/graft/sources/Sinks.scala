@@ -84,12 +84,29 @@ object Sinks {
   def mergeUpsert(spark: SparkSession, source: DataFrame, path: String,
       keys: Seq[String]): Unit = {
     if (!targetExists(spark, path)) { truncateInsert(source, path); return }
+    val target = requireSameColumns(spark.read.parquet(path), source, path)
     val merged = Relational.mergeUpsert(
-      spark.read.parquet(path).select(source.columns.map(col).toIndexedSeq: _*),
-      source, keys)
+      target.select(source.columns.map(col).toIndexedSeq: _*), source, keys)
     val tmp = path + ".tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     swapInto(spark, tmp, path)
+  }
+
+  /** MERGE schema contract: target and source must carry the SAME column
+    * set. Projecting the target to `source.columns` would otherwise
+    * silently drop target-only columns from the rewritten table (and, in
+    * the partition-scoped variant, leave touched and untouched partitions
+    * with divergent schemas) — fail loudly on drift instead.
+    */
+  private def requireSameColumns(target: DataFrame, source: DataFrame,
+      path: String): DataFrame = {
+    val t = target.columns.toSet
+    val s = source.columns.toSet
+    require(t == s,
+      s"mergeUpsert($path): target/source schema drift — " +
+        s"target-only=${(t -- s).toSeq.sorted.mkString(",")} " +
+        s"source-only=${(s -- t).toSeq.sorted.mkString(",")}")
+    target
   }
 
   /** Backup-ordered directory swap: current → `.old`, `.tmp` → current,
@@ -150,7 +167,7 @@ object Sinks {
       if (affected.contains(null))
         col(partitionCol).isInCollection(nonNull) || col(partitionCol).isNull
       else col(partitionCol).isInCollection(nonNull)
-    val target = spark.read.parquet(path)
+    val target = requireSameColumns(spark.read.parquet(path), source, path)
       .filter(partFilter)
       .select(source.columns.map(col).toIndexedSeq: _*)
     val merged = Relational.mergeUpsert(target, source, keys)

@@ -57,10 +57,21 @@ def main():
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         s_cols, s_rows = list(spark_rel.columns), spark_rel.fetchall()
         if name not in oracles:
-            print(f"  {name:28s} rows-only: {len(s_rows)} rows "
-                  f"{'PASS' if len(s_rows) > 0 else 'FAIL (0 rows)'}")
-            if len(s_rows) == 0:
+            # The driver sorts even rows-only outputs through pandas —
+            # an array/list column crashes it (unhashable numpy.ndarray).
+            try:
+                s_df = spark_rel.fetchdf()
+                s_df.astype(str).sort_values(sorted(s_cols))
+                sortable = True
+            except Exception as e:
+                print(f"  {name:28s} FAIL rows-only unsortable: {e}")
                 failures += 1
+                sortable = False
+            if sortable:
+                print(f"  {name:28s} rows-only: {len(s_rows)} rows "
+                      f"{'PASS' if len(s_rows) > 0 else 'FAIL (0 rows)'}")
+                if len(s_rows) == 0:
+                    failures += 1
             continue
         try:
             o_rel = con.sql(oracles[name])
@@ -71,6 +82,27 @@ def main():
             continue
         if sorted(s_cols) != sorted(o_cols):
             print(f"  {name:28s} FAIL schema: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            failures += 1
+            continue
+        # Driver-sim pass: the real harness goes through pandas (fetchdf),
+        # where DuckDB HUGEINT becomes float64 and list columns become
+        # numpy arrays (unsortable). Compare stringified dataframes so any
+        # dtype divergence (150 vs 150.0) fails HERE, not at the driver.
+        try:
+            s_df = spark_rel.fetchdf()
+            o_df = con.sql(oracles[name]).fetchdf()
+            cols = sorted(s_cols)
+            sa = s_df[cols].astype(str).sort_values(cols).values.tolist()
+            ob = o_df[cols].astype(str).sort_values(cols).values.tolist()
+            if sa != ob:
+                bad = next((i, x, y) for i, (x, y) in enumerate(zip(sa, ob))
+                           if x != y)
+                print(f"  {name:28s} FAIL driver-sim (pandas dtype/format): "
+                      f"row {bad[0]}: spark={bad[1]} oracle={bad[2]}")
+                failures += 1
+                continue
+        except Exception as e:
+            print(f"  {name:28s} FAIL driver-sim crash: {type(e).__name__}: {e}")
             failures += 1
             continue
         a, b = rowset(s_cols, s_rows), rowset(o_cols, o_rows)

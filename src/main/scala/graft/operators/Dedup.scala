@@ -184,11 +184,23 @@ object Dedup {
   /** 64-bit SimHash (Charikar) of a token array, packed into a long: each
     * bit is the sign of Σ_tokens (±1 by that bit of xxhash64(token)).
     */
-  def simhash64(tokensCol: Column): Column =
-    // Hash each token ONCE (transform pre-pass); the 64×n sign-sum loop
-    // runs in the native codegen'd SimHash64 expression (the higher-order
-    // fold equivalent is CodegenFallback — interpreted per document).
-    graft.functions.SimHash64.simhash64(transform(tokensCol, t => xxhash64(t)))
+  def simhash64(tokensCol: Column): Column = simhash64(tokensCol, t => xxhash64(t))
+
+  /** SimHash with a pluggable token-hash. Hash each token ONCE (transform
+    * pre-pass); the 64×n sign-sum loop runs in the native codegen'd
+    * SimHash64 expression (the higher-order fold equivalent is
+    * CodegenFallback — interpreted per document).
+    */
+  def simhash64(tokensCol: Column, tokenHasher: Column => Column): Column =
+    graft.functions.SimHash64.simhash64(transform(tokensCol, tokenHasher))
+
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed base-16. Slower than xxhash64 (use that in production paths)
+    * but reproducible in any SQL engine — the auditable variant that lets
+    * an external oracle recompute SimHash signatures bit-for-bit.
+    */
+  def auditableTokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Hamming distance between two packed 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -199,9 +211,10 @@ object Dedup {
     * Hamming distance.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      tokenHasher: Column => Column = t => xxhash64(t)): DataFrame = {
     val withSim = df.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol))).as("sim"))
+      simhash64(tokens(col(textCol)), tokenHasher).as("sim"))
     val chunked = withSim.select(col("id"), col("sim"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -69,15 +69,35 @@ object DedupQueries {
     // ----------------------------------------------------------------
     // SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk blocking
     // (pigeonhole guarantee for Hamming ≤ 3), exact Hamming verification.
-    // No SQL oracle (xxhash64 is engine-specific) → rows-only check; the
-    // ScalaTest suite pins the planted-pair recall instead.
+    // Uses the auditable md5-based token hash (production paths keep
+    // xxhash64) so the oracle can recompute every signature: per token
+    // h = first 15 hex chars of md5 base-16 (60 bits; bits 60-63 are 0,
+    // every token votes −1 there, so those signature bits are always 0),
+    // then 60 per-bit majority votes, then exact all-pairs Hamming. The
+    // blocking step loses nothing at maxHamming=3: ≤3 differing bits
+    // across 4 chunks must leave ≥1 chunk equal (pigeonhole), so the
+    // blocked pair set IS the exact pair set.
     QueryDef(
       "q24_simhash",
       (spark, dir) =>
         Dedup.simhashNearDupPairs(Tables.documents(spark, dir),
-            idCol = "doc_id", textCol = "text", maxHamming = 3)
+            idCol = "doc_id", textCol = "text", maxHamming = 3,
+            tokenHasher = Dedup.auditableTokenHash)
           .orderBy(col("id_a"), col("id_b")),
-      None,
+      Some {
+        val bitVotes = (0 until 60).map { i =>
+          val b = 1L << i
+          s"CASE WHEN SUM(CASE WHEN (h // ${b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${b} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+           |h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks),
+           |sim AS (SELECT doc_id, $bitVotes AS sim FROM h GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    bit_count(xor(a.sim, b.sim)) AS hamming
+           |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs
+           |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+      },
     ),
 
     // ----------------------------------------------------------------

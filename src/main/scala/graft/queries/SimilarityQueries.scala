@@ -36,8 +36,11 @@ object SimilarityQueries {
 
     // ----------------------------------------------------------------
     // LSH-bucketed ANN (the 100 TB path): hyperplane-signature bucket join
-    // instead of a cross join. Approximate by design → rows-only check;
-    // the ScalaTest suite measures recall against the brute-force baseline.
+    // instead of a cross join. Approximate but fully DETERMINISTIC: the
+    // hyperplane components are SplitMix64 of the packed (table, bit, dim)
+    // index, so the oracle regenerates all 8×4×64 plane components in
+    // HUGEINT modular arithmetic ((a·b) mod 2^64 split at 2^32 to stay
+    // inside int128) and replays the exact bucket join + round-4 ranking.
     QueryDef(
       "q27_ann_lsh",
       (spark, dir) => {
@@ -48,13 +51,49 @@ object SimilarityQueries {
             prefixBits = 4)
           .orderBy(col("query_id"), col("rank"))
       },
-      None,
+      Some {
+        val H = "CAST('18446744073709551616' AS HUGEINT)"
+        def mulMod(a: String, b: String) =
+          s"((((($a) // 4294967296) * $b) % $H) * 4294967296 + (($a) % 4294967296) * $b) % $H"
+        val c1 = "CAST('11400714819323198485' AS HUGEINT)" // 0x9E3779B97F4A7C15
+        val c2 = "CAST('13787848793156543929' AS HUGEINT)" // 0xBF58476D1CE4E5B9
+        val c3 = "CAST('10723151780598845931' AS HUGEINT)" // 0x94D049BB133111EB
+        val c4 = "CAST('2685821657736338717' AS HUGEINT)"  // 0x2545F4914F6CDD1D
+        s"""WITH idx AS (SELECT t.range AS t, p.range AS p, i.range AS i
+           |    FROM range(8) t, range(4) p, range(64) i),
+           |z AS (SELECT t, p, i,
+           |    (CAST(t AS HUGEINT) * $c1 + CAST(p AS HUGEINT) * $c2
+           |     + CAST(i AS HUGEINT) * $c3 + $c4) % $H AS z0,
+           |    ${mulMod("xor(z0, z0 // 1073741824)", c2)} AS z1,
+           |    ${mulMod("xor(z1, z1 // 134217728)", c3)} AS z2,
+           |    xor(z2, z2 // 2147483648) AS z3,
+           |    CAST(z3 // 2048 AS DOUBLE) / 9007199254740992.0 - 0.5 AS w
+           |  FROM idx),
+           |planes AS (SELECT t, p, list(w ORDER BY i) AS plane FROM z GROUP BY t, p),
+           |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sig AS (SELECT v.id, pl.t,
+           |    list(CASE WHEN list_dot_product(v.v, pl.plane) > 0 THEN 1 ELSE 0 END ORDER BY pl.p) AS bucket
+           |  FROM v CROSS JOIN planes pl GROUP BY v.id, pl.t),
+           |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+           |  FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+           |  WHERE q.id < 10 AND q.id <> c.id),
+           |scored AS (SELECT cand.query_id, cand.neighbor_id,
+           |    ROUND(list_cosine_similarity(vq.v, vc.v), 4) AS cos_sim
+           |  FROM cand JOIN v vq ON vq.id = cand.query_id JOIN v vc ON vc.id = cand.neighbor_id),
+           |r AS (SELECT query_id, neighbor_id, cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      },
     ),
 
     // ----------------------------------------------------------------
-    // IVF-bucketed ANN: training-free deterministic codebook, broadcast
-    // centroid assignment, nProbe inverted-list probing. Approximate →
-    // rows-only; ScalaTest measures recall vs brute force.
+    // IVF-bucketed ANN: training-free deterministic codebook (every 50th
+    // vector), broadcast centroid assignment, nProbe inverted-list probing.
+    // Approximate but deterministic end to end — the oracle replays the
+    // same assignment (max_by (cscore, centroid_id) ≡ row_number ordered
+    // cscore DESC, centroid_id DESC), probing, and round-4 ranking.
     QueryDef(
       "q35_ann_ivf",
       (spark, dir) => {
@@ -65,7 +104,26 @@ object SimilarityQueries {
             centroidEvery = 50, nProbe = 4)
           .orderBy(col("query_id"), col("rank"))
       },
-      None,
+      Some("""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cent AS (SELECT id AS centroid_id, v AS cv FROM v WHERE id % 50 = 0),
+             |asg0 AS (SELECT v.id, v.v, c.centroid_id,
+             |    ROW_NUMBER() OVER (PARTITION BY v.id
+             |      ORDER BY list_cosine_similarity(v.v, c.cv) DESC, c.centroid_id DESC) AS rn
+             |  FROM v CROSS JOIN cent c),
+             |asg AS (SELECT id, v, centroid_id FROM asg0 WHERE rn = 1),
+             |q AS (SELECT id AS query_id, v AS v_q FROM v WHERE id < 10),
+             |pr0 AS (SELECT q.query_id, q.v_q, c.centroid_id,
+             |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |      ORDER BY list_cosine_similarity(q.v_q, c.cv) DESC, c.centroid_id) AS pr
+             |  FROM q CROSS JOIN cent c),
+             |probes AS (SELECT query_id, v_q, centroid_id FROM pr0 WHERE pr <= 4),
+             |scored AS (SELECT p.query_id, a.id, ROUND(list_cosine_similarity(p.v_q, a.v), 4) AS cos_sim
+             |  FROM probes p JOIN asg a USING (centroid_id) WHERE p.query_id <> a.id),
+             |r AS (SELECT query_id, id AS neighbor_id, cos_sim,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
     ),
   )
 }

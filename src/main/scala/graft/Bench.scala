@@ -24,7 +24,11 @@ object Bench {
     // entirely on the alphabetically-first query.
     graft.core.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args select a query subset (fast single-query timing loops).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

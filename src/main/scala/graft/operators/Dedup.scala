@@ -86,9 +86,20 @@ object Dedup {
     // scan, where it re-inlines (and re-evaluates) the whole shingle
     // expression per row. The isNotNull filter on the GENERATED attribute
     // cannot sink below the Generate.
+    // Join on the 64-bit shingle hash, not the shingle STRING: same
+    // intersection counts (shingles are distinct within a doc; a
+    // cross-doc collision needs two distinct shingles agreeing on all 64
+    // bits — ~1e-8 at a million distinct shingles) for a fraction of the
+    // shuffle bytes.
+    // Cache the EXPLODED, hashed frame (4 narrow columns — far smaller
+    // than the shingle arrays): both self-join branches read it, so
+    // tokenize → shingle → explode runs once, not once per branch (the
+    // differing branch projections defeat ReusedExchange).
     val ex = withSh.select(col("id"), col("block"), col("sz"),
       explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
+      .withColumn("s", xxhash64(col("s")))
+      .cache()
     val a = ex.select(col("id").as("id_a"), col("block"), col("sz").as("sz_a"), col("s"))
     val b = ex.select(col("id").as("id_b"), col("block"), col("sz").as("sz_b"), col("s"))
     a.join(b, Seq("block", "s"))
@@ -238,47 +249,118 @@ object Dedup {
     * a↔b and b↔c must collapse to ONE kept document, which pairwise
     * filtering alone can't decide.
     *
-    * Algorithm: iterative min-label propagation over the undirected edge
-    * set until fixpoint (each iteration is one shuffle join; diameter of
-    * near-dup clusters is tiny in practice, so few iterations). `maxIters`
-    * bounds the loop; the fixpoint check is a driver-side count of changed
-    * labels. At extreme scale swap in a large-star/small-star variant —
-    * the operator contract (ids → (id, cluster_root, is_survivor)) stays.
+    * Two paths, chosen by measured edge count — the BroadcastHashJoin
+    * philosophy applied to connected components:
+    *  - edge set ≤ `driverMaxEdges` (default 4M ≈ tens of MB): collect the
+    *    PAIRS (never the corpus — the duplicate-pair population is a tiny
+    *    fraction of even a 100 TB corpus) and run union-find on the
+    *    driver. One job instead of ~3 jobs × diameter iterations; the
+    *    per-iteration scheduling overhead dominated end-to-end latency.
+    *  - larger: distributed iterative min-label propagation until
+    *    fixpoint, `maxIters`-bounded, lineage severed per iteration.
+    * Both paths produce identical labels (min id per component).
     */
   def duplicateClusters(ids: DataFrame, idCol: String,
-      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    // Cache the edge set: without it every iteration (plus its fixpoint
-    // count) re-executes the full upstream pair-generation plan.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("root"))
+      pairs: DataFrame, maxIters: Int = 25,
+      driverMaxEdges: Int = 2 * 1000 * 1000): DataFrame = {
+    val spark = ids.sparkSession
+    // ONE pass decides the path AND (in the common case) delivers the
+    // data: collect the pair set under a limit(threshold+1) guard — the
+    // extra row is the overflow signal, and the limit caps driver memory.
+    // Counting first and collecting after would execute the (expensive)
+    // pair-generation plan twice.
+    val guarded = pairs.select(col("id_a"), col("id_b"))
+      .limit(driverMaxEdges + 1).collect()
+    val labels: DataFrame =
+      if (guarded.length <= driverMaxEdges) {
+        val idType = pairs.schema("id_a").dataType
+        val roots = unionFindMinRoots(guarded.iterator.map(r => (r.get(0), r.get(1))))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(roots.toSeq.map { case (id, r) =>
+            org.apache.spark.sql.Row(id, r) }, 1),
+          StructType(Seq(StructField("id", idType), StructField("root", idType))))
+      } else {
+        // Cache the edge set: without it every iteration (plus the
+        // fixpoint counts) re-executes the pair-generation plan.
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .cache()
+        try distributedMinLabel(edges, maxIters)
+        finally edges.unpersist()
+      }
+    val untouched = ids.select(col(idCol).as("id"))
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("root"))
+    labels.unionByName(untouched)
+      .withColumn("is_survivor", col("id") === col("root"))
+      .withColumnRenamed("root", "cluster_root")
+  }
+
+  /** Driver-side union-find with path compression; roots are the MIN id of
+    * each component (same labels as the distributed path / the SQL oracle).
+    */
+  private def unionFindMinRoots(pairs: Iterator[(Any, Any)]): Map[Any, Any] = {
+    val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
+      case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported id type for duplicateClusters: ${a.getClass}")
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
+  }
+
+  /** Distributed min-label propagation (the > driverMaxEdges path): each
+    * iteration joins labels across the edge set and takes the neighbor
+    * minimum; iterate to fixpoint. Only nodes that appear in an edge
+    * participate — everyone else is trivially their own root.
+    */
+  private def distributedMinLabel(edges: DataFrame, maxIters: Int): DataFrame = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("root"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("root")).as("nbr_root"))
+      // Carry the previous root alongside the new one so convergence is a
+      // filter on THIS frame — no extra join against the old labels.
+      // localCheckpoint (not cache): severs lineage, so the logical plan —
+      // and with it per-iteration planning time — stays constant instead
+      // of growing by one join+agg layer every iteration.
       val updated = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("root").as("prev_root"),
           least(col("root"), coalesce(col("nbr_root"), col("root"))).as("root"))
-        .cache()
-      val changed = updated.join(labels.withColumnRenamed("root", "old_root"), "id")
-        .filter(col("root") =!= col("old_root")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
+        .localCheckpoint(true)
+      converged =
+        updated.filter(col("root") =!= col("prev_root")).limit(1).count() == 0
+      labels = updated.select(col("id"), col("root"))
       iter += 1
     }
-    edges.unpersist()
     // Unconverged labels would silently mis-cluster deep chains (the min
     // label moves one hop per iteration) — fail loudly instead.
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters did not converge within $maxIters iterations — " +
         "raise maxIters (cluster diameter exceeds it)")
-    labels.withColumn("is_survivor", col("id") === col("root"))
-      .withColumnRenamed("root", "cluster_root")
+    labels
   }
 
   // ------------------------------------------- embedding near-duplicates

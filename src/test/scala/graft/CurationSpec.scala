@@ -28,6 +28,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(col("is_survivor")).count() === 1L)
   }
 
+  test("duplicateClusters distributed path matches union-find path") {
+    val ids = (1L to 20L).toDF("doc_id")
+    // two chains + an isolated pair: {1..5}, {10,11,12}, {15,16}
+    val pairs = ((1L until 5L).map(i => (i, i + 1)) ++
+      Seq((10L, 11L), (11L, 12L), (15L, 16L))).toDF("id_a", "id_b")
+    val fast = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // driverMaxEdges = 0 forces the distributed min-label loop
+    val dist = Dedup.duplicateClusters(ids, "doc_id", pairs, driverMaxEdges = 0)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(fast === dist)
+    assert(fast.filter(_._2 == 1L).length === 5)
+  }
+
+  test("duplicateClusters union-find handles string ids") {
+    val ids = Seq("a", "b", "c", "d").toDF("doc_id")
+    val pairs = Seq(("c", "b")).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(out === Array(("a", "a", true), ("b", "b", true),
+      ("c", "b", false), ("d", "d", true)))
+  }
+
   test("trainValTestSplit: deterministic, complete, ~80/10/10") {
     val df = (1L to 1000L).toDF("id")
     val split = Sampling.trainValTestSplit(df, "id")

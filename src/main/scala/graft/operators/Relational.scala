@@ -64,4 +64,39 @@ object Relational {
     */
   def lookbackFilter(df: DataFrame, tsCol: String, cutoff: Column): DataFrame =
     df.filter(col(tsCol) >= cutoff || col(tsCol).isNull)
+
+  /** Banded range join: match fact rows against a (small) set of
+    * possibly-overlapping [lo, hi) bands WITHOUT a nested-loop join.
+    *
+    * The naive `facts JOIN bands ON v >= lo AND v < hi` plans as
+    * BroadcastNestedLoopJoin — every fact row scans every band. This
+    * discretizes the value domain into `width`-sized buckets: each band
+    * replicates to the buckets it covers (broadcast side — bands are few),
+    * each fact row computes exactly ONE bucket id, and the join becomes a
+    * hash equi-join on the bucket, with the exact range predicate kept as
+    * the post-join filter for boundary buckets. At 100 TB the fact side is
+    * hash-dispatched instead of NLJ-scanned; pick `width` near the median
+    * band span so a band covers O(1) buckets.
+    *
+    * Bucket ids are derived with the same double arithmetic on both sides
+    * (floor(x / width)), so boundary values land in a covered bucket by
+    * construction; the exact filter then decides membership.
+    */
+  def bandedRangeJoin(facts: DataFrame, valueCol: String,
+      bands: DataFrame, width: Double): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val bLo = floor(col("lo") / width).cast("long")
+    // [lo, hi): a hi that sits exactly on a bucket boundary does NOT reach
+    // into the next bucket.
+    val bHi = floor(col("hi") / width).cast("long") -
+      when(pmod(col("hi"), lit(width)) === 0.0, 1L).otherwise(0L)
+    val expanded = bands
+      .filter(col("hi") > col("lo")) // empty bands cover nothing
+      .withColumn("bucket", explode(sequence(bLo, greatest(bHi, bLo))))
+    facts
+      .withColumn("bucket", floor(col(valueCol) / width).cast("long"))
+      .join(broadcast(expanded), Seq("bucket"))
+      .filter(col(valueCol) >= col("lo") && col(valueCol) < col("hi"))
+      .drop("bucket")
+  }
 }

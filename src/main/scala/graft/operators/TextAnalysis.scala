@@ -136,11 +136,18 @@ object TextAnalysis {
     * an order-SENSITIVE fingerprint, unlike the MD5 of the normalized text:
     * hash = Σ tok_hash(t_i)·B^i mod P, computed as a left fold.
     */
-  def rollingHash(c: Column): Column = {
+  def rollingHash(c: Column): Column = rollingHash(c, t => xxhash64(t))
+
+  /** Rolling hash with a pluggable token hash — pass
+    * [[Dedup.auditableTokenHash]] for the engine-portable md5-based
+    * variant an external SQL oracle can replay (production paths keep the
+    * faster xxhash64 default).
+    */
+  def rollingHash(c: Column, tokenHasher: Column => Column): Column = {
     // P < 2^31 and B ≈ 2^20 keep acc·B + h < 2^52 — no ANSI long overflow.
     val B = 1000003L
     val Pm = 2147483647L // 2^31 - 1
     aggregate(tokens(c), lit(0L),
-      (acc, t) => pmod(acc * B + pmod(xxhash64(t), lit(Pm)), lit(Pm)))
+      (acc, t) => pmod(acc * B + pmod(tokenHasher(t), lit(Pm)), lit(Pm)))
   }
 }

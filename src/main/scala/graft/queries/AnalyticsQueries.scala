@@ -142,5 +142,64 @@ object AnalyticsQueries {
              |CAST(SUM(n_events) AS BIGINT) AS total_events
              |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Analytic window-function suite: lead/lag/ntile/percent_rank/
+    // cume_dist in one pass over one window spec — one shuffle on the
+    // partition key, one sort, all five functions computed together.
+    // (o_totalprice, o_orderkey) ordering makes every rank deterministic;
+    // percent_rank/cume_dist are identical rational arithmetic in both
+    // engines, so no rounding is needed.
+    QueryDef(
+      "q47_window_suite",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").as("price"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cdist"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice AS price,
+             |lag(o_totalprice) OVER w AS prev_price,
+             |lead(o_totalprice) OVER w AS next_price,
+             |ntile(4) OVER w AS quartile,
+             |percent_rank() OVER w AS pct_rank,
+             |cume_dist() OVER w AS cdist
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Banded range join: overlapping value bands resolved via bucket
+    // discretization + hash equi-join (see Relational.bandedRangeJoin) —
+    // the oracle states the semantics as the plain range join.
+    QueryDef(
+      "q51_range_join",
+      (spark, dir) => {
+        import spark.implicits._
+        val bands = Seq(
+          ("low", 0.0, 100.0), ("mid", 50.0, 250.0), ("high", 200.0, 500.0))
+          .toDF("label", "lo", "hi")
+        graft.operators.Relational
+          .bandedRangeJoin(Tables.events(spark, dir), "value", bands, 50.0)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_events"),
+            graft.operators.Aggregations.dsum(col("value"), 18, 6).as("sum_value"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH bands(label, lo, hi) AS (VALUES
+             |  ('low', 0.0, 100.0), ('mid', 50.0, 250.0), ('high', 200.0, 500.0))
+             |SELECT label, COUNT(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events JOIN bands ON value >= lo AND value < hi
+             |GROUP BY label ORDER BY label""".stripMargin),
+    ),
   )
 }

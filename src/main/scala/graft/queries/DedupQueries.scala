@@ -117,5 +117,33 @@ object DedupQueries {
              |SELECT id_a, id_b, ROUND(c, 4) AS cos_sim FROM p
              |WHERE c >= 0.45 ORDER BY id_a, id_b""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Edit-distance fuzzy matching: per-part count of same-brand parts
+    // within Levenshtein distance 2 (typo-class variants). Brand blocking
+    // turns the quadratic all-pairs scan into per-block self-joins —
+    // shuffle on the block key only; levenshtein() is codegen'd and the
+    // integer threshold has no float-boundary hazard.
+    QueryDef(
+      "q50_fuzzy_match",
+      (spark, dir) => {
+        val p = Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        val a = p.select(col("p_partkey"), col("p_brand"), col("p_name"))
+        val b = p.select(col("p_partkey").as("b_key"), col("p_brand"),
+          col("p_name").as("b_name"))
+        a.join(b, Seq("p_brand"))
+          .filter(col("p_partkey") =!= col("b_key") &&
+            levenshtein(col("p_name"), col("b_name")) <= 2)
+          .groupBy(col("p_partkey"))
+          .agg(count(lit(1)).as("n_variants"), min(col("b_name")).as("sample_variant"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT a.p_partkey, COUNT(*) AS n_variants, MIN(b.p_name) AS sample_variant
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |GROUP BY a.p_partkey ORDER BY a.p_partkey""".stripMargin),
+    ),
   )
 }

@@ -129,5 +129,55 @@ object RelationalQueries {
              |  ON o.o_orderkey = c.l_orderkey
              |ORDER BY order_o_orderkey, item_l_linenumber""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Set operations: INTERSECT/EXCEPT as segment algebra — high-balance
+    // customers split into has-orders vs dormant. Spark plans both as
+    // aggregate/join (no sort-based set op); one shuffle each on the key.
+    QueryDef(
+      "q48_set_ops",
+      (spark, dir) => {
+        val rich = Tables.customer(spark, dir)
+          .filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+        val withOrders = Tables.orders(spark, dir)
+          .select(col("o_custkey").as("c_custkey")).distinct()
+        rich.intersect(withOrders).withColumn("segment", lit("active_rich"))
+          .unionByName(
+            rich.except(withOrders).withColumn("segment", lit("dormant_rich")))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, 'active_rich' AS segment FROM (
+             |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+             |  INTERSECT SELECT o_custkey FROM orders)
+             |UNION ALL
+             |SELECT c_custkey, 'dormant_rich' AS segment FROM (
+             |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+             |  EXCEPT SELECT o_custkey FROM orders)
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Pivot: status columns from rows in one groupBy.pivot pass (single
+    // shuffle — Spark plans pivot as one aggregate with conditional
+    // expressions, exactly the oracle's COUNT(CASE...) shape). Explicit
+    // value list: no extra distinct-values job, stable column order.
+    QueryDef(
+      "q49_pivot",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("O", "F", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("O"), lit(0L)).as("n_open"),
+            coalesce(col("F"), lit(0L)).as("n_filled"),
+            coalesce(col("P"), lit(0L)).as("n_pending"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+             |COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+             |COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
   )
 }

@@ -170,5 +170,28 @@ object TextQueries {
              |  CAST((h8 // CAST(281474976710656 AS HUGEINT)) % 65536 AS BIGINT) AS f3
              |FROM f ORDER BY media_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Order-SENSITIVE document fingerprint: polynomial rolling hash
+    // (Rabin-Karp shape) over the token stream — unlike q31's normalized
+    // md5, swapping two tokens changes this fingerprint. Uses the
+    // auditable md5-based token hash so the oracle can replay the fold:
+    // list_reduce with a prepended 0 is exactly Spark's aggregate(.., 0L).
+    QueryDef(
+      "q46_rolling_fp",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            TextAnalysis.rollingHash(col("text"),
+              graft.operators.Dedup.auditableTokenHash).as("rolling_fp"))
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |hs AS (SELECT doc_id, list_transform(l,
+             |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS hl
+             |  FROM toks)
+             |SELECT doc_id, list_reduce(list_prepend(0, hl),
+             |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rolling_fp
+             |FROM hs ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

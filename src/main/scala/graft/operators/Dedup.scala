@@ -404,14 +404,16 @@ object Dedup {
       .select(col("id"), transform(col("v"), x => x / col("nrm")).as("v"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    // Filter DIRECTLY on the dot product, then recompute it only for the
+    // survivors (a near-dup fraction of the n² pairs): exactly one dot
+    // eval per pair plus ε. The previous shape — project cos then filter —
+    // let Catalyst substitute the 64-term dot into a pre-projection
+    // filter, evaluating it twice per pair; fixing THAT with a groupBy
+    // barrier traded the double eval for a full O(n²)-row shuffle, which
+    // dominated at sf0.1. This shape has neither.
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), dot(col("v_a"), col("v_b")).as("cos"))
-      // Aggregation barrier: pairs are already unique, so max() is the
-      // identity — but the Aggregate node stops predicate pushdown from
-      // substituting the 64-term dot expression into a scan-side filter,
-      // which would evaluate it twice per pair (measured 2× at sf0.1).
-      .groupBy(col("id_a"), col("id_b")).agg(max(col("cos")).as("cos"))
-      .filter(coalesce(col("cos") >= threshold, lit(false)))
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+      .filter(dot(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")), 4).as("cos_sim"))
   }
 }

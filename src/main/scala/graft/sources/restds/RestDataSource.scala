@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 REST source with FILTER and LIMIT pushdown — the one
@@ -63,6 +64,20 @@ trait RestFetcher extends Serializable {
   def fullRange: (Long, Long)
 }
 
+/** Optional capability: an endpoint that can answer COUNT server-side —
+  * the REST analogue of an X-Total-Count header or a /count endpoint.
+  * When the fetcher implements this, an unfiltered `df.count()` pushes
+  * down as one count call per slice (no row fetch, no serialization);
+  * Spark sums the per-slice partial counts. Filtered counts never push:
+  * this source reports every filter as residual (fetchers may over-fetch
+  * at page granularity), and Spark only pushes aggregates beneath a scan
+  * with no remaining Filter node — exactly the safe behavior here.
+  */
+trait RestCountingFetcher extends RestFetcher {
+  def countInWindow(fromEpochSec: Long, toEpochSec: Long,
+      status: Option[String]): Long
+}
+
 /** Static fetcher registry (test/in-JVM path; production fetchers would be
   * constructed from options instead).
   */
@@ -85,7 +100,8 @@ class RestTable(tableSchema: StructType, props: util.Map[String, String])
 }
 
 class RestScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val timeColumn = Option(options.get("timeColumn"))
   private val statusColumn = Option(options.get("statusColumn"))
@@ -94,6 +110,8 @@ class RestScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   private var status: Option[String] = None
   private var limit: Option[Int] = None
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = schema
+  private var pushedCounts: Int = 0
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -121,10 +139,81 @@ class RestScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
-  override def build(): Scan = new RestScan(schema,
-    options.get("fetcher"),
-    math.max(1, Option(options.get("slices")).map(_.toInt).getOrElse(4)),
-    window, status, limit)
+  /** Column pruning: the reader serializes only the required fields —
+    * explain's ReadSchema shrinks to what the query touches.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** COUNT(*) pushdown (no grouping) for fetchers that can count
+    * server-side. PARTIAL pushdown: each slice partition emits its window
+    * count and Spark sums them — the same contract the JDBC source uses.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val countable = RestFetcherRegistry.get(options.get("fetcher"))
+      .isInstanceOf[RestCountingFetcher]
+    val simple = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (countable && simple) {
+      pushedCounts = aggregation.aggregateExpressions.length
+      true
+    } else false
+  }
+
+  override def build(): Scan = {
+    val fetcherKey = options.get("fetcher")
+    val slices = math.max(1, Option(options.get("slices")).map(_.toInt).getOrElse(4))
+    if (pushedCounts > 0)
+      new RestCountScan(fetcherKey, slices, window, status, pushedCounts)
+    else new RestScan(required, fetcherKey, slices, window, status, limit)
+  }
+}
+
+/** Scan for a pushed COUNT(*): per slice, ONE count call and one output
+  * row of partial counts — no row fetch, no field serialization.
+  */
+class RestCountScan(fetcherKey: String, slices: Int,
+    window: (Option[Long], Option[Long]), status: Option[String],
+    nCounts: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType((0 until nCounts).map(i => StructField(s"count_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"RestCountScan(fetcher=$fetcherKey, window=$window, status=$status)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val full = RestFetcherRegistry.get(fetcherKey).fullRange
+    val lo = window._1.getOrElse(full._1)
+    val hi = math.max(window._2.getOrElse(full._2), lo)
+    graft.sources.PaginatedSource.sliceBounds(lo, hi, slices)
+      .map { case (sLo, sHi) => RestInputPartition(sLo, sHi): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestCountReaderFactory(fetcherKey, status, nCounts)
+}
+
+class RestCountReaderFactory(fetcherKey: String, status: Option[String],
+    nCounts: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RestInputPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val more = !emitted; emitted = true; more }
+      override def get(): InternalRow = {
+        val c = RestFetcherRegistry.get(fetcherKey)
+          .asInstanceOf[RestCountingFetcher]
+          .countInWindow(p.fromEpochSec, p.toEpochSec, status)
+        InternalRow.fromSeq(Seq.fill(nCounts)(c))
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class RestScan(schema: StructType, fetcherKey: String, slices: Int,

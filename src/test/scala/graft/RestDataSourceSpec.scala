@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.restds.{RestFetcher, RestFetcherRegistry}
+import graft.sources.restds.{RestCountingFetcher, RestFetcher, RestFetcherRegistry}
 
 /** DSv2 REST source: filter + limit pushdown must reach the fetcher BEFORE
   * any fetch happens, and results must be correct regardless.
@@ -70,5 +70,53 @@ class RestDataSourceSpec extends AnyFunSuite {
     assert(got.count() === 10L)
     import scala.jdk.CollectionConverters._
     assert(f.calls.asScala.forall(_._4.contains(10)))
+  }
+
+  test("column pruning: ReadSchema shrinks to the projected columns") {
+    val f = new FakeOrders
+    RestFetcherRegistry.register("pruned", f)
+    val got = read("pruned").select("order_id")
+    assert(got.columns === Array("order_id"))
+    assert(got.distinct().count() === 1000L)
+    val plan = got.queryExecution.executedPlan.toString
+    // the scan's output should not carry the unprojected columns
+    assert(!plan.contains("order_status#") || !plan.contains("create_time#"),
+      s"scan did not prune columns:\n$plan")
+  }
+
+  /** Counting fetcher: count() must come from countInWindow, not a fetch. */
+  class CountableOrders extends FakeOrders with RestCountingFetcher {
+    val countCalls = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+    override def countInWindow(from: Long, to: Long,
+        status: Option[String]): Long = {
+      countCalls.add((from, to))
+      math.max(0L, math.min(to, 2000L) - math.max(from, 1000L))
+    }
+  }
+
+  test("COUNT(*) pushes to the counting fetcher — no row fetch at all") {
+    val f = new CountableOrders
+    RestFetcherRegistry.register("countable", f)
+    assert(read("countable").count() === 1000L)
+    assert(f.calls.isEmpty, "aggregate pushdown still fetched rows")
+    assert(f.countCalls.size() === 4) // one count per slice partition
+  }
+
+  test("filtered COUNT does NOT push (residual filters block it) and stays correct") {
+    val f = new CountableOrders
+    RestFetcherRegistry.register("countable2", f)
+    val n = read("countable2")
+      .filter(col("order_status") === "PAID").count()
+    assert(n === 500L)
+    assert(f.countCalls.isEmpty,
+      "count pushed under a residual filter — would be wrong for over-fetching endpoints")
+    assert(!f.calls.isEmpty)
+  }
+
+  test("non-counting fetcher count() still works via row fetch") {
+    val f = new FakeOrders
+    RestFetcherRegistry.register("plain-count", f)
+    assert(read("plain-count").count() === 1000L)
+    assert(!f.calls.isEmpty)
   }
 }

@@ -224,8 +224,11 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int,
       tokenHasher: Column => Column = t => xxhash64(t)): DataFrame = {
+    // Cached: both chunk-join branches read this frame — without the cache
+    // each branch re-runs tokenize + per-token hash + the 64-bit sign sum.
     val withSim = df.select(col(idCol).as("id"),
       simhash64(tokens(col(textCol)), tokenHasher).as("sim"))
+      .cache()
     val chunked = withSim.select(col("id"), col("sim"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -88,15 +88,20 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       perDoc: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Cached: tf and docFreq both aggregate this frame — without the cache
+    // each branch re-runs tokenize + explode over the corpus.
     val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), explode(col("toks")).as("term"))
+      .cache()
     val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
     val docFreq = toks.select(col("doc"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = df.count()
-    val scored = tf.join(docFreq, "term")
+    // Corpus size as a one-row broadcast scalar IN the plan — a driver-side
+    // df.count() here would be a whole extra pass over the source.
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(docFreq, "term").crossJoin(nDocs)
       .withColumn("tfidf", round(
-        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("term_rank", row_number().over(w))
@@ -112,16 +117,21 @@ object TextAnalysis {
   def bm25TopTerms(df: DataFrame, idCol: String, textCol: String,
       perDoc: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Cached: tf, dl, and docFreq all aggregate this frame (see tfidf).
     val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), explode(col("toks")).as("term"))
+      .cache()
     val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
     val docFreq = toks.select(col("doc"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = df.count()
+    // Both corpus scalars live IN the plan as one-row broadcast frames —
+    // no separate driver-side count pass.
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val avgdl = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val scored = tf.join(docFreq, "term").join(dl, "doc").crossJoin(avgdl)
-      .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val scored = tf.join(docFreq, "term").join(dl, "doc")
+      .crossJoin(avgdl).crossJoin(nDocs)
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("bm25", round(
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))

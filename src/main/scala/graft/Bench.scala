@@ -25,6 +25,11 @@ object Bench {
     graft.core.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     // Optional args select a query subset (fast single-query timing loops).
+    // Unknown names fail loudly — a typo must not yield a vacuous
+    // all-green zero-second run.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

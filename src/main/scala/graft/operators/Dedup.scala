@@ -94,7 +94,10 @@ object Dedup {
     // Cache the EXPLODED, hashed frame (4 narrow columns — far smaller
     // than the shingle arrays): both self-join branches read it, so
     // tokenize → shingle → explode runs once, not once per branch (the
-    // differing branch projections defeat ReusedExchange).
+    // differing branch projections defeat ReusedExchange). The cache is
+    // session-scoped by design — the returned frame is lazy, so this
+    // operator cannot unpersist it; long-lived sessions reclaim via
+    // spark.catalog.clearCache().
     val ex = withSh.select(col("id"), col("block"), col("sz"),
       explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
@@ -254,25 +257,34 @@ object Dedup {
     *
     * Two paths, chosen by measured edge count — the BroadcastHashJoin
     * philosophy applied to connected components:
-    *  - edge set ≤ `driverMaxEdges` (default 4M ≈ tens of MB): collect the
+    *  - edge set ≤ `driverMaxEdges` (default 2M ≈ tens of MB): collect the
     *    PAIRS (never the corpus — the duplicate-pair population is a tiny
     *    fraction of even a 100 TB corpus) and run union-find on the
     *    driver. One job instead of ~3 jobs × diameter iterations; the
     *    per-iteration scheduling overhead dominated end-to-end latency.
     *  - larger: distributed iterative min-label propagation until
     *    fixpoint, `maxIters`-bounded, lineage severed per iteration.
-    * Both paths produce identical labels (min id per component).
+    * Both paths produce identical labels (min id per component), over
+    * exactly the `ids` membership: pairs touching ids OUTSIDE `ids` are
+    * dropped first, so clustering a filtered subset never merges two kept
+    * ids through a ghost node that was filtered out (nor elects one as a
+    * cluster root).
     */
   def duplicateClusters(ids: DataFrame, idCol: String,
       pairs: DataFrame, maxIters: Int = 25,
       driverMaxEdges: Int = 2 * 1000 * 1000): DataFrame = {
     val spark = ids.sparkSession
+    // Membership restriction BEFORE collecting/iterating (see scaladoc).
+    val keep = ids.select(col(idCol).as("id"))
+    val memberPairs = pairs
+      .join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
     // ONE pass decides the path AND (in the common case) delivers the
     // data: collect the pair set under a limit(threshold+1) guard — the
     // extra row is the overflow signal, and the limit caps driver memory.
     // Counting first and collecting after would execute the (expensive)
     // pair-generation plan twice.
-    val guarded = pairs.select(col("id_a"), col("id_b"))
+    val guarded = memberPairs.select(col("id_a"), col("id_b"))
       .limit(driverMaxEdges + 1).collect()
     val labels: DataFrame =
       if (guarded.length <= driverMaxEdges) {
@@ -285,8 +297,8 @@ object Dedup {
       } else {
         // Cache the edge set: without it every iteration (plus the
         // fixpoint counts) re-executes the pair-generation plan.
-        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val edges = memberPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(memberPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
           .cache()
         try distributedMinLabel(edges, maxIters)
         finally edges.unpersist()

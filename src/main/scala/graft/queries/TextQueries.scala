@@ -185,7 +185,9 @@ object TextQueries {
             TextAnalysis.rollingHash(col("text"),
               graft.operators.Dedup.auditableTokenHash).as("rolling_fp"))
           .orderBy(col("doc_id")),
-      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      // lower() matches TextAnalysis.tokens (which lowercases before
+      // splitting — unlike Dedup.tokens, used by q24's oracle).
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
              |hs AS (SELECT doc_id, list_transform(l,
              |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS hl
              |  FROM toks)

@@ -42,6 +42,19 @@ class CurationSpec extends AnyFunSuite {
     assert(fast.filter(_._2 == 1L).length === 5)
   }
 
+  test("duplicateClusters ignores pairs touching ids outside the id set") {
+    // pairs (1,9),(9,2) chain through ghost node 9, which is NOT in ids:
+    // 1 and 2 must stay separate clusters and 9 must not appear at all.
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 9L), (9L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    for (threshold <- Seq(2000000, 0)) { // union-find AND distributed path
+      val out = Dedup.duplicateClusters(ids, "doc_id", pairs, driverMaxEdges = threshold)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(out === Array((1L, 1L, true), (2L, 2L, true), (3L, 2L, false)),
+        s"driverMaxEdges=$threshold")
+    }
+  }
+
   test("duplicateClusters union-find handles string ids") {
     val ids = Seq("a", "b", "c", "d").toDF("doc_id")
     val pairs = Seq(("c", "b")).toDF("id_a", "id_b")

@@ -59,9 +59,11 @@ def main():
         if name not in oracles:
             # The driver sorts even rows-only outputs through pandas —
             # an array/list column crashes it (unhashable numpy.ndarray).
+            # Sort the RAW frame exactly like the driver does: stringifying
+            # first would mask the crash this guard exists to catch.
             try:
                 s_df = spark_rel.fetchdf()
-                s_df.astype(str).sort_values(sorted(s_cols))
+                s_df.sort_values(sorted(s_cols))
                 sortable = True
             except Exception as e:
                 print(f"  {name:28s} FAIL rows-only unsortable: {e}")
@@ -92,11 +94,15 @@ def main():
             s_df = spark_rel.fetchdf()
             o_df = con.sql(oracles[name]).fetchdf()
             cols = sorted(s_cols)
-            sa = s_df[cols].astype(str).sort_values(cols).values.tolist()
-            ob = o_df[cols].astype(str).sort_values(cols).values.tolist()
+            # Sort the RAW frames (as the driver does — unsortable dtypes
+            # must crash HERE), then stringify for the value compare.
+            sa = s_df[cols].sort_values(cols).astype(str).values.tolist()
+            ob = o_df[cols].sort_values(cols).astype(str).values.tolist()
             if sa != ob:
-                bad = next((i, x, y) for i, (x, y) in enumerate(zip(sa, ob))
-                           if x != y)
+                bad = next(((i, x, y) for i, (x, y) in enumerate(zip(sa, ob))
+                            if x != y),
+                           (min(len(sa), len(ob)),
+                            f"<{len(sa)} rows total>", f"<{len(ob)} rows total>"))
                 print(f"  {name:28s} FAIL driver-sim (pandas dtype/format): "
                       f"row {bad[0]}: spark={bad[1]} oracle={bad[2]}")
                 failures += 1

@@ -119,5 +119,49 @@ object JoinQueries {
              |ON s.c_custkey = t.c_custkey
              |ORDER BY c_custkey""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Skew-salted join: the explicit fallback for hot keys AQE can't
+    // split. The salted plan spreads each key over `factor` reducers
+    // (left side salted by row hash, right side replicated factor×); the
+    // oracle is the PLAIN join — salting must be result-invisible.
+    QueryDef(
+      "q52_skew_salted_join",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val userTier = ev.select(col("user_id")).distinct()
+          .withColumn("tier", pmod(col("user_id"), lit(5)))
+        graft.operators.Skew
+          .saltedJoin(ev, userTier, Seq("user_id"), factor = 8)
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("tier"))
+      },
+      Some("""WITH tiers AS (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
+             |SELECT tier, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+             |FROM events e JOIN tiers t ON e.user_id = t.user_id
+             |GROUP BY tier ORDER BY tier""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Array-aggregation: collect_set → sort_array → array_join keeps the
+    // output a flat STRING (the driver's comparer cannot sort raw array
+    // columns), with deterministic element order.
+    QueryDef(
+      "q53_collect_set",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            array_join(sort_array(collect_set(col("event_type"))), ",")
+              .as("event_types"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+             |COUNT(*) AS n_events
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
   )
 }

@@ -96,6 +96,19 @@ object EventStream {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** Gap-based session windows IN the stream — the streaming twin of the
+    * batch sessionization (q42): a silence longer than `gap` closes the
+    * session. session_window keeps per-key open-session state bounded by
+    * the watermark; output rows carry the session bounds.
+    */
+  def sessionizedStream(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"), col("n_events"))
+
   /** Read a parquet directory as a file stream (test/backfill source). */
   def parquetStream(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =

@@ -58,6 +58,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 3L)
   }
 
+  test("session windows close after the gap (streaming twin of q42)") {
+    val src = Files.createTempDirectory("graft-sess-src").toString
+    val fixture = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00")), // same session (<30m)
+      (1L, Timestamp.valueOf("2024-01-01 11:30:00")), // new session (>30m gap)
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00")),
+    ).toDF("user_id", "ts")
+    fixture.write.mode("overwrite").parquet(src)
+
+    val stream = EventStream.parquetStream(spark, src, fixture.schema)
+    val q = EventStream.sessionizedStream(stream, "30 minutes")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess_test")
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      assert(out === Array(
+        // session end = last event + gap
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L),
+        (1L, "2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L),
+        (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join (dimension lookup inside a stream)") {
     val src = Files.createTempDirectory("graft-ss-src").toString
     eventsFixture.write.mode("overwrite").parquet(src)

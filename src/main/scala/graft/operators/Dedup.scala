@@ -303,8 +303,10 @@ object Dedup {
         try distributedMinLabel(edges, maxIters)
         finally edges.unpersist()
       }
+    // labels covers only edge-touched ids (tiny vs the corpus) — broadcast
+    // the anti-join membership probe instead of shuffling all of `ids`.
     val untouched = ids.select(col(idCol).as("id"))
-      .join(labels.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(labels.select("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("root"))
     labels.unionByName(untouched)
       .withColumn("is_survivor", col("id") === col("root"))

@@ -66,8 +66,11 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("v_q"), col("centroid_id"))
-    // Score only vectors in the probed lists.
-    val scored = probes.join(assigned, Seq("centroid_id"))
+    // Score only vectors in the probed lists. The PROBES side is tiny
+    // (|queries| × nProbe) — broadcast it; a shuffle join on centroid_id
+    // would hash a 10-ish-key domain (guaranteed skew) and sort the whole
+    // assigned corpus.
+    val scored = broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("cos_sim", round(cosine(col("v_q"), col("v")), 4))
     val w = Window.partitionBy(col("query_id"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.core.Tables
 import graft.operators.{Aggregations, Relational}
 
@@ -114,6 +115,51 @@ object OpsQueries {
              |ROUND(quantile_cont(value, 0.5), 6) AS value_p50,
              |ROUND(quantile_cont(value, 0.95), 6) AS value_p95
              |FROM events""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Z-score anomaly flagging per event_type: moments from DECIMAL sums
+    // (exact, partition-order-independent), variance via the sum-of-
+    // squares identity in identical double arithmetic on both engines —
+    // no stddev_samp, whose Welford accumulation order is engine- and
+    // partition-dependent. The stats side is one row per type →
+    // broadcast back onto the events; conditional count keeps types with
+    // zero outliers.
+    QueryDef(
+      "q55_anomaly",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val stats = ev.groupBy(col("event_type")).agg(
+          count(col("value")).as("n"),
+          Aggregations.dsum(col("value"), 28, 6).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 6)))
+            .cast(DoubleType).as("s2"))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("std", sqrt(
+            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("std"), 1L)
+              .otherwise(0L)).cast("long").as("n_outliers"),
+            round(max(col("mean")), 6).as("mean_value"),
+            round(max(col("std")), 6).as("std_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH stats AS (
+             |  SELECT event_type, COUNT(value) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+             |  FROM events GROUP BY event_type),
+             |m AS (SELECT event_type, n, s1 / n AS mean,
+             |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std FROM stats)
+             |SELECT e.event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CASE WHEN abs(e.value - m.mean) > 3.0 * m.std THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  ROUND(MAX(m.mean), 6) AS mean_value,
+             |  ROUND(MAX(m.std), 6) AS std_value
+             |FROM events e JOIN m ON e.event_type = m.event_type
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
     ),
   )
 }

@@ -195,5 +195,37 @@ object TextQueries {
              |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rolling_fp
              |FROM hs ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Corpus n-gram frequency table (every occurrence counted, not
+    // per-doc distinct): the classic corpus-statistics op behind
+    // vocabulary building and contamination checks. Tokens staged in
+    // their own projection (Catalyst would re-split the text per gram
+    // element otherwise — see shinglesFromTokens scaladoc); top-k with
+    // (freq desc, gram) tiebreak is engine-stable.
+    QueryDef(
+      "q54_ngram_freq",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(TextAnalysis.tokens(col("text")).as("toks"))
+        val grams = toks.select(explode(
+          when(size(col("toks")) < 2,
+            array().cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))
+            .otherwise(transform(
+              sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))).as("gram"))
+        grams.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("gram"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |grams AS (SELECT unnest(CASE WHEN len(l) < 2 THEN []
+             |    ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) END) AS gram
+             |  FROM toks)
+             |SELECT gram, COUNT(*) AS freq FROM grams
+             |GROUP BY gram ORDER BY freq DESC, gram LIMIT 20""".stripMargin),
+    ),
   )
 }

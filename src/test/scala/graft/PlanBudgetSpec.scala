@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression gate: every declared query's physical plan must stay
+  * within its audited shuffle budget, and no query may silently regress
+  * from a broadcast join to a sort-merge join. The budgets are the
+  * current `graft.PlanAudit` numbers — a deliberate plan change updates
+  * the table HERE, in the same commit, with the reasoning; an accidental
+  * one fails this spec.
+  */
+class PlanBudgetSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** query → max ShuffleExchange nodes in the pre-execution plan. */
+  private val shuffleBudget: Map[String, Int] = Map(
+    "q01_pricing_summary" -> 3, "q02_load_stats" -> 2, "q03_order_flatten" -> 2,
+    "q04_prefix_flatten" -> 2, "q05_safe_cast" -> 1, "q06_string_clamp" -> 1,
+    "q07_etl_stamp" -> 1, "q08_column_intersect" -> 1, "q09_join_enrich" -> 2,
+    "q10_semi_join" -> 1, "q11_anti_join" -> 3, "q12_merge_upsert" -> 3,
+    "q13_retention" -> 2, "q14_incremental_failopen" -> 3,
+    "q15_staging_summary" -> 3, "q16_quality_gate" -> 6, "q17_mart_daily" -> 3,
+    "q18_window_rank" -> 2, "q19_hourly_events" -> 3, "q20_validation" -> 5,
+    "q21_dedup_exact" -> 2, "q22_ngram_jaccard" -> 2, "q23_minhash_lsh" -> 2,
+    "q24_simhash" -> 2, "q25_embed_neardup" -> 1, "q26_ann_topk" -> 2,
+    "q27_ann_lsh" -> 3, "q28_lang_id" -> 1, "q29_text_quality" -> 1,
+    "q30_token_count" -> 1, "q31_fingerprint" -> 1, "q32_multimodal_meta" -> 1,
+    "q33_media_features" -> 1, "q34_hmac_sign" -> 1, "q35_ann_ivf" -> 4,
+    "q36_dedup_clusters" -> 1, "q37_train_split" -> 2, "q38_balanced_sample" -> 2,
+    "q39_tfidf" -> 6, "q40_rollup" -> 2, "q41_asof_join" -> 2,
+    "q42_sessionize" -> 2, "q43_bm25" -> 9, "q44_profile" -> 2,
+    "q45_grouping_sets" -> 2, "q46_rolling_fp" -> 1, "q47_window_suite" -> 2,
+    "q48_set_ops" -> 5, "q49_pivot" -> 3, "q50_fuzzy_match" -> 2,
+    "q51_range_join" -> 2, "q52_skew_salted_join" -> 3, "q53_collect_set" -> 2,
+    "q54_ngram_freq" -> 1, "q55_anomaly" -> 3,
+  )
+
+  /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
+    * scale with the data, no broadcast-able side exists).
+    */
+  private val smjAllowed = Set(
+    "q12_merge_upsert" // full-outer target⋈source on the PK: both sides big
+  )
+
+  test("every declared query stays within its audited plan budget") {
+    val audits = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> PlanAudit.audit(fn(spark, sfDir).queryExecution.executedPlan)
+    }
+    val missing = audits.collect {
+      case (n, _) if !shuffleBudget.contains(n) => n }
+    assert(missing.isEmpty,
+      s"new queries without a plan budget (add to shuffleBudget): ${missing.mkString(", ")}")
+    val overBudget = audits.collect {
+      case (n, a) if a.shuffles > shuffleBudget(n) =>
+        s"$n: ${a.shuffles} shuffles > budget ${shuffleBudget(n)}" }
+    assert(overBudget.isEmpty,
+      s"shuffle-budget regressions:\n  ${overBudget.mkString("\n  ")}")
+    val smjRegressions = audits.collect {
+      case (n, a) if a.smj > 0 && !smjAllowed(n) =>
+        s"$n: ${a.smj} SortMergeJoin(s)" }
+    assert(smjRegressions.isEmpty,
+      s"broadcast→sort-merge regressions:\n  ${smjRegressions.mkString("\n  ")}")
+  }
+}

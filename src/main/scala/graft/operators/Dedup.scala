@@ -39,16 +39,25 @@ object Dedup {
     * `split(text)` re-splits the text once per gram element — a 50×
     * slowdown observed at sf0.1.
     */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     if (n <= 1) array_distinct(toks)
+    else array_distinct(gramsFromTokens(toks, n))
+
+  /** Word n-grams WITHOUT per-document dedup (every occurrence kept —
+    * corpus frequency counting wants multiplicity; Jaccard wants the
+    * distinct set, see [[shinglesFromTokens]]).
+    */
+  def gramsFromTokens(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    if (n == 1) toks
     else {
       // Guard: sequence(1, x) with x < 1 produces a DESCENDING sequence in
-      // Spark, not an empty one — short docs must yield zero shingles.
-      val grams = when(size(toks) < n, array().cast(ArrayType(StringType)))
+      // Spark, not an empty one — short docs must yield zero grams (the
+      // descending sequence would hit ANSI element_at(toks, 0)).
+      when(size(toks) < n, array().cast(ArrayType(StringType)))
         .otherwise(transform(
           sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      array_distinct(grams)
     }
   }
 
@@ -286,8 +295,9 @@ object Dedup {
     // pair-generation plan twice.
     val guarded = memberPairs.select(col("id_a"), col("id_b"))
       .limit(driverMaxEdges + 1).collect()
+    val smallPath = guarded.length <= driverMaxEdges
     val labels: DataFrame =
-      if (guarded.length <= driverMaxEdges) {
+      if (smallPath) {
         val idType = pairs.schema("id_a").dataType
         val roots = unionFindMinRoots(guarded.iterator.map(r => (r.get(0), r.get(1))))
         spark.createDataFrame(
@@ -303,10 +313,15 @@ object Dedup {
         try distributedMinLabel(edges, maxIters)
         finally edges.unpersist()
       }
-    // labels covers only edge-touched ids (tiny vs the corpus) — broadcast
-    // the anti-join membership probe instead of shuffling all of `ids`.
+    // On the union-find path labels is ≤ driverMaxEdges·2 rows by
+    // construction — broadcast the anti-join membership probe instead of
+    // shuffling all of `ids`. On the distributed path the label set is
+    // unbounded (that's WHY it didn't fit the driver) — forcing a
+    // broadcast there would re-collect it and defeat the guard.
+    val labelProbe =
+      if (smallPath) broadcast(labels.select("id")) else labels.select("id")
     val untouched = ids.select(col(idCol).as("id"))
-      .join(broadcast(labels.select("id")), Seq("id"), "left_anti")
+      .join(labelProbe, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("root"))
     labels.unionByName(untouched)
       .withColumn("is_survivor", col("id") === col("root"))

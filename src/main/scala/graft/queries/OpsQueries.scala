@@ -135,8 +135,12 @@ object OpsQueries {
           sum((col("value") * col("value")).cast(DecimalType(28, 6)))
             .cast(DoubleType).as("s2"))
           .withColumn("mean", col("s1") / col("n"))
-          .withColumn("std", sqrt(
-            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+          // n=1 → NULL std (0/0 would be Spark-NaN vs DuckDB-NULL);
+          // greatest(·, 0) clamps the 1-ulp-negative variance a constant
+          // group can produce (DuckDB sqrt(neg) is a hard error).
+          .withColumn("std", when(col("n") > 1, sqrt(greatest(
+            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1),
+            lit(0.0)))))
         ev.join(broadcast(stats), Seq("event_type"))
           .groupBy(col("event_type"))
           .agg(
@@ -153,7 +157,8 @@ object OpsQueries {
              |    CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
              |  FROM events GROUP BY event_type),
              |m AS (SELECT event_type, n, s1 / n AS mean,
-             |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std FROM stats)
+             |    CASE WHEN n > 1 THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END AS std
+             |  FROM stats)
              |SELECT e.event_type, COUNT(*) AS n_events,
              |  CAST(SUM(CASE WHEN abs(e.value - m.mean) > 3.0 * m.std THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
              |  ROUND(MAX(m.mean), 6) AS mean_value,

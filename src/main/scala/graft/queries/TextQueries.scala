@@ -208,15 +208,9 @@ object TextQueries {
       (spark, dir) => {
         val toks = Tables.documents(spark, dir)
           .select(TextAnalysis.tokens(col("text")).as("toks"))
-        val grams = toks.select(explode(
-          when(size(col("toks")) < 2,
-            array().cast(org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.StringType)))
-            .otherwise(transform(
-              sequence(lit(1), size(col("toks")) - 1),
-              i => concat_ws(" ", element_at(col("toks"), i),
-                element_at(col("toks"), i + 1))))).as("gram"))
-        grams.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+        toks.select(explode(
+            graft.operators.Dedup.gramsFromTokens(col("toks"), 2)).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
           .orderBy(col("freq").desc, col("gram"))
           .limit(20)
       },

@@ -53,6 +53,9 @@ class PlanBudgetSpec extends AnyFunSuite {
       case (n, _) if !shuffleBudget.contains(n) => n }
     assert(missing.isEmpty,
       s"new queries without a plan budget (add to shuffleBudget): ${missing.mkString(", ")}")
+    val stale = shuffleBudget.keySet -- audits.map(_._1)
+    assert(stale.isEmpty,
+      s"budget entries for removed/renamed queries (delete from shuffleBudget): ${stale.mkString(", ")}")
     val overBudget = audits.collect {
       case (n, a) if a.shuffles > shuffleBudget(n) =>
         s"$n: ${a.shuffles} shuffles > budget ${shuffleBudget(n)}" }

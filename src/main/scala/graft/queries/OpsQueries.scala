@@ -166,5 +166,28 @@ object OpsQueries {
              |FROM events e JOIN m ON e.event_type = m.event_type
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Exact interpolated percentiles PER GROUP (q44 profiles globally):
+    // Spark's percentile() and DuckDB's quantile_cont share the linear-
+    // interpolation definition — round 6 absorbs the last-ulp division
+    // noise. One shuffle on the group key.
+    QueryDef(
+      "q56_percentiles_by_group",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            count(col("value")).as("n"),
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.9)"), 6).as("p90"),
+            round(expr("percentile(value, 0.99)"), 6).as("p99"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(value) AS n,
+             |ROUND(quantile_cont(value, 0.5), 6) AS p50,
+             |ROUND(quantile_cont(value, 0.9), 6) AS p90,
+             |ROUND(quantile_cont(value, 0.99), 6) AS p99
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
   )
 }

@@ -88,5 +88,28 @@ object TransformQueries {
           .orderBy(col("n_nationkey")),
       None,
     ),
+
+    // ----------------------------------------------------------------
+    // Regex extraction + conditional classification: pull the leading
+    // adjective out of p_name, bucket by it. Spark regexp_extract and
+    // DuckDB regexp_extract agree on group semantics and both return ''
+    // on no-match; the decimal-routed avg keeps the money column exact.
+    QueryDef(
+      "q57_regex_extract",
+      (spark, dir) =>
+        Tables.part(spark, dir)
+          .select(
+            regexp_extract(col("p_name"), "^([a-z]+) ", 1).as("adjective"),
+            col("p_retailprice"))
+          .groupBy(col("adjective"))
+          .agg(count(lit(1)).as("n_parts"),
+            (sum(col("p_retailprice").cast(DecimalType(18, 2))).cast(DoubleType)
+              / count(lit(1))).as("avg_price"))
+          .orderBy(col("adjective")),
+      Some("""SELECT regexp_extract(p_name, '^([a-z]+) ', 1) AS adjective,
+             |COUNT(*) AS n_parts,
+             |CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+             |FROM part GROUP BY adjective ORDER BY adjective""".stripMargin),
+    ),
   )
 }

@@ -36,6 +36,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // spreads the levenshtein work (one parquet split otherwise).
     "q51_range_join" -> 2, "q52_skew_salted_join" -> 3, "q53_collect_set" -> 2,
     "q54_ngram_freq" -> 1, "q55_anomaly" -> 3,
+    "q56_percentiles_by_group" -> 2, "q57_regex_extract" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -189,5 +189,31 @@ object OpsQueries {
              |ROUND(quantile_cont(value, 0.99), 6) AS p99
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Z-order (Morton) clustering key — the data-layout primitive behind
+    // ZOrder.writeZOrdered's multi-dimensional file skipping. The oracle
+    // replays the bit interleave as plain integer div/mod arithmetic.
+    QueryDef(
+      "q58_zorder_key",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"),
+            floor(col("value") / 2).cast("long").as("vbucket"))
+          .withColumn("zkey", graft.operators.ZOrder.zkey(
+            Seq(col("user_id"), col("vbucket")), bits = 10))
+          .orderBy(col("event_id"))
+          .limit(500),
+      Some {
+        val terms = (0 until 10).flatMap { i =>
+          Seq(s"((user_id // ${1L << i}) % 2) * ${1L << (2 * i)}",
+            s"((vbucket // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+        }.mkString(" + ")
+        s"""WITH b AS (SELECT event_id, user_id,
+           |    CAST(floor(value / 2) AS BIGINT) AS vbucket FROM events)
+           |SELECT event_id, user_id, vbucket, CAST($terms AS BIGINT) AS zkey
+           |FROM b ORDER BY event_id LIMIT 500""".stripMargin
+      },
+    ),
   )
 }

@@ -37,6 +37,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q51_range_join" -> 2, "q52_skew_salted_join" -> 3, "q53_collect_set" -> 2,
     "q54_ngram_freq" -> 1, "q55_anomaly" -> 3,
     "q56_percentiles_by_group" -> 2, "q57_regex_extract" -> 2,
+    "q58_zorder_key" -> 0, // orderBy+limit plans as TakeOrdered, no exchange
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -88,14 +88,16 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       perDoc: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Cached: tf and docFreq both aggregate this frame — without the cache
-    // each branch re-runs tokenize + explode over the corpus.
+    // ONE aggregation over the exploded token stream (the big shuffle);
+    // every other statistic derives from the much smaller tf frame:
+    // df(term) = number of (doc,term) groups per term — tf's grain IS
+    // doc-distinct terms, so no separate distinct pass. Cache tf (two
+    // consumers), not the exploded stream.
     val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), explode(col("toks")).as("term"))
-      .cache()
     val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
-    val docFreq = toks.select(col("doc"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .cache()
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // Corpus size as a one-row broadcast scalar IN the plan — a driver-side
     // df.count() here would be a whole extra pass over the source.
     val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
@@ -117,14 +119,15 @@ object TextAnalysis {
   def bm25TopTerms(df: DataFrame, idCol: String, textCol: String,
       perDoc: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Cached: tf, dl, and docFreq all aggregate this frame (see tfidf).
+    // ONE aggregation over the exploded token stream; dl and df both
+    // derive from the small tf frame (see tfidfTopTerms): dl(doc) = Σ tf,
+    // df(term) = group count per term. Cache tf — three consumers.
     val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), explode(col("toks")).as("term"))
-      .cache()
     val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
-    val docFreq = toks.select(col("doc"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .cache()
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // Both corpus scalars live IN the plan as one-row broadcast frames —
     // no separate driver-side count pass.
     val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))

@@ -28,8 +28,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q30_token_count" -> 1, "q31_fingerprint" -> 1, "q32_multimodal_meta" -> 1,
     "q33_media_features" -> 1, "q34_hmac_sign" -> 1, "q35_ann_ivf" -> 4,
     "q36_dedup_clusters" -> 1, "q37_train_split" -> 2, "q38_balanced_sample" -> 2,
-    "q39_tfidf" -> 6, "q40_rollup" -> 2, "q41_asof_join" -> 2,
-    "q42_sessionize" -> 2, "q43_bm25" -> 9, "q44_profile" -> 2,
+    "q39_tfidf" -> 4, "q40_rollup" -> 2, "q41_asof_join" -> 2,
+    "q42_sessionize" -> 2, "q43_bm25" -> 7, "q44_profile" -> 2,
     "q45_grouping_sets" -> 2, "q46_rolling_fp" -> 1, "q47_window_suite" -> 2,
     "q48_set_ops" -> 5, "q49_pivot" -> 3, "q50_fuzzy_match" -> 3,
     // q50's 3rd shuffle is the deliberate probe-side repartition that

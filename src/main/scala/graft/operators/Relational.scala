@@ -65,6 +65,33 @@ object Relational {
   def lookbackFilter(df: DataFrame, tsCol: String, cutoff: Column): DataFrame =
     df.filter(col(tsCol) >= cutoff || col(tsCol).isNull)
 
+  /** CDC-style snapshot diff: classify every key as inserted / deleted /
+    * updated / unchanged between two snapshots of the same table. One
+    * full-outer join on the key (both sides shuffle — at scale, bucket
+    * both snapshots on the key so the join is co-located); "updated"
+    * compares the non-key columns via a null-safe struct equality, so
+    * NULL→value and value→NULL transitions count as changes.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldSnap.columns.toSet == newSnap.columns.toSet,
+      s"snapshot schema drift: old=${oldSnap.columns.sorted.mkString(",")} " +
+        s"new=${newSnap.columns.sorted.mkString(",")}")
+    val valueCols = oldSnap.columns.filterNot(keys.contains).sorted.toSeq
+    def packed(df: DataFrame, alias: String) =
+      df.select(keys.map(col) :+
+        struct(valueCols.map(col): _*).as(alias): _*)
+    packed(oldSnap, "__old")
+      .join(packed(newSnap, "__new"), keys.toSeq, "full_outer")
+      .withColumn("change_type",
+        when(col("__old").isNull, "inserted")
+          .when(col("__new").isNull, "deleted")
+          .when(col("__old") <=> col("__new"), "unchanged")
+          .otherwise("updated"))
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
   /** Banded range join: match fact rows against a (small) set of
     * possibly-overlapping [lo, hi) bands WITHOUT a nested-loop join.
     *

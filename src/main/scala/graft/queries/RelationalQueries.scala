@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
-import graft.operators.Flatten
+import graft.operators.{Flatten, Relational}
 
 /** Core relational capability queries (SURVEY §2.2–§2.5) over the synthetic
   * TPC-H-ish tables. Each maps a reference operator family onto the
@@ -178,6 +178,62 @@ object RelationalQueries {
              |COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
              |COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // CDC snapshot diff: inserted/deleted/updated/unchanged between two
+    // snapshots (synthesized deterministically from customer: %7 keys
+    // absent from old, %11 keys absent from new, %5 balances doubled).
+    // Null-safe struct equality in Spark ≡ IS NOT DISTINCT FROM in SQL.
+    QueryDef(
+      "q59_snapshot_diff",
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+        val oldSnap = c.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+        val newSnap = c.filter(pmod(col("c_custkey"), lit(11)) =!= 0)
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(5)) === 0, col("c_acctbal") * 2)
+              .otherwise(col("c_acctbal")))
+        Relational.snapshotDiff(oldSnap, newSnap, Seq("c_custkey"))
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n_keys"))
+          .orderBy(col("change_type"))
+      },
+      Some("""WITH o AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0),
+             |n AS (SELECT c_custkey, c_name, c_nationkey,
+             |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+             |    c_mktsegment
+             |  FROM customer WHERE c_custkey % 11 <> 0),
+             |j AS (SELECT
+             |  CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+             |       WHEN n.c_custkey IS NULL THEN 'deleted'
+             |       WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+             |        AND o.c_name IS NOT DISTINCT FROM n.c_name
+             |        AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+             |        AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment THEN 'unchanged'
+             |       ELSE 'updated' END AS change_type
+             |  FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
+             |SELECT change_type, COUNT(*) AS n_keys FROM j
+             |GROUP BY change_type ORDER BY change_type""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Fixed-width histogram: bin key from integer floor arithmetic
+    // (identical doubles both engines), per-bin count + decimal-routed
+    // sum. The binning that backs q51's banded join, as a direct query.
+    QueryDef(
+      "q60_histogram",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .select(floor(col("value") / 50).cast("long").as("bin"),
+            col("value"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            dsum("value", 18, 6).as("sum_value"))
+          .orderBy(col("bin")),
+      Some("""SELECT CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY bin ORDER BY bin""".stripMargin),
     ),
   )
 }

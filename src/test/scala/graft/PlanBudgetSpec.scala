@@ -38,13 +38,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q54_ngram_freq" -> 1, "q55_anomaly" -> 3,
     "q56_percentiles_by_group" -> 2, "q57_regex_extract" -> 2,
     "q58_zorder_key" -> 0, // orderBy+limit plans as TakeOrdered, no exchange
+    "q59_snapshot_diff" -> 4, "q60_histogram" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
     * scale with the data, no broadcast-able side exists).
     */
   private val smjAllowed = Set(
-    "q12_merge_upsert" // full-outer target⋈source on the PK: both sides big
+    "q12_merge_upsert", // full-outer target⋈source on the PK: both sides big
+    "q59_snapshot_diff" // full-outer between two same-scale snapshots
   )
 
   test("every declared query stays within its audited plan budget") {

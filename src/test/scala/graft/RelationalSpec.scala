@@ -68,4 +68,28 @@ class RelationalSpec extends AnyFunSuite {
     val out = Relational.retain(df, "ts", lit("2024-01-15 00:00:00").cast("timestamp"))
     assert(out.select("id").collect().map(_.getLong(0)) === Array(2L))
   }
+
+  test("snapshotDiff classifies inserts/deletes/updates/null transitions") {
+    val oldSnap = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")),
+    ).toDF("id", "v")
+    val newSnap = Seq(
+      (1L, Some("a")),   // unchanged
+      (2L, Some("bb")),  // updated
+      (3L, Some("c")),   // updated: NULL -> value must count as a change
+      (5L, Some("e")),   // inserted; 4 deleted
+    ).toDF("id", "v")
+    val out = Relational.snapshotDiff(oldSnap, newSnap, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Array((1L, "unchanged"), (2L, "updated"),
+      (3L, "updated"), (4L, "deleted"), (5L, "inserted")))
+  }
+
+  test("snapshotDiff refuses schema drift") {
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq((1L, "x", 0)).toDF("id", "v", "extra")
+    assertThrows[IllegalArgumentException] {
+      Relational.snapshotDiff(a, b, Seq("id"))
+    }
+  }
 }

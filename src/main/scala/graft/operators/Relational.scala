@@ -75,9 +75,14 @@ object Relational {
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")
-    require(oldSnap.columns.toSet == newSnap.columns.toSet,
-      s"snapshot schema drift: old=${oldSnap.columns.sorted.mkString(",")} " +
-        s"new=${newSnap.columns.sorted.mkString(",")}")
+    // Names AND types: a type migration (INT -> STRING, DOUBLE -> DECIMAL)
+    // is schema drift too — struct comparison would otherwise coerce or
+    // fail opaquely at join resolution.
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    require(shape(oldSnap) == shape(newSnap),
+      s"snapshot schema drift: old=${shape(oldSnap).mkString(",")} " +
+        s"new=${shape(newSnap).mkString(",")}")
     val valueCols = oldSnap.columns.filterNot(keys.contains).sorted.toSeq
     def packed(df: DataFrame, alias: String) =
       df.select(keys.map(col) :+

@@ -205,14 +205,20 @@ object OpsQueries {
           .orderBy(col("event_id"))
           .limit(500),
       Some {
+        // Mirror zkey's saturation: clamp into [0, 2^bits) before the
+        // bit extraction (no-op at sf0.01's domains, load-bearing at
+        // scale factors where user_id exceeds 1023).
         val terms = (0 until 10).flatMap { i =>
-          Seq(s"((user_id // ${1L << i}) % 2) * ${1L << (2 * i)}",
-            s"((vbucket // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+          Seq(s"((uc // ${1L << i}) % 2) * ${1L << (2 * i)}",
+            s"((vc // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
         }.mkString(" + ")
         s"""WITH b AS (SELECT event_id, user_id,
-           |    CAST(floor(value / 2) AS BIGINT) AS vbucket FROM events)
+           |    CAST(floor(value / 2) AS BIGINT) AS vbucket FROM events),
+           |c AS (SELECT event_id, user_id, vbucket,
+           |    LEAST(GREATEST(user_id, 0), 1023) AS uc,
+           |    LEAST(GREATEST(vbucket, 0), 1023) AS vc FROM b)
            |SELECT event_id, user_id, vbucket, CAST($terms AS BIGINT) AS zkey
-           |FROM b ORDER BY event_id LIMIT 500""".stripMargin
+           |FROM c ORDER BY event_id LIMIT 500""".stripMargin
       },
     ),
   )

@@ -103,7 +103,7 @@ object TransformQueries {
             col("p_retailprice"))
           .groupBy(col("adjective"))
           .agg(count(lit(1)).as("n_parts"),
-            (sum(col("p_retailprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            (graft.operators.Aggregations.dsum(col("p_retailprice"), 18, 2)
               / count(lit(1))).as("avg_price"))
           .orderBy(col("adjective")),
       Some("""SELECT regexp_extract(p_name, '^([a-z]+) ', 1) AS adjective,

@@ -111,5 +111,39 @@ object TransformQueries {
              |CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
              |FROM part GROUP BY adjective ORDER BY adjective""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // JSON round-trip (S9 parity under the gate): build the JSON string
+    // by CONCAT of integer/string fields — identical bytes in both
+    // engines (double rendering differs between engines, so no doubles
+    // in the payload) — then parse fields back out and aggregate on
+    // them. Spark get_json_object ≡ DuckDB json_extract_string (both
+    // return NULL for missing paths, string values unquoted).
+    QueryDef(
+      "q61_json_parse",
+      (spark, dir) => {
+        val js = concat(lit("""{"u":"""), col("user_id"),
+          lit(""","t":""""), col("event_type"), lit(""""}"""))
+        Tables.events(spark, dir)
+          .select(js.as("js"))
+          .select(
+            get_json_object(col("js"), "$.t").as("parsed_type"),
+            get_json_object(col("js"), "$.u").cast("long").as("parsed_user"),
+            get_json_object(col("js"), "$.missing").as("absent"))
+          .groupBy(col("parsed_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("parsed_user")).as("n_users"),
+            count(col("absent")).as("n_absent"))
+          .orderBy(col("parsed_type"))
+      },
+      Some("""WITH j AS (SELECT '{"u":' || user_id || ',"t":"' || event_type || '"}' AS js FROM events),
+             |p AS (SELECT json_extract_string(js, '$.t') AS parsed_type,
+             |    CAST(json_extract_string(js, '$.u') AS BIGINT) AS parsed_user,
+             |    json_extract_string(js, '$.missing') AS absent
+             |  FROM j)
+             |SELECT parsed_type, COUNT(*) AS n,
+             |COUNT(DISTINCT parsed_user) AS n_users, COUNT(absent) AS n_absent
+             |FROM p GROUP BY parsed_type ORDER BY parsed_type""".stripMargin),
+    ),
   )
 }

@@ -38,7 +38,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q54_ngram_freq" -> 1, "q55_anomaly" -> 3,
     "q56_percentiles_by_group" -> 2, "q57_regex_extract" -> 2,
     "q58_zorder_key" -> 0, // orderBy+limit plans as TakeOrdered, no exchange
-    "q59_snapshot_diff" -> 4, "q60_histogram" -> 2,
+    "q59_snapshot_diff" -> 4, "q60_histogram" -> 2, "q61_json_parse" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

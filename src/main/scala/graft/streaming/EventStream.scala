@@ -96,6 +96,28 @@ object EventStream {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** LEFT-OUTER stream-stream variant of the interval join: purchases
+    * with NO qualifying click still emit (null-extended) once the
+    * watermark passes their join window — attribution analyses need the
+    * unattributed rows too, and the outer side's emission is exactly the
+    * state-cleanup boundary, so state stays bounded like the inner form.
+    */
+  def streamStreamClickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+      withinSeconds: Long): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinSeconds SECONDS"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Gap-based session windows IN the stream — the streaming twin of the
     * batch sessionization (q42): a silence longer than `gap` closes the
     * session. session_window keeps per-key open-session state bounded by

@@ -137,6 +137,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after the watermark") {
+    val cDir = Files.createTempDirectory("graft-oj-clicks").toString
+    val pDir = Files.createTempDirectory("graft-oj-purch").toString
+    val schema = Seq((0L, Timestamp.valueOf("2024-01-01 00:00:00"), "x", 0.0))
+      .toDF("event_id", "ts", "event_type", "value").schema
+
+    def rows(t: (Long, String, String)*) = t.map { case (id, ts, tpe) =>
+      (id, Timestamp.valueOf(ts), tpe, 1.0) }
+      .toDF("event_id", "ts", "event_type", "value")
+
+    // batch 1: u-1's purchase has a click 60s before; u-2's has none
+    rows((1L, "2024-01-01 09:59:00", "click"))
+      .write.mode("overwrite").parquet(cDir)
+    rows((100L, "2024-01-01 10:00:00", "purchase"),
+      (200L, "2024-01-01 10:00:00", "purchase"))
+      .write.mode("overwrite").parquet(pDir)
+    // user_id = event_id's hundreds digit for purchases, 1 for the click
+    val clicks = EventStream.parquetStream(spark, cDir, schema)
+      .withColumn("user_id", lit(1L))
+    val purchases = EventStream.parquetStream(spark, pDir, schema)
+      .withColumn("user_id", (col("event_id") / 100).cast("long"))
+
+    val q = EventStream
+      .streamStreamClickToPurchaseOuter(clicks, purchases, withinSeconds = 120)
+      .writeStream.format("memory").queryName("oj_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // flush events in BOTH sources push the (min-of-sources) watermark
+      // past 10:00 + interval, releasing the null-extended row
+      rows((9L, "2024-01-01 12:30:00", "click")).write.mode("append").parquet(cDir)
+      rows((900L, "2024-01-01 12:30:00", "purchase")).write.mode("append").parquet(pDir)
+      q.processAllAvailable()
+      val out = spark.table("oj_test")
+        .filter(col("purchase_id").isin(100L, 200L))
+        .orderBy("purchase_id").collect()
+        .map(r => (r.getLong(1), Option(r.getTimestamp(3)).map(_.toString)))
+      assert(out === Array(
+        (100L, Some("2024-01-01 09:59:00.0")), // matched within 120s
+        (200L, None)))                         // unmatched -> null-extended
+    } finally q.stop()
+  }
+
   test("stream dedup drops duplicate business keys (L4 streaming analogue)") {
     val src = Files.createTempDirectory("graft-dd-src").toString
     val dup = eventsFixture.union(eventsFixture.limit(2))

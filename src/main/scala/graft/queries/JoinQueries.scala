@@ -163,5 +163,35 @@ object JoinQueries {
              |COUNT(*) AS n_events
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Bucketed CO-LOCATED join under the gate: both sides written
+    // bucketed+sorted on the join key (one shuffle each at WRITE time),
+    // then the merge-hinted join runs with NO exchange on either side —
+    // the 100 TB shape where the staging table is bucketed on its PK so
+    // every subsequent key join/merge skips the fact-table shuffle.
+    // (BucketingSpec asserts the zero-exchange property directly.)
+    QueryDef(
+      "q62_bucketed_join",
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val c = Tables.customer(spark, dir)
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        graft.sources.Sinks.bucketedTable(o, "graft_q62_orders", Seq("custkey"), 8)
+        graft.sources.Sinks.bucketedTable(c, "graft_q62_customer", Seq("custkey"), 8)
+        spark.table("graft_q62_orders").hint("merge")
+          .join(spark.table("graft_q62_customer"), Seq("custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+              .as("total_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ),
   )
 }

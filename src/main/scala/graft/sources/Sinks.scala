@@ -139,12 +139,24 @@ object Sinks {
     * (bucketBy requires the table catalog, hence saveAsTable.)
     */
   def bucketedTable(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A managed-table location can survive from a PREVIOUS session whose
+    // in-memory catalog is gone (the catalog entry dies with the session,
+    // the warehouse directory does not) — creating the "new" table then
+    // fails with LOCATION_ALREADY_EXISTS. Drop catalog entry AND orphaned
+    // location before writing.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Partition-scoped MERGE upsert — the SURVEY §7.4.4 answer to "the
     * full-outer rewrite must not touch 100 TB": the target is partitioned

@@ -39,14 +39,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q56_percentiles_by_group" -> 2, "q57_regex_extract" -> 2,
     "q58_zorder_key" -> 0, // orderBy+limit plans as TakeOrdered, no exchange
     "q59_snapshot_diff" -> 4, "q60_histogram" -> 2, "q61_json_parse" -> 3,
+    "q62_bucketed_join" -> 2, // agg + output sort; the JOIN is exchange-free
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
     * scale with the data, no broadcast-able side exists).
     */
   private val smjAllowed = Set(
-    "q12_merge_upsert", // full-outer target⋈source on the PK: both sides big
-    "q59_snapshot_diff" // full-outer between two same-scale snapshots
+    "q12_merge_upsert",  // full-outer target⋈source on the PK: both sides big
+    "q59_snapshot_diff", // full-outer between two same-scale snapshots
+    "q62_bucketed_join"  // the POINT: co-located SMJ with no exchanges
   )
 
   test("every declared query stays within its audited plan budget") {

@@ -184,7 +184,7 @@ object JoinQueries {
           .join(spark.table("graft_q62_customer"), Seq("custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            graft.operators.Aggregations.dsum(col("o_totalprice"), 18, 2)
               .as("total_price"))
           .orderBy(col("c_mktsegment"))
       },

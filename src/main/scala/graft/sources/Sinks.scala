@@ -140,22 +140,38 @@ object Sinks {
     */
   def bucketedTable(df: DataFrame, table: String, keys: Seq[String],
       buckets: Int): Unit = {
+    // Default-database simple names only: the orphan-location cleanup
+    // below assumes the <warehouse>/<table> managed layout.
+    require(!table.contains("."),
+      s"bucketedTable takes a simple (default-database) table name, got '$table'")
     val spark = df.sparkSession
-    // A managed-table location can survive from a PREVIOUS session whose
-    // in-memory catalog is gone (the catalog entry dies with the session,
-    // the warehouse directory does not) — creating the "new" table then
-    // fails with LOCATION_ALREADY_EXISTS. Drop catalog entry AND orphaned
-    // location before writing.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dropWithLocation(name: String): Unit = {
+      // A managed-table location can survive from a PREVIOUS session
+      // whose in-memory catalog is gone (the catalog entry dies with the
+      // session, the warehouse directory does not) — creating the "new"
+      // table would then fail with LOCATION_ALREADY_EXISTS.
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val loc = new org.apache.hadoop.fs.Path(warehouse, name.toLowerCase)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    // Write-then-swap, mirroring swapInto's discipline: the NEW data
+    // lands fully in a temp table while the old table stays intact and
+    // readable (a self-referential rebuild — bucketedTable(table ∪ batch,
+    // table, ...) — reads the old files untouched). Only after a
+    // successful write does the old table drop; a crash between drop and
+    // rename leaves the data recoverable under the __tmp name.
+    val tmp = table + "__tmp"
+    dropWithLocation(tmp)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+      .saveAsTable(tmp)
+    dropWithLocation(table)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
   /** Partition-scoped MERGE upsert — the SURVEY §7.4.4 answer to "the

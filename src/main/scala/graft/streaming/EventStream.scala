@@ -81,7 +81,14 @@ object EventStream {
     * batch as-of shape (q41).
     */
   def streamStreamClickToPurchase(clicks: DataFrame, purchases: DataFrame,
-      withinSeconds: Long): DataFrame = {
+      withinSeconds: Long): DataFrame =
+    clickToPurchase(clicks, purchases, withinSeconds, "inner")
+
+  /** Shared interval-join shape for the inner/left-outer variants: one
+    * place owns the watermark horizon and the three-clause condition.
+    */
+  private def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      withinSeconds: Long, joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts", "1 hour")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
     val p = purchases.withWatermark("ts", "1 hour")
@@ -91,7 +98,7 @@ object EventStream {
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinSeconds SECONDS"),
-      "inner")
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("purchase_ts"), col("click_ts"))
   }
@@ -103,20 +110,8 @@ object EventStream {
     * state-cleanup boundary, so state stays bounded like the inner form.
     */
   def streamStreamClickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
-      withinSeconds: Long): DataFrame = {
-    val c = clicks.withWatermark("ts", "1 hour")
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
-    val p = purchases.withWatermark("ts", "1 hour")
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"))
-    p.join(c,
-      col("p_user") === col("c_user") &&
-        col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinSeconds SECONDS"),
-      "left_outer")
-      .select(col("p_user").as("user_id"), col("purchase_id"),
-        col("purchase_ts"), col("click_ts"))
-  }
+      withinSeconds: Long): DataFrame =
+    clickToPurchase(clicks, purchases, withinSeconds, "left_outer")
 
   /** Gap-based session windows IN the stream — the streaming twin of the
     * batch sessionization (q42): a silence longer than `gap` closes the

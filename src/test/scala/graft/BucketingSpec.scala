@@ -35,4 +35,16 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_details")
     }
   }
+
+  test("bucketedTable survives a self-referential rebuild (write-then-swap)") {
+    try {
+      Sinks.bucketedTable((1L to 10L).toDF("id"), "b_self", Seq("id"), 4)
+      // rebuild the table FROM a plan that reads the table itself — the
+      // old data must stay readable until the new write completes
+      val rebuilt = spark.table("b_self")
+        .unionByName((11L to 15L).toDF("id"))
+      Sinks.bucketedTable(rebuilt, "b_self", Seq("id"), 4)
+      assert(spark.table("b_self").count() === 15L)
+    } finally spark.sql("DROP TABLE IF EXISTS b_self")
+  }
 }

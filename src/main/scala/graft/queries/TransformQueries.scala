@@ -145,5 +145,39 @@ object TransformQueries {
              |COUNT(DISTINCT parsed_user) AS n_users, COUNT(absent) AS n_absent
              |FROM p GROUP BY parsed_type ORDER BY parsed_type""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Schema evolution: union an "old-schema" batch (no priority column)
+    // with a "new-schema" batch (extra column) via
+    // unionByName(allowMissingColumns) — absent columns NULL-fill, and
+    // the aggregation below must treat the filled NULLs first-class.
+    // This is the staging-evolution shape (a feed adds a column
+    // mid-history) without any manual column plumbing.
+    QueryDef(
+      "q63_schema_evolution",
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+        val oldBatch = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val newBatch = o.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        oldBatch.unionByName(newBatch, allowMissingColumns = true)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_orderpriority")).as("n_with_priority"),
+            countDistinct(col("o_orderpriority")).as("n_priorities"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
+             |    FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_orderpriority
+             |    FROM orders WHERE o_orderkey % 2 <> 0)
+             |SELECT o_orderstatus, COUNT(*) AS n_rows,
+             |COUNT(o_orderpriority) AS n_with_priority,
+             |COUNT(DISTINCT o_orderpriority) AS n_priorities
+             |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
   )
 }

@@ -201,5 +201,36 @@ object AnalyticsQueries {
              |FROM events JOIN bands ON value >= lo AND value < hi
              |GROUP BY label ORDER BY label""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // RANGE-framed moving aggregate: 7-day rolling revenue over daily
+    // totals — a RANGE frame on days-since-epoch covers calendar gaps a
+    // ROWS frame would miscount. The windowed sum stays DECIMAL (exact
+    // regardless of each engine's frame-accumulation order — DuckDB uses
+    // segment trees) and casts to double only at the end. The global
+    // window is day-grained (thousands of rows for years of data), so the
+    // single-partition sort is deliberate and bounded.
+    QueryDef(
+      "q64_moving_window",
+      (spark, dir) => {
+        val daily = Tables.orders(spark, dir)
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot"))
+        val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+        daily
+          .withColumn("rolling_7d",
+            round(sum(col("tot")).over(w).cast(DoubleType), 2))
+          .select(col("day"), col("n"), col("rolling_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH d AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             |  COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+             |  FROM orders GROUP BY day)
+             |SELECT day, n,
+             |ROUND(CAST(SUM(tot) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rolling_7d
+             |FROM d ORDER BY day""".stripMargin),
+    ),
   )
 }

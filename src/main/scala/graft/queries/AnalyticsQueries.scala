@@ -232,5 +232,33 @@ object AnalyticsQueries {
              |ROUND(CAST(SUM(tot) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rolling_7d
              |FROM d ORDER BY day""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Per-group mode (most frequent value) with an EXPLICIT tie-break
+    // (count desc, value asc) — engine mode()/max_by tie behavior is
+    // unspecified, so both sides rank the counted pairs instead. Two
+    // shuffles: the (group, value) count and the per-group rank.
+    QueryDef(
+      "q65_mode_per_group",
+      (spark, dir) => {
+        val counts = Tables.events(spark, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("cnt").desc, col("event_type"))
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"),
+            col("cnt").as("mode_count"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+             |  FROM events GROUP BY user_id, event_type),
+             |r AS (SELECT user_id, event_type, cnt,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk
+             |  FROM c)
+             |SELECT user_id, event_type AS mode_type, cnt AS mode_count
+             |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin),
+    ),
   )
 }

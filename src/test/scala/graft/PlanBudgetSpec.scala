@@ -41,6 +41,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q59_snapshot_diff" -> 4, "q60_histogram" -> 2, "q61_json_parse" -> 3,
     "q62_bucketed_join" -> 2, // agg + output sort; the JOIN is exchange-free
     "q63_schema_evolution" -> 3, "q64_moving_window" -> 2,
+    "q65_mode_per_group" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

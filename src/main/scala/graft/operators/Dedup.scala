@@ -154,10 +154,19 @@ object Dedup {
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
+    // k = size(sig) is data-dependent here (unlike minhashNearDupPairs,
+    // which knows k statically), so the bands-divides-k contract is
+    // enforced at eval time: bands > k would make every slice() empty
+    // (all docs collide into one bucket per band — quadratic candidate
+    // blowup) and k % bands != 0 silently drops the signature tail.
+    val k = size(col(sigCol))
+    val w = when(k >= bands && pmod(k, lit(bands)) === 0, k / bands)
+      .otherwise(raise_error(concat(
+        lit(s"lshBands: bands=$bands must divide the signature width k="),
+        k.cast("string"))).cast("double"))
     df.select(col(idCol).as("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
-        hash(slice(col(sigCol), b * (size(col(sigCol)) / bands) + 1,
-          size(col(sigCol)) / bands), b))))
+        hash(slice(col(sigCol), b * w + 1, w), b))))
       .toDF("id", "band_idx", "band_hash")
   }
 

@@ -54,6 +54,16 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("lshBands rejects bands that do not divide the signature width") {
+    val sigs = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "sig")
+    val e = intercept[Exception] {
+      Dedup.lshBands(sigs, "id", "sig", 2).collect()
+    }
+    assert(e.getMessage.contains("must divide"))
+    // and the happy path still bands correctly
+    assert(Dedup.lshBands(sigs, "id", "sig", 3).count() == 3)
+  }
+
   test("simhash: exact dup at Hamming 0; near-dup within 16; unrelated far") {
     val sims = corpus.select(col("doc_id"),
       Dedup.simhash64(Dedup.tokens(col("text"))).as("s"))

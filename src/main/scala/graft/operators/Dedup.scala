@@ -84,7 +84,45 @@ object Dedup {
     * pass a constant to compare across the whole corpus.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: Column, n: Int, threshold: Double): DataFrame = {
+      blockCol: Column, n: Int, threshold: Double): DataFrame =
+    cooccurrenceCounts(df, idCol, textCol, blockCol, n)
+      .withColumn("jac", col("shared").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("shared")).cast(DoubleType))
+      // coalesce blocks constraint propagation: a bare jac >= t filter
+      // infers isnotnull(sz_a), which Catalyst pushes to the scan and
+      // re-inlines as isnotnull(size(<entire shingle expression>)) — an
+      // extra full shingle evaluation per row. jac is never null here.
+      .filter(coalesce(col("jac") >= threshold, lit(false)))
+      .select(col("id_a"), col("id_b"), col("jac"))
+
+  /** n-gram CONTAINMENT near-dup pairs: cont(A→B) = |A∩B| / |A| — the
+    * asymmetric cousin of Jaccard that catches a small document subsumed
+    * by a larger one (quote inclusion, boilerplate wrapping), where the
+    * union in Jaccard's denominator dilutes the signal to ~|A|/|B|. Pairs
+    * stay canonical (id_a < id_b) with both directions reported; a pair
+    * qualifies when EITHER direction clears the threshold. Same inverted-
+    * index shape and cost as [[ngramJaccardPairs]].
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: Column, n: Int, threshold: Double): DataFrame =
+    cooccurrenceCounts(df, idCol, textCol, blockCol, n)
+      .withColumn("cont_a", col("shared").cast(DoubleType) / col("sz_a").cast(DoubleType))
+      .withColumn("cont_b", col("shared").cast(DoubleType) / col("sz_b").cast(DoubleType))
+      // coalesce for the same constraint-propagation reason as the
+      // Jaccard filter above; sz_* > 0 whenever a pair materializes, so
+      // neither containment is null here.
+      .filter(coalesce(greatest(col("cont_a"), col("cont_b")) >= threshold, lit(false)))
+      .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
+
+  /** Shared inverted-index core of the exact set-similarity pairs: explode
+    * shingles, self-join on the shingle (one shuffle), count shared
+    * shingles per canonical (id_a < id_b) pair. Work is proportional to
+    * co-occurring shingle instances, not n²·|shingles| (the nested-loop
+    * all-pairs form took 350s at sf0.1 where this takes seconds); pairs
+    * sharing zero shingles never materialize.
+    */
+  private def cooccurrenceCounts(df: DataFrame, idCol: String, textCol: String,
+      blockCol: Column, n: Int): DataFrame = {
     val withSh = df
       .select(col(idCol).as("id"), blockCol.as("block"),
         tokens(col(textCol)).as("toks"))
@@ -118,14 +156,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("shared"))
-      .withColumn("jac", col("shared").cast(DoubleType) /
-        (col("sz_a") + col("sz_b") - col("shared")).cast(DoubleType))
-      // coalesce blocks constraint propagation: a bare jac >= t filter
-      // infers isnotnull(sz_a), which Catalyst pushes to the scan and
-      // re-inlines as isnotnull(size(<entire shingle expression>)) — an
-      // extra full shingle evaluation per row. jac is never null here.
-      .filter(coalesce(col("jac") >= threshold, lit(false)))
-      .select(col("id_a"), col("id_b"), col("jac"))
   }
 
   // ------------------------------------------------------------- MinHash

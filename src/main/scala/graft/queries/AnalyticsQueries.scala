@@ -260,5 +260,93 @@ object AnalyticsQueries {
              |SELECT user_id, event_type AS mode_type, cnt AS mode_count
              |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // CUBE: every subtotal combination of (returnflag, linestatus) in one
+    // pass — completes the rollup (q40) / grouping-sets (q45) subtotal
+    // family. Stock Catalyst Expand (rows ×4), one shuffle; at 100 TB the
+    // Expand multiplies map-side rows but partial aggregation collapses
+    // them before the exchange, so the shuffle stays group-count-sized.
+    QueryDef(
+      "q66_cube",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_items"),
+            graft.operators.Aggregations.dsum(col("l_quantity"), 18, 2).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // HLL sketch vs exact distinct: the 100 TB cardinality path. Exact
+    // COUNT(DISTINCT) shuffles every distinct (group, value) pair;
+    // approx_count_distinct merges fixed-size HyperLogLog sketches
+    // (map-side partial → one small exchange) regardless of cardinality.
+    // Both run here and the query ASSERTS the sketch lands within 5% of
+    // truth (rsd=0.02 → ~2σ margin); the oracle pins exact counts and
+    // expects approx_ok=TRUE, so a sketch regression fails the gate.
+    QueryDef(
+      "q67_approx_distinct",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("exact_uniques"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+          .select(col("o_orderpriority"), col("exact_uniques"),
+            (abs(col("approx") - col("exact_uniques")) <=
+              col("exact_uniques") * 0.05).as("approx_ok"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_uniques,
+             |TRUE AS approx_ok
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Conversion funnel: first click per user → first purchase at-or-after
+    // it → conversion counts by latency bucket. Two hash aggregations on
+    // user_id plus one user_id equi-join — the join key matches both
+    // aggs' partitioning, so at scale the exchanges line up and nothing
+    // reshuffles twice. No timestamp arithmetic ambiguity: the latency
+    // buckets compare raw timestamps with INTERVAL literals.
+    QueryDef(
+      "q71_funnel",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+        val firstPurchase = ev.filter(col("event_type") === "purchase")
+          .join(firstClick, Seq("user_id"))
+          .filter(col("ts") >= col("first_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+        firstClick.join(firstPurchase, Seq("user_id"), "left")
+          .agg(
+            count(lit(1)).as("n_clickers"),
+            count(col("first_purchase")).as("n_converted"),
+            sum(when(col("first_purchase") <=
+              col("first_click") + expr("INTERVAL 1 HOUR"), 1L)
+              .otherwise(0L)).cast("long").as("n_within_1h"),
+            sum(when(col("first_purchase") <=
+              col("first_click") + expr("INTERVAL 24 HOURS"), 1L)
+              .otherwise(0L)).cast("long").as("n_within_24h"))
+      },
+      Some("""WITH fc AS (SELECT user_id, MIN(ts) AS first_click FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id),
+             |fp AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+             |  FROM events e JOIN fc USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+             |  GROUP BY e.user_id)
+             |SELECT COUNT(*) AS n_clickers,
+             |  COUNT(fp.first_purchase) AS n_converted,
+             |  CAST(SUM(CASE WHEN fp.first_purchase <= fc.first_click + INTERVAL 1 HOUR
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1h,
+             |  CAST(SUM(CASE WHEN fp.first_purchase <= fc.first_click + INTERVAL 24 HOURS
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_24h
+             |FROM fc LEFT JOIN fp USING (user_id)""".stripMargin),
+    ),
   )
 }

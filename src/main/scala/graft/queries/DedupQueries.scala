@@ -151,5 +151,34 @@ object DedupQueries {
              |WHERE levenshtein(a.p_name, b.p_name) <= 2
              |GROUP BY a.p_partkey ORDER BY a.p_partkey""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // n-gram CONTAINMENT pairs: |A∩B|/|A| — catches a small document
+    // subsumed by a larger one, which Jaccard's union denominator dilutes
+    // below any usable threshold. Same inverted-index core as q22 (the
+    // comparisons are exact integer-ratio doubles — no float-boundary
+    // hazard at the 0.8 threshold). The oracle guards len(s) > 0: docs
+    // shorter than the shingle width produce no pairs in the Spark plan
+    // (nothing explodes) and must not divide by zero in the all-pairs SQL.
+    QueryDef(
+      "q70_containment",
+      (spark, dir) =>
+        Dedup.ngramContainmentPairs(Tables.documents(spark, dir),
+            idCol = "doc_id", textCol = "text", blockCol = lit(1),
+            n = 3, threshold = 0.8)
+          .withColumn("cont_a", round(col("cont_a"), 6))
+          .withColumn("cont_b", round(col("cont_b"), 6))
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+             |  list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s FROM toks),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS cont_a,
+             |  len(list_intersect(a.s, b.s)) * 1.0 / len(b.s) AS cont_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+             |SELECT id_a, id_b, ROUND(cont_a, 6) AS cont_a, ROUND(cont_b, 6) AS cont_b
+             |FROM pairs WHERE greatest(cont_a, cont_b) >= 0.8 ORDER BY id_a, id_b""".stripMargin),
+    ),
   )
 }

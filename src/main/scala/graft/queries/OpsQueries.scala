@@ -221,5 +221,47 @@ object OpsQueries {
            |FROM c ORDER BY event_id LIMIT 500""".stripMargin
       },
     ),
+
+    // ----------------------------------------------------------------
+    // MAD-based robust outliers per event_type — the median-of-deviations
+    // counterpart to q55's z-score: immune to the outliers it is hunting
+    // (a single 1e9 reading shifts a mean/stddev gate but not a median
+    // gate). Exact medians (percentile 0.5, linear interpolation in both
+    // engines), and the outlier comparison |v-med| > 3·MAD involves no
+    // transcendentals — every boundary decision is identical double
+    // arithmetic on both engines. Shape: two small per-group median aggs
+    // broadcast back onto the events; three shuffles on event_type.
+    QueryDef(
+      "q69_mad_outlier",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .filter(col("value").isNotNull)
+        val med = ev.groupBy(col("event_type"))
+          .agg(median(col("value")).as("med"))
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mads = dev.groupBy(col("event_type"))
+          .agg(median(col("adev")).as("mad"))
+        dev.join(broadcast(mads), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(max(col("med")), 6).as("median_value"),
+            round(max(col("mad")), 6).as("mad_value"),
+            sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+              .cast("long").as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+             |med AS (SELECT event_type, median(value) AS med FROM ev GROUP BY event_type),
+             |dev AS (SELECT ev.event_type, abs(ev.value - med.med) AS adev, med.med
+             |  FROM ev JOIN med USING (event_type)),
+             |mads AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+             |SELECT d.event_type, COUNT(*) AS n_events,
+             |  ROUND(MAX(d.med), 6) AS median_value,
+             |  ROUND(MAX(m.mad), 6) AS mad_value,
+             |  CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev d JOIN mads m USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+    ),
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.core.Tables
 import graft.operators.{Multimodal, TextAnalysis}
 
@@ -220,6 +221,44 @@ object TextQueries {
              |  FROM toks)
              |SELECT gram, COUNT(*) AS freq FROM grams
              |GROUP BY gram ORDER BY freq DESC, gram LIMIT 20""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Unigram language-model scoring: per-document mean log-probability
+    // under the corpus's own unigram distribution — the classic cheap
+    // "does this document look like the corpus" quality signal (gibberish
+    // and boilerplate both score low). Tokens are staged in their own
+    // projection (Catalyst re-splits per element otherwise), the term
+    // table is ONE aggregation reused via join, and the corpus total
+    // rides in the plan as a one-row frame — no extra driver-side pass.
+    // The per-doc Σ log p is order-sensitive in doubles, so it routes
+    // through DECIMAL(28,12) (quantized ln values sum exactly in any
+    // order) before the final divide — the q55 determinism pattern.
+    QueryDef(
+      "q68_doc_logprob",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+        val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("term_freq"))
+        val total = tf.agg(sum(col("term_freq")).cast(DoubleType).as("n_total"))
+        toks.join(tf, Seq("term")).crossJoin(total)
+          .withColumn("logp", log(col("term_freq") / col("n_total")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("logp").cast(DecimalType(28, 12))).cast(DoubleType) /
+              count(lit(1)), 6).as("avg_logp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT term, COUNT(*) AS term_freq FROM toks GROUP BY term),
+             |tot AS (SELECT CAST(SUM(term_freq) AS DOUBLE) AS n_total FROM tf)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  ROUND(CAST(SUM(CAST(ln(term_freq / n_total) AS DECIMAL(28,12))) AS DOUBLE)
+             |    / COUNT(*), 6) AS avg_logp
+             |FROM toks JOIN tf USING (term) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
   )
 }

@@ -54,6 +54,22 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("containment catches a subsumed doc that Jaccard misses") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "totally unrelated words about something else entirely here now"),
+    ).toDF("doc_id", "text")
+    // doc 1's 3 shingles are all inside doc 2 → containment 1.0, but
+    // Jaccard is 3/18 ≈ 0.17 — below any usable near-dup threshold.
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text", lit(1), 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1), 3, 0.5)
+    assert(jac.count() == 0)
+  }
+
   test("lshBands rejects bands that do not divide the signature width") {
     val sigs = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "sig")
     val e = intercept[Exception] {

@@ -42,6 +42,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q62_bucketed_join" -> 2, // agg + output sort; the JOIN is exchange-free
     "q63_schema_evolution" -> 3, "q64_moving_window" -> 2,
     "q65_mode_per_group" -> 3,
+    "q66_cube" -> 2, "q67_approx_distinct" -> 3,
+    // q68: term-freq agg, corpus-total agg, per-doc agg, output sort, plus
+    // the single-partition exchange under the one-row total.
+    "q68_doc_logprob" -> 5,
+    // q69: two median aggs + final agg + sort; the broadcast joins add the
+    // fifth (events scanned twice — the dev frame feeds both median and
+    // final aggregation; acceptable: the re-read is a columnar scan, the
+    // medians themselves are group-count-sized).
+    "q69_mad_outlier" -> 5,
+    "q70_containment" -> 2, "q71_funnel" -> 4,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -158,6 +158,44 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Cross-corpus contamination check: for every document in the EVAL
+    * split, how many of its distinct n-gram shingles also occur anywhere
+    * in the TRAIN split — the benchmark-leakage scan run before training.
+    * Zero-overlap eval docs are kept (n_shared = 0): the report must
+    * enumerate the clean docs, not just the contaminated ones.
+    *
+    * Scale shape: one exploded/hashed gram stream, split by the
+    * predicate; the train side collapses to DISTINCT grams before the
+    * semi-join, so the join is |eval grams| ⋈ |train vocabulary| keyed on
+    * the 64-bit gram hash — never doc×doc. Collision risk is the q22
+    * argument (~1e-8 at 1M distinct grams).
+    */
+  def crossCorpusContamination(df: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, n: Int): DataFrame = {
+    val withSh = df
+      .select(col(idCol).as("id"), evalPred.as("is_eval"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("is_eval"),
+        shinglesFromTokens(col("toks"), n).as("sh"))
+    // Cache the exploded hashed stream: both splits read it (the
+    // differing filters defeat ReusedExchange), same rationale as
+    // cooccurrenceCounts. Session-scoped; reclaim via clearCache().
+    val ex = withSh
+      .select(col("id"), col("is_eval"), explode_outer(col("sh")).as("g"))
+      .filter(col("g").isNotNull)
+      .withColumn("g", xxhash64(col("g")))
+      .cache()
+    val trainVocab = ex.filter(!col("is_eval")).select(col("g")).distinct()
+    val shared = ex.filter(col("is_eval"))
+      .join(trainVocab, Seq("g"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    withSh.filter(col("is_eval"))
+      .select(col("id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(shared, Seq("id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Large prime modulus for the universal-hash family h_i(x) = (a_i·x + b_i) mod P

@@ -145,6 +145,54 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("term_rank"), col("term"), col("bm25"))
   }
 
+  /** PII patterns for [[piiRedact]]/[[piiCounts]]. Deliberately the
+    * RE2-compatible subset (char classes + bounded repeats, no lookaround)
+    * so the same pattern text runs identically under Java regex (Spark)
+    * and RE2-family engines — redaction must not depend on which engine
+    * scrubbed the corpus.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._]+@[a-zA-Z0-9]+\\.[a-zA-Z]+",
+    "phone" -> "[0-9]{3}-[0-9]{4}",
+  )
+
+  /** Redact every PII pattern occurrence with its [TYPE] placeholder —
+    * the pre-training scrub pass. Patterns apply in declaration order
+    * (email first, so a phone-like substring inside an address never
+    * splits an email match).
+    */
+  def piiRedact(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (kind, re)) =>
+      regexp_replace(acc, re, s"[${kind.toUpperCase}]")
+    }
+
+  /** Per-kind PII match counts (audit trail for the scrub pass). */
+  def piiCounts(c: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (kind, re) =>
+      kind -> size(regexp_extract_all(c, lit(re), lit(0))).cast(LongType)
+    }
+
+  /** Intra-document repetition stats over word n-grams: total grams,
+    * the most-repeated gram's multiplicity, and their ratio — the cheap
+    * boilerplate/spam signal (Gopher's repetition filters): natural text
+    * rarely repeats one bigram past a few percent of the stream. Docs
+    * shorter than the gram width produce no grams and drop out (nothing
+    * to measure). One shuffle on (id, gram), one on id.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val grams = toks
+      .select(col("id"), explode_outer(Dedup.gramsFromTokens(col("toks"), n)).as("g"))
+      .filter(col("g").isNotNull)
+    grams.groupBy(col("id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).cast(LongType).as("n_grams"),
+        max(col("cnt")).cast(LongType).as("max_rep"))
+      .withColumn("rep_ratio",
+        col("max_rep").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
   /** Polynomial rolling hash (Rabin-Karp shape) over the token stream —
     * an order-SENSITIVE fingerprint, unlike the MD5 of the normalized text:
     * hash = Σ tok_hash(t_i)·B^i mod P, computed as a left fold.

@@ -348,5 +348,39 @@ object AnalyticsQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_24h
              |FROM fc LEFT JOIN fp USING (user_id)""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // MERGEABLE sketches — the incremental-cardinality pattern behind
+    // per-partition statistics tables: one Datasketches HLL sketch per
+    // source (the per-ingest-batch artifact), hll_union_agg merges the
+    // binary sketches WITHOUT re-reading the token stream, and the merged
+    // estimate is asserted within 5% of the exact corpus vocabulary
+    // (lgConfigK=12 → ~1.6% rse). At 100 TB this is the difference
+    // between re-scanning the corpus per cardinality question and
+    // merging kilobyte sketches; the oracle pins the exact counts and
+    // approx_ok=TRUE so a sketch/merge regression fails the gate.
+    QueryDef(
+      "q74_sketch_merge",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(col("source"),
+            graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("source"), explode(col("toks")).as("term"))
+        val perSource = toks.groupBy(col("source"))
+          .agg(hll_sketch_agg(col("term"), lit(12)).as("sk"))
+        val merged = perSource.agg(count(lit(1)).as("n_sources"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+        val exact = toks.agg(countDistinct(col("term")).as("exact_vocab"))
+        merged.crossJoin(exact)
+          .select(col("n_sources"), col("exact_vocab"),
+            (abs(col("approx") - col("exact_vocab")) <=
+              col("exact_vocab") * 0.05).as("approx_ok"))
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |  FROM documents)
+             |SELECT COUNT(DISTINCT source) AS n_sources,
+             |  COUNT(DISTINCT term) AS exact_vocab, TRUE AS approx_ok
+             |FROM toks""".stripMargin),
+    ),
   )
 }

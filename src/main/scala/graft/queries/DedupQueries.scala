@@ -180,5 +180,35 @@ object DedupQueries {
              |SELECT id_a, id_b, ROUND(cont_a, 6) AS cont_a, ROUND(cont_b, 6) AS cont_b
              |FROM pairs WHERE greatest(cont_a, cont_b) >= 0.8 ORDER BY id_a, id_b""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Benchmark-contamination scan: eval split = every 20th doc; for each
+    // eval doc, how many of its distinct 5-gram shingles occur anywhere
+    // in the train split. The join is eval-grams ⋈ distinct train
+    // vocabulary on the 64-bit gram hash — never doc×doc — and clean
+    // (zero-overlap) eval docs stay in the report.
+    QueryDef(
+      "q75_contamination",
+      (spark, dir) =>
+        Dedup.crossCorpusContamination(Tables.documents(spark, dir),
+            idCol = "doc_id", textCol = "text",
+            evalPred = col("doc_id") % 20 === 0, n = 5)
+          .select(col("id").as("doc_id"), col("n_grams"),
+            col("n_shared"), col("contaminated"))
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 5 THEN [] ELSE
+             |  list_transform(range(1, len(l)-3),
+             |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]) END) AS s
+             |  FROM toks),
+             |tg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0),
+             |ev AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n_shared FROM ev JOIN tg USING (g) GROUP BY doc_id)
+             |SELECT s.doc_id, CAST(len(s.s) AS BIGINT) AS n_grams,
+             |  CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared,
+             |  COALESCE(c.n_shared, 0) > 0 AS contaminated
+             |FROM sh s LEFT JOIN cnt c USING (doc_id)
+             |WHERE s.doc_id % 20 = 0 ORDER BY s.doc_id""".stripMargin),
+    ),
   )
 }

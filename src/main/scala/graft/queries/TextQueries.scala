@@ -260,5 +260,77 @@ object TextQueries {
              |FROM toks JOIN tf USING (term) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // PII scrubbing: regex redaction of emails/phones with per-kind match
+    // counts (the audit trail) — the pre-training scrub pass. The corpus
+    // tables carry no natural PII, so the contact blob is CONSTRUCTED
+    // in-plan from customer keys, identically on both engines (fixture
+    // construction; the operator under test is the redaction). Patterns
+    // are the RE2-compatible subset so Java regex and RE2 agree; DuckDB
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all semantics.
+    QueryDef(
+      "q72_pii_scrub",
+      (spark, dir) => {
+        val k = col("c_custkey")
+        val raw = concat(col("c_name"), lit(" <user"), k.cast("string"),
+          lit("@example.com>"),
+          when(k % 3 === 0, concat(lit(" call "),
+            (k % 900 + 100).cast("string"), lit("-"),
+            ((k * 7) % 9000 + 1000).cast("string"))).otherwise(lit("")),
+          when(k % 5 === 0, concat(lit(" cc user"), k.cast("string"),
+            lit(".backup@mail.org"))).otherwise(lit("")))
+        val counts = TextAnalysis.piiCounts(raw).toMap
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"),
+            TextAnalysis.piiRedact(raw).as("scrubbed"),
+            counts("email").as("n_email"),
+            counts("phone").as("n_phone"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH r AS (SELECT c_custkey,
+             |  c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>' ||
+             |  CASE WHEN c_custkey % 3 = 0 THEN ' call ' ||
+             |    CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' ||
+             |    CAST((c_custkey * 7) % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+             |  CASE WHEN c_custkey % 5 = 0 THEN ' cc user' ||
+             |    CAST(c_custkey AS VARCHAR) || '.backup@mail.org' ELSE '' END AS raw
+             |  FROM customer)
+             |SELECT c_custkey,
+             |  regexp_replace(regexp_replace(raw,
+             |    '[a-zA-Z0-9._]+@[a-zA-Z0-9]+\.[a-zA-Z]+', '[EMAIL]', 'g'),
+             |    '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS scrubbed,
+             |  CAST(len(regexp_extract_all(raw, '[a-zA-Z0-9._]+@[a-zA-Z0-9]+\.[a-zA-Z]+')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone
+             |FROM r ORDER BY c_custkey""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Intra-document repetition: most-repeated bigram's share of the gram
+    // stream — the boilerplate/spam filter signal. The `repetitive`
+    // verdict compares the UNROUNDED exact-rational ratio (no float-
+    // boundary hazard); docs shorter than the gram width drop out on
+    // both engines (no grams to measure).
+    QueryDef(
+      "q73_repetition",
+      (spark, dir) =>
+        TextAnalysis.repetitionStats(Tables.documents(spark, dir),
+            idCol = "doc_id", textCol = "text", n = 2)
+          .select(col("id").as("doc_id"), col("n_grams"), col("max_rep"),
+            round(col("rep_ratio"), 6).as("rep_ratio"),
+            (col("rep_ratio") >= 0.1).as("repetitive"))
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |grams AS (SELECT doc_id, unnest(CASE WHEN len(l) < 2 THEN []
+             |    ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) END) AS g
+             |  FROM toks),
+             |c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g)
+             |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             |  CAST(MAX(cnt) AS BIGINT) AS max_rep,
+             |  ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS rep_ratio,
+             |  MAX(cnt) * 1.0 / SUM(cnt) >= 0.1 AS repetitive
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -70,6 +70,20 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.count() == 0)
   }
 
+  test("contamination counts shared eval grams; clean eval docs stay") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // train
+      (20L, "alpha beta gamma delta epsilon eta"),  // eval: shares 3 3-grams
+      (40L, "one two three four five six"),         // eval: clean
+      (11L, "unrelated train words entirely here"), // train
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusContamination(docs, "doc_id", "text",
+        col("doc_id") % 20 === 0, n = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))).sortBy(_._1)
+    assert(out.toSeq == Seq((20L, 4L, 3L, true), (40L, 4L, 0L, false)))
+  }
+
   test("lshBands rejects bands that do not divide the signature width") {
     val sigs = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "sig")
     val e = intercept[Exception] {

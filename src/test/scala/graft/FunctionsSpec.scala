@@ -80,4 +80,24 @@ class FunctionsSpec extends AnyFunSuite {
     ).toDF("text").select(TextAnalysis.langId(col("text")).as("l"))
     assert(df.collect().map(_.getString(0)) === Array("en", "de", "und"))
   }
+
+  test("piiRedact scrubs emails and phones; piiCounts tallies them") {
+    val df = Seq("mail bob.smith@corp.io or call 555-1234 x2, cc a@b.cz")
+      .toDF("t")
+    val counts = TextAnalysis.piiCounts(col("t")).toMap
+    val row = df.select(TextAnalysis.piiRedact(col("t")).as("s"),
+      counts("email").as("ne"), counts("phone").as("np")).head()
+    assert(row.getString(0) === "mail [EMAIL] or call [PHONE] x2, cc [EMAIL]")
+    assert(row.getLong(1) === 2 && row.getLong(2) === 1)
+  }
+
+  test("repetitionStats: max bigram share; short docs drop out") {
+    val df = Seq((1L, "a b a b a b"), (2L, "one")).toDF("id", "text")
+    val rows = TextAnalysis.repetitionStats(df, "id", "text", 2).collect()
+    assert(rows.length === 1) // doc 2 has no bigrams
+    val r = rows.head
+    // grams: "a b","b a","a b","b a","a b" → 5 total, "a b" ×3
+    assert(r.getAs[Long]("n_grams") === 5 && r.getAs[Long]("max_rep") === 3)
+    assert(math.abs(r.getAs[Double]("rep_ratio") - 0.6) < 1e-12)
+  }
 }

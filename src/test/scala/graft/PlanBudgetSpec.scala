@@ -52,6 +52,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // medians themselves are group-count-sized).
     "q69_mad_outlier" -> 5,
     "q70_containment" -> 2, "q71_funnel" -> 4,
+    "q72_pii_scrub" -> 1, "q73_repetition" -> 3,
+    // q74: per-source sketch agg, sketch-merge agg, exact-distinct agg
+    // (expand), plus the single-partition exchange under the one-row
+    // merge — the exact side exists only to audit the sketch.
+    "q74_sketch_merge" -> 4,
+    "q75_contamination" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

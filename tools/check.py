@@ -41,6 +41,7 @@ def rowset(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    only = set(sys.argv[3:])  # optional query-name subset
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
@@ -52,6 +53,8 @@ def main():
     failures = 0
     result_dirs = sorted(glob.glob(f"{out_dir}/*/"))
     names = [d.rstrip("/").rsplit("/", 1)[-1] for d in result_dirs]
+    if only:
+        names = [n for n in names if n in only]
     for name in names:
         spark_rel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")

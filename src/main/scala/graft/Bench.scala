@@ -41,6 +41,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+      // Operators cache multiply-referenced frames session-scoped (they
+      // return lazy frames, so they can't unpersist). Across 65 sequential
+      // queries those blocks accumulate until storage pressure evicts the
+      // CURRENT query's cache mid-run (q46 measured 12s under churn vs
+      // 1.4s clean). Per-query isolation is the honest measurement.
+      spark.catalog.clearCache()
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // A crashed query must be machine-detectable from the JSON alone:

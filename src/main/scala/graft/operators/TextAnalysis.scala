@@ -29,18 +29,34 @@ object TextAnalysis {
 
   /** Language-ID heuristic: argmax of stopword hits across profiles; ties
     * and all-zero go to "und" (undetermined). Deterministic: profiles are
-    * compared in fixed order and a strictly-greater rule breaks ties.
+    * compared in fixed order and the first profile reaching the max wins.
+    *
+    * Built as ONE pass over the token array: a single `aggregate` folds the
+    * tokens into a per-profile hit-count array, and the argmax runs inside a
+    * `transform` lambda so the hits array is referenced exactly once. The
+    * naive form (per-profile `size(filter(...))` + a nested `when` fold)
+    * re-inlines the tokenizing `split` into every score AND every branch of
+    * the fold — a multiplicative expression blow-up that took ~6 s on 5k
+    * rows purely in eval/codegen cost.
     */
   def langId(textCol: Column): Column = {
-    val toks = tokens(textCol)
-    val scored = StopwordProfiles.map { case (lang, words) =>
-      (lang, stopwordHits(toks, words))
-    }
-    val maxScore = greatest(scored.map(_._2): _*)
-    val pick = scored.foldLeft(lit("und")) { case (acc, (lang, score)) =>
-      when(score === maxScore && maxScore > 0 && acc === "und", lit(lang)).otherwise(acc)
-    }
-    pick
+    val zero = array(StopwordProfiles.map(_ => lit(0)): _*)
+    val hits = aggregate(
+      tokens(textCol),
+      zero,
+      (acc, t) => array(StopwordProfiles.zipWithIndex.map { case ((_, words), i) =>
+        element_at(acc, i + 1) + when(t.isInCollection(words), 1).otherwise(0)
+      }: _*))
+    // `h` is a lambda variable: re-referencing it is free, unlike `hits`.
+    val pick = transform(array(hits), h => {
+      val mx = array_max(h)
+      val chain = StopwordProfiles.zipWithIndex.reverse
+        .foldLeft(lit("und")) { case (els, ((lang, _), i)) =>
+          when(element_at(h, i + 1) === mx, lit(lang)).otherwise(els)
+        }
+      when(mx <= 0, lit("und")).otherwise(chain)
+    })
+    element_at(pick, 1)
   }
 
   /** Quality metrics: token count, type-token ratio (distinct/total),

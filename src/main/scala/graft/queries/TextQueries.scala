@@ -16,11 +16,19 @@ object TextQueries {
     // decision procedure.
     QueryDef(
       "q28_lang_id",
-      (spark, dir) =>
+      (spark, dir) => {
+        // The scoring pass is compute-heavy per row and the query has no
+        // shuffle of its own, so a small documents table (one parquet
+        // split) would otherwise run the whole tokenize+score loop in ONE
+        // task. Redistribute the skinny scan first — same idiom as q50.
+        val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
         Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .repartition(shufflePartitions)
           .select(col("doc_id"), col("lang").as("labeled_lang"),
             TextAnalysis.langId(col("text")).as("pred_lang"))
-          .orderBy(col("doc_id")),
+          .orderBy(col("doc_id"))
+      },
       Some("""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
              |s AS (SELECT doc_id, lang,
              |  len(list_filter(l, x -> list_contains(['the','a','of','and','to','is','in','that','it','for'], x))) AS s_en,

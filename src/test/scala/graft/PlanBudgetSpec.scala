@@ -24,7 +24,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q18_window_rank" -> 2, "q19_hourly_events" -> 3, "q20_validation" -> 5,
     "q21_dedup_exact" -> 2, "q22_ngram_jaccard" -> 2, "q23_minhash_lsh" -> 2,
     "q24_simhash" -> 2, "q25_embed_neardup" -> 1, "q26_ann_topk" -> 2,
-    "q27_ann_lsh" -> 3, "q28_lang_id" -> 1, "q29_text_quality" -> 1,
+    // q28's 2nd shuffle is the deliberate compute-spreading repartition
+    // before the scoring pass (same pattern as q50's probe-side one): the
+    // documents scan is a single parquet split at test SF and the per-row
+    // n-gram fold is compute-bound, so spreading it across cores is the
+    // intended plan.
+    "q27_ann_lsh" -> 3, "q28_lang_id" -> 2, "q29_text_quality" -> 1,
     "q30_token_count" -> 1, "q31_fingerprint" -> 1, "q32_multimodal_meta" -> 1,
     "q33_media_features" -> 1, "q34_hmac_sign" -> 1, "q35_ann_ivf" -> 4,
     "q36_dedup_clusters" -> 1, "q37_train_split" -> 2, "q38_balanced_sample" -> 2,

@@ -75,8 +75,13 @@ object TransformQueries {
 
     // ----------------------------------------------------------------
     // S11 request signing as a Catalyst expression (auth.py:32-65): hex
-    // HMAC-SHA256 over a per-row request path. No DuckDB HMAC → rows-only;
-    // the ScalaTest suite pins RFC 4231 test vectors.
+    // HMAC-SHA256 over a per-row request path. DuckDB has no HMAC, so the
+    // oracle is a partial one: the expected digests were precomputed with
+    // an INDEPENDENT implementation (Python stdlib hmac/hashlib) over the
+    // same nation rows and pinned as a VALUES fixture joined to the live
+    // table — nation is the fixed 25-row TPC-H dimension at every SF, so
+    // the fixture is scale-independent. The ScalaTest suite additionally
+    // pins the RFC 4231 test vectors.
     QueryDef(
       "q34_hmac_sign",
       (spark, dir) =>
@@ -86,7 +91,35 @@ object TransformQueries {
             lit("graft-secret"),
             concat(lit("/api/orders/search?nation="), col("n_name"))).as("signature"))
           .orderBy(col("n_nationkey")),
-      None,
+      Some("""SELECT n.n_nationkey, f.signature
+             |FROM nation n JOIN (VALUES
+             |(0, '4db59882357dfe3689aa6617270cbcae79dda1df2c0034beba2c91fbaa98cdca'),
+             |(1, '2d4b8204233f3f31a245ff48a66ba8874e4636c192a91556cb774186cc6b419b'),
+             |(2, 'c417fb323804afeb2b6719df2971129db29e1b65cda7687a665b003aba228430'),
+             |(3, '409f9577094dff952b39062c4fb35a0b65813f706dd200435a6187fffb6a727f'),
+             |(4, '6323e138a71e024aacb470e2b3aac4c313229969e0a7961aebc7cadbc6dd8e98'),
+             |(5, '91ea85dfc314f6f9fc6e2d5147b01fb918534cb1a8fcd85816ba2910b8b29e76'),
+             |(6, 'e0d6eef6e570dedcfa3caf5fa6f16d539ea32abe5d2d894b2113be48c8f6d1d4'),
+             |(7, 'f387b5fdeea8ee139d551df2741bfdcb1656d63fd207b7f334053bc74a28e1b5'),
+             |(8, 'a28215d6f67a9adfa258f461871842d118cc46ddda85add25728566959a9cf53'),
+             |(9, '269f759ba4ee3c14a1caf5f38da0a1f8aec2211f68b7413676df14cd633118ba'),
+             |(10, 'c18b3b32222281033da094dabe8137c050d897a9155379227a6c20c1282773c2'),
+             |(11, 'd5411d881d70cdfb11e6972ddf19b21427cc4e0aa15dc5f9808dffea52c7edb0'),
+             |(12, '9fcee364179a087c1ec561efed537c39dbec112b8525584239060d23d0c4abb6'),
+             |(13, '8665ec31a771a652c895cdaf5f9d52141e8ef740e254019644b061bf622ae499'),
+             |(14, '0354d33df360d36cd05ebcc0e8c42d44357ff69ab7dcef50ebdb8b16537181f4'),
+             |(15, '7ad64b72865828efb6685526bebbbacf1ed78720077ef3acfd9a278d2164701b'),
+             |(16, '174f64d70481b118fcca8a56517f7de8feb5682cd4b2832e95877260fc47d2ef'),
+             |(17, 'dd9981f0010d06c5430c6562ea423dc57a78a48ff11a5ec0e1c8d3490f7f32f8'),
+             |(18, '4d792ef2463a432887f43365cb492858684b8930ca886bb1844d4af45ec9b4cc'),
+             |(19, '10c993ca4cfc8dbbe8ddec47e893439db061ee008e1324d1b9ff44731617a49a'),
+             |(20, '973483761c36dbf63e86f8026130f87b21adbf6d927273e91a4410705c9107cb'),
+             |(21, 'cce9964cbd90275751fa5c661802a8f0746125282fbe18e1542cf9e549f143f1'),
+             |(22, '1c509c74bef06d9afb8e3ab25495b824a187c9832cbb409c95bdcdabca42f2ea'),
+             |(23, '499c804aa7c43c7267fe53783786154e8160c7e3a7dbd7820752febc550a8d4c'),
+             |(24, 'a163edd5a6562769e32ad987993611164e0447493328dc7ff063728158909096')
+             |) AS f(n_nationkey, signature) ON n.n_nationkey = f.n_nationkey
+             |ORDER BY n.n_nationkey""".stripMargin),
     ),
 
     // ----------------------------------------------------------------

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.core.CacheScope
+
 /** Training-data deduplication family: exact, MinHash+LSH, SimHash, n-gram
   * Jaccard — the operators a 100 TB text-corpus pipeline needs in front of
   * model training.
@@ -84,8 +86,9 @@ object Dedup {
     * pass a constant to compare across the whole corpus.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: Column, n: Int, threshold: Double): DataFrame =
-    cooccurrenceCounts(df, idCol, textCol, blockCol, n)
+      blockCol: Column, n: Int, threshold: Double,
+      scope: CacheScope = CacheScope.session): DataFrame =
+    cooccurrenceCounts(df, idCol, textCol, blockCol, n, scope)
       .withColumn("jac", col("shared").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("shared")).cast(DoubleType))
       // coalesce blocks constraint propagation: a bare jac >= t filter
@@ -104,8 +107,9 @@ object Dedup {
     * index shape and cost as [[ngramJaccardPairs]].
     */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: Column, n: Int, threshold: Double): DataFrame =
-    cooccurrenceCounts(df, idCol, textCol, blockCol, n)
+      blockCol: Column, n: Int, threshold: Double,
+      scope: CacheScope = CacheScope.session): DataFrame =
+    cooccurrenceCounts(df, idCol, textCol, blockCol, n, scope)
       .withColumn("cont_a", col("shared").cast(DoubleType) / col("sz_a").cast(DoubleType))
       .withColumn("cont_b", col("shared").cast(DoubleType) / col("sz_b").cast(DoubleType))
       // coalesce for the same constraint-propagation reason as the
@@ -122,7 +126,7 @@ object Dedup {
     * sharing zero shingles never materialize.
     */
   private def cooccurrenceCounts(df: DataFrame, idCol: String, textCol: String,
-      blockCol: Column, n: Int): DataFrame = {
+      blockCol: Column, n: Int, scope: CacheScope): DataFrame = {
     val withSh = df
       .select(col(idCol).as("id"), blockCol.as("block"),
         tokens(col(textCol)).as("toks"))
@@ -141,15 +145,13 @@ object Dedup {
     // Cache the EXPLODED, hashed frame (4 narrow columns — far smaller
     // than the shingle arrays): both self-join branches read it, so
     // tokenize → shingle → explode runs once, not once per branch (the
-    // differing branch projections defeat ReusedExchange). The cache is
-    // session-scoped by design — the returned frame is lazy, so this
-    // operator cannot unpersist it; long-lived sessions reclaim via
-    // spark.catalog.clearCache().
-    val ex = withSh.select(col("id"), col("block"), col("sz"),
+    // differing branch projections defeat ReusedExchange). Lifecycle is
+    // the caller's CacheScope — release it once the pairs are consumed;
+    // the default scope is session-lifetime (clearCache() reclaims).
+    val ex = scope.cached(withSh.select(col("id"), col("block"), col("sz"),
       explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-      .withColumn("s", xxhash64(col("s")))
-      .cache()
+      .withColumn("s", xxhash64(col("s"))))
     val a = ex.select(col("id").as("id_a"), col("block"), col("sz").as("sz_a"), col("s"))
     val b = ex.select(col("id").as("id_b"), col("block"), col("sz").as("sz_b"), col("s"))
     a.join(b, Seq("block", "s"))
@@ -171,7 +173,8 @@ object Dedup {
     * argument (~1e-8 at 1M distinct grams).
     */
   def crossCorpusContamination(df: DataFrame, idCol: String, textCol: String,
-      evalPred: Column, n: Int): DataFrame = {
+      evalPred: Column, n: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val withSh = df
       .select(col(idCol).as("id"), evalPred.as("is_eval"),
         tokens(col(textCol)).as("toks"))
@@ -179,12 +182,11 @@ object Dedup {
         shinglesFromTokens(col("toks"), n).as("sh"))
     // Cache the exploded hashed stream: both splits read it (the
     // differing filters defeat ReusedExchange), same rationale as
-    // cooccurrenceCounts. Session-scoped; reclaim via clearCache().
-    val ex = withSh
+    // cooccurrenceCounts. Lifecycle is the caller's CacheScope.
+    val ex = scope.cached(withSh
       .select(col("id"), col("is_eval"), explode_outer(col("sh")).as("g"))
       .filter(col("g").isNotNull)
-      .withColumn("g", xxhash64(col("g")))
-      .cache()
+      .withColumn("g", xxhash64(col("g"))))
     val trainVocab = ex.filter(!col("is_eval")).select(col("g")).distinct()
     val shared = ex.filter(col("is_eval"))
       .join(trainVocab, Seq("g"), "left_semi")
@@ -256,20 +258,21 @@ object Dedup {
     * jac≥0.5 is ≈ 1-(1-0.5⁴)³² ≈ 0.87 and at jac≥0.9, ≈ 1-5e-6.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, k: Int = 128, bands: Int = 32): DataFrame = {
+      n: Int, threshold: Double, k: Int = 128, bands: Int = 32,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     // bands > k would make every slice() empty (all docs collide into one
     // bucket per band — quadratic candidate blowup); k % bands != 0 would
     // silently drop the signature tail and weaken the recall math above.
     require(bands <= k && k % bands == 0,
       s"bands ($bands) must divide the signature width k ($k)")
-    val withSh = df
+    val withSh = scope.cached(df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", minhashSignature(col("sh"), k)))
       // Referenced three times below (band generation + both verification
-      // joins); cache so the tokenize→shingle→k-hash signature work — the
+      // joins); cached so the tokenize→shingle→k-hash signature work — the
       // most expensive per-document stage — runs once, not three times.
-      .cache()
+      // Lifecycle is the caller's CacheScope.
     val candidates = lshCandidatePairs(lshBands(withSh, "id", "sig", bands))
     candidates
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -312,12 +315,13 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int,
-      tokenHasher: Column => Column = t => xxhash64(t)): DataFrame = {
+      tokenHasher: Column => Column = t => xxhash64(t),
+      scope: CacheScope = CacheScope.session): DataFrame = {
     // Cached: both chunk-join branches read this frame — without the cache
     // each branch re-runs tokenize + per-token hash + the 64-bit sign sum.
-    val withSim = df.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol)), tokenHasher).as("sim"))
-      .cache()
+    // Lifecycle is the caller's CacheScope.
+    val withSim = scope.cached(df.select(col(idCol).as("id"),
+      simhash64(tokens(col(textCol)), tokenHasher).as("sim")))
     val chunked = withSim.select(col("id"), col("sim"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -102,17 +102,18 @@ object TextAnalysis {
     * partial-aggregated.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
-      perDoc: Int): DataFrame = {
+      perDoc: Int, scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE aggregation over the exploded token stream (the big shuffle);
     // every other statistic derives from the much smaller tf frame:
     // df(term) = number of (doc,term) groups per term — tf's grain IS
     // doc-distinct terms, so no separate distinct pass. Cache tf (two
-    // consumers), not the exploded stream.
+    // consumers), not the exploded stream; lifecycle is the caller's
+    // CacheScope.
     val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), explode(col("toks")).as("term"))
-    val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
-      .cache()
+    val tf = scope.cached(
+      toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // Corpus size as a one-row broadcast scalar IN the plan — a driver-side
     // df.count() here would be a whole extra pass over the source.
@@ -133,15 +134,17 @@ object TextAnalysis {
     * plus a broadcast scalar (avgdl).
     */
   def bm25TopTerms(df: DataFrame, idCol: String, textCol: String,
-      perDoc: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      perDoc: Int, k1: Double = 1.2, b: Double = 0.75,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE aggregation over the exploded token stream; dl and df both
     // derive from the small tf frame (see tfidfTopTerms): dl(doc) = Σ tf,
-    // df(term) = group count per term. Cache tf — three consumers.
+    // df(term) = group count per term. Cache tf — three consumers;
+    // lifecycle is the caller's CacheScope.
     val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), explode(col("toks")).as("term"))
-    val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
-      .cache()
+    val tf = scope.cached(
+      toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // Both corpus scalars live IN the plan as one-row broadcast frames —

@@ -120,4 +120,44 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L)))
   }
+
+  // Distinct corpora per lifecycle test: CacheManager keys on the
+  // canonicalized plan, so reusing `corpus` would hit caches an earlier
+  // test already created and the persistent-RDD delta would be empty.
+  def lifecycleCorpus(salt: String) = Seq(
+    (11L, s"alpha beta gamma delta epsilon zeta $salt one"),
+    (12L, s"alpha beta gamma delta epsilon zeta $salt two"),
+    (13L, s"unrelated tokens entirely separate vocabulary $salt"),
+  ).toDF("doc_id", "text")
+
+  test("CacheScope: operator caches are released once the output is consumed") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val scope = graft.core.CacheScope()
+    val pairs = Dedup.minhashNearDupPairs(lifecycleCorpus("scoped"), "doc_id", "text",
+      n = 3, threshold = 0.5, scope = scope)
+    assert(pairs.collect().nonEmpty) // consume → the signature cache materializes
+    assert(scope.trackedCount === 1)
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "expected the operator to materialize a cached RDD")
+    scope.release(blocking = true)
+    assert((sc.getPersistentRDDs.keySet & added).isEmpty,
+      "operator caches must be gone after scope.release()")
+    assert(scope.trackedCount === 0)
+  }
+
+  test("CacheScope.using releases even when the body throws") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    intercept[RuntimeException] {
+      graft.core.CacheScope.using { scope =>
+        Dedup.ngramJaccardPairs(lifecycleCorpus("using"), "doc_id", "text",
+            lit(1), 3, 0.5, scope)
+          .collect()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "using() must release scope caches on the failure path too")
+  }
 }

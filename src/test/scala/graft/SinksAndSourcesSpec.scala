@@ -111,4 +111,90 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     assert(df.agg(min(col("create_time")), max(col("create_time")))
       .head().toSeq === Seq(1000L, 1039L))
   }
+
+  // -------------------------------------------------- retry / token refresh
+
+  import graft.sources.Resilience
+
+  /** Fake clock: records requested sleeps instead of sleeping. */
+  private class FakeClock {
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sleep(ms: Long): Unit = slept += ms
+  }
+
+  test("retrying fetcher gives up after N attempts with linear backoff") {
+    val clock = new FakeClock
+    var calls = 0
+    val failing = new PaginatedSource.PageFetcher {
+      override def fetchPage(page: Int, pageSize: Int): Seq[String] = {
+        calls += 1; throw new RuntimeException("connection reset")
+      }
+    }
+    val wrapped = new Resilience.RetryingPageFetcher(failing,
+      Resilience.RetryPolicy(attempts = 3, baseDelayMs = 100L, sleep = clock.sleep))
+    val e = intercept[RuntimeException](wrapped.fetchPage(0, 10))
+    assert(e.getMessage === "connection reset")
+    assert(calls === 3)              // exactly N tries, then rethrow
+    assert(clock.slept.toSeq === Seq(100L, 200L)) // linear: base·1, base·2
+  }
+
+  test("401-style auth failure refreshes the token then succeeds") {
+    val clock = new FakeClock
+    var refreshes = 0
+    val tokens = new Resilience.TokenProvider {
+      private var current = "stale"
+      override def token(): String = current
+      override def refresh(): Unit = { refreshes += 1; current = "fresh" }
+    }
+    val fetcher = new PaginatedSource.PageFetcher {
+      override def fetchPage(page: Int, pageSize: Int): Seq[String] =
+        if (tokens.token() == "stale")
+          throw new Resilience.AuthExpiredException("401")
+        else Seq("""{"id": 1}""")
+    }
+    val wrapped = new Resilience.RetryingPageFetcher(fetcher,
+      Resilience.RetryPolicy(attempts = 3, baseDelayMs = 100L, sleep = clock.sleep),
+      auth = Some(tokens))
+    assert(wrapped.fetchPage(0, 10) === Seq("""{"id": 1}"""))
+    assert(refreshes === 1)
+    assert(clock.slept.toSeq === Seq(100L)) // constant delay after refresh
+  }
+
+  test("auth failure that persists after refresh still gives up after N") {
+    val clock = new FakeClock
+    var refreshes = 0
+    val tokens = new Resilience.TokenProvider {
+      override def token(): String = "never-works"
+      override def refresh(): Unit = refreshes += 1
+    }
+    val fetcher = new PaginatedSource.SliceFetcher {
+      override def fetchSlice(from: Long, to: Long): Seq[String] =
+        throw new Resilience.AuthExpiredException("401")
+    }
+    val wrapped = new Resilience.RetryingSliceFetcher(fetcher,
+      Resilience.RetryPolicy(attempts = 3, baseDelayMs = 50L, sleep = clock.sleep),
+      auth = Some(tokens))
+    intercept[Resilience.AuthExpiredException](wrapped.fetchSlice(0L, 10L))
+    assert(refreshes === 3) // refresh attempted on every 401, incl. the last
+    assert(clock.slept.toSeq === Seq(50L, 50L))
+  }
+
+  test("retrying slice fetcher works end-to-end through timeSlicedScan") {
+    // Flaky-once-per-slice fetcher: first call for each slice fails, the
+    // retry succeeds — the scan must still produce every row exactly once.
+    val inner = new PaginatedSource.SliceFetcher {
+      // Executor-side state: per-task (local[32] shares the JVM but the
+      // map is keyed per slice, so each slice fails exactly once).
+      @transient private lazy val seen =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      override def fetchSlice(from: Long, to: Long): Seq[String] = {
+        if (seen.add(from)) throw new RuntimeException(s"flake at $from")
+        (from until to).map(t => s"""{"create_time": $t}""")
+      }
+    }
+    val wrapped = new Resilience.RetryingSliceFetcher(inner,
+      Resilience.RetryPolicy(attempts = 2, baseDelayMs = 0L, sleep = _ => ()))
+    val df = PaginatedSource.timeSlicedScan(spark, wrapped, 2000L, 2020L, slices = 4)
+    assert(df.count() === 20)
+  }
 }

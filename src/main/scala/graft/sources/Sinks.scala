@@ -7,7 +7,9 @@ import graft.operators.Relational
 /** Staging sinks over partitioned parquet — the engine's substrate for the
   * reference's 6 SQL Server staging tables (SURVEY §2.6 L1–L8). A JDBC
   * deployment swaps `format("parquet").save(path)` for
-  * `format("jdbc").option("dbtable", t)` — the mode semantics are identical.
+  * `format("jdbc").option("dbtable", t)` — the mode semantics are identical;
+  * [[jdbcAppend]]/[[jdbcTruncateInsert]]/[[jdbcReplace]] are that realized
+  * path (round-tripped against embedded Derby in SinksAndSourcesSpec).
   *
   * Scale notes:
   *  - every writer takes `partitionBy` (load-date partitioning is the
@@ -33,6 +35,57 @@ object Sinks {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  // ------------------------------------------------------------- JDBC path
+
+  /** Core JDBC writer (database.py:212-247's executemany loop, realized as
+    * Spark's JDBC sink): O5 write batching maps to the `batchsize` option
+    * (the reference inserts in 1000-row chunks — same default), and each
+    * Spark partition opens one connection, so write parallelism is the
+    * frame's partitioning — `df.repartition(n)` IS the connection-pool
+    * size. Numeric/decimal/timestamp types map per the target's dialect.
+    */
+  def jdbcWrite(df: DataFrame, url: String, table: String, mode: SaveMode,
+      batchSize: Int = 1000, truncate: Boolean = false,
+      options: Map[String, String] = Map.empty): Unit = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    df.write.mode(mode).format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .option("truncate", truncate.toString)
+      .options(options)
+      .save()
+  }
+
+  /** L1 append over JDBC — INSERT without touching existing rows; creates
+    * the table on first load (the reference's create-if-missing DDL
+    * bootstrap, database.py:122-154).
+    */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000): Unit =
+    jdbcWrite(df, url, table, SaveMode.Append, batchSize)
+
+  /** L2 truncate-insert over JDBC — TRUNCATE TABLE then INSERT, preserving
+    * the table's DDL (indexes, grants), exactly the reference's
+    * truncate-before-load contract (tiktok_shop_staging_loader.py:93-101).
+    */
+  def jdbcTruncateInsert(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000): Unit =
+    jdbcWrite(df, url, table, SaveMode.Overwrite, batchSize, truncate = true)
+
+  /** L3 replace over JDBC — DROP + CREATE + INSERT: the schema-resetting
+    * variant (new frame schema wins; any DDL on the old table is gone).
+    */
+  def jdbcReplace(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000): Unit =
+    jdbcWrite(df, url, table, SaveMode.Overwrite, batchSize, truncate = false)
+
+  /** JDBC read-back (parallelized reads would add partitionColumn/bounds). */
+  def jdbcTable(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+  // ----------------------------------------------------------- parquet path
 
   /** Crash recovery for the backup-ordered swap: a crash between the two
     * renames leaves the table at `path.old` and nothing at `path` — every

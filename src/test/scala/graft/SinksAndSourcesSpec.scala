@@ -112,6 +112,40 @@ class SinksAndSourcesSpec extends AnyFunSuite {
       .head().toSeq === Seq(1000L, 1039L))
   }
 
+  // --------------------------------------------------------- JDBC sink path
+
+  test("jdbc sink modes round-trip on embedded Derby (L1 append / L2 truncate-insert / L3 replace)") {
+    // Embedded Derby from the Spark-provided jars — same JVM, no network;
+    // keep its log out of the repo root.
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("graft-derby-home").toString)
+    val url = s"jdbc:derby:${tmpDir("derby-db")};create=true"
+    val table = "staging_orders"
+
+    val b1 = Seq((1L, "a", 10.5), (2L, "b", 20.0)).toDF("id", "v", "amount")
+    Sinks.jdbcAppend(b1, url, table, batchSize = 2) // first load creates the table
+    def readBack() = Sinks.jdbcTable(spark, url, table)
+      .orderBy("id", "v").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("v")),
+        r.getDouble(r.fieldIndex("amount"))))
+    assert(readBack().toSeq === Seq((1L, "a", 10.5), (2L, "b", 20.0)))
+
+    // L1: append accumulates (no dedup at this layer — that's L4's job).
+    Sinks.jdbcAppend(b1, url, table)
+    assert(readBack().length === 4)
+
+    // L2: truncate-insert replaces content, keeping the table's DDL.
+    val b2 = Seq((7L, "x", 1.0)).toDF("id", "v", "amount")
+    Sinks.jdbcTruncateInsert(b2, url, table)
+    assert(readBack().toSeq === Seq((7L, "x", 1.0)))
+
+    // L3: replace rewrites wholesale — narrower schema wins after the swap.
+    val b3 = Seq((9L, "z", 3.25), (10L, "w", 4.5)).toDF("id", "v", "amount")
+    Sinks.jdbcReplace(b3, url, table)
+    assert(readBack().toSeq === Seq((9L, "z", 3.25), (10L, "w", 4.5)))
+    assert(Sinks.jdbcTable(spark, url, table).columns.toSeq === Seq("id", "v", "amount"))
+  }
+
   // -------------------------------------------------- retry / token refresh
 
   import graft.sources.Resilience

@@ -8,6 +8,13 @@ import org.apache.spark.sql.SparkSession
   * Queries are forced through the "noop" sink, not count(): under count()
   * Catalyst prunes projections and eliminates sorts, so projection-heavy
   * queries would measure as scan-only. Noop computes every output column.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_ITERS times (default 2) and reports
+  * the MINIMUM: roughly half of a single cold run is one-time codegen
+  * compilation, which made per-query times swing ±3× run-to-run and
+  * masked real regressions. The min of two executions measures the
+  * steady-state plan; caches are still cleared between every execution,
+  * so the repeat re-reads the source rather than timing RAM.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,21 +40,27 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // Operators cache multiply-referenced frames session-scoped (they
-      // return lazy frames, so they can't unpersist). Across 65 sequential
-      // queries those blocks accumulate until storage pressure evicts the
-      // CURRENT query's cache mid-run (q46 measured 12s under churn vs
-      // 1.4s clean). Per-query isolation is the honest measurement.
-      spark.catalog.clearCache()
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val timings = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // Queries cache multiply-referenced frames session-scoped. Across
+        // 75 sequential queries those blocks accumulate until storage
+        // pressure evicts the CURRENT query's cache mid-run (q46 measured
+        // 12s under churn vs 1.4s clean) — and a repeat iteration reading
+        // its own cache would time RAM, not the plan. Clear between EVERY
+        // execution: per-execution isolation is the honest measurement.
+        spark.catalog.clearCache()
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, timings.map(_._1).min, timings.forall(_._2))
     }
     // A crashed query must be machine-detectable from the JSON alone:
     // list it in "failed" AND negate its timing.

@@ -126,7 +126,11 @@ def main():
                 print(f"      spark-only : {r}")
             for r in diff_b:
                 print(f"      oracle-only: {r}")
+    # In subset mode, only subset members can be "missing" — reporting
+    # every unselected query as a failure buried the subset's real result.
     missing = set(oracles) - set(names)
+    if only:
+        missing &= only
     for name in sorted(missing):
         print(f"  {name:28s} FAIL no spark result written")
         failures += 1

@@ -80,6 +80,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Recall audit for an approximate top-k result against the exact one.
+    *
+    * Appends two columns to `approx`:
+    *  - `exact_hits`: per query, how many of its approximate neighbors are
+    *    also in the exact top-k (the numerator of recall@k);
+    *  - `recall_ok`: corpus-level floor — total hits across all queries
+    *    must reach `minTotalHits`. A broken bucket join or a degenerate
+    *    signature collapses recall to ~0, so the floor is a catastrophic-
+    *    regression gate, not a tuning target.
+    *
+    * Scale note: both inputs are top-k outputs (|queries| × k rows), so
+    * everything here operates on frames that do NOT grow with the corpus:
+    * the exact pairs broadcast, and each approx row is consumed exactly
+    * once (a re-aggregation join would re-evaluate the whole ANN subplan).
+    * The global window is a single partition over |queries| × k rows —
+    * bounded by construction, not by data volume.
+    */
+  def withRecallGate(approx: DataFrame, exact: DataFrame,
+      minTotalHits: Int): DataFrame = {
+    val exactPairs = exact.select(col("query_id"), col("neighbor_id"),
+      lit(1).as("bf_hit"))
+    val wQuery = Window.partitionBy(col("query_id"))
+    val wAll = Window.partitionBy()
+    approx.join(broadcast(exactPairs), Seq("query_id", "neighbor_id"), "left")
+      .withColumn("hit", coalesce(col("bf_hit"), lit(0)))
+      .withColumn("exact_hits", sum(col("hit")).over(wQuery))
+      .withColumn("recall_ok", sum(col("hit")).over(wAll) >= minTotalHits)
+      .drop("bf_hit", "hit")
+  }
+
   /** Multi-table LSH-bucketed ANN: `tables` independent hyperplane hash
     * tables, each bucketing on `prefixBits` sign bits; a pair becomes a
     * candidate if it collides in ANY table (standard LSH OR-construction).

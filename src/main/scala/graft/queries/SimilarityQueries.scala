@@ -41,14 +41,24 @@ object SimilarityQueries {
     // index, so the oracle regenerates all 8×4×64 plane components in
     // HUGEINT modular arithmetic ((a·b) mod 2^64 split at 2^32 to stay
     // inside int128) and replays the exact bucket join + round-4 ranking.
+    //
+    // Recall gate: the result carries per-query `exact_hits` vs the
+    // brute-force top-k (the oracle replays both sides) and a corpus-level
+    // `recall_ok` the oracle pins TRUE — total hits must reach 15/50
+    // (observed: 32/35/37 at sf0.001/0.01/0.1), so a silent recall
+    // collapse fails the driver gate, not just ScalaTest.
     QueryDef(
       "q27_ann_lsh",
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
-        Similarity.lshTopK(
-            corpus = emb, queries = emb.filter(col("vec_id") < 10),
-            idCol = "vec_id", vecCol = "embedding", k = 5,
-            prefixBits = 4)
+        val qs = emb.filter(col("vec_id") < 10)
+        val lsh = Similarity.lshTopK(
+          corpus = emb, queries = qs,
+          idCol = "vec_id", vecCol = "embedding", k = 5, prefixBits = 4)
+        val exact = Similarity.bruteForceTopK(
+          corpus = emb, queries = qs,
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+        Similarity.withRecallGate(lsh, exact, minTotalHits = 15)
           .orderBy(col("query_id"), col("rank"))
       },
       Some {
@@ -82,9 +92,21 @@ object SimilarityQueries {
            |  FROM cand JOIN v vq ON vq.id = cand.query_id JOIN v vc ON vc.id = cand.neighbor_id),
            |r AS (SELECT query_id, neighbor_id, cos_sim,
            |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-           |  FROM scored)
-           |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
-           |ORDER BY query_id, rank""".stripMargin
+           |  FROM scored),
+           |topk AS (SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5),
+           |bf AS (SELECT vq.id AS query_id, vc.id AS neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY vq.id
+           |      ORDER BY ROUND(list_cosine_similarity(vq.v, vc.v), 4) DESC, vc.id) AS brank
+           |  FROM v vq CROSS JOIN v vc WHERE vq.id < 10 AND vq.id <> vc.id),
+           |bft AS (SELECT query_id, neighbor_id FROM bf WHERE brank <= 5),
+           |hits AS (SELECT t.query_id, count(b.neighbor_id) AS exact_hits
+           |  FROM topk t LEFT JOIN bft b
+           |    ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+           |  GROUP BY t.query_id)
+           |SELECT t.query_id, t.rank, t.neighbor_id, t.cos_sim, h.exact_hits,
+           |  TRUE AS recall_ok
+           |FROM topk t JOIN hits h ON t.query_id = h.query_id
+           |ORDER BY t.query_id, t.rank""".stripMargin
       },
     ),
 
@@ -94,14 +116,26 @@ object SimilarityQueries {
     // Approximate but deterministic end to end — the oracle replays the
     // same assignment (max_by (cscore, centroid_id) ≡ row_number ordered
     // cscore DESC, centroid_id DESC), probing, and round-4 ranking.
+    //
+    // Recall gate (same shape as q27): per-query `exact_hits` + pinned
+    // `recall_ok` with a 15/50 total floor. IVF recall is 32/34 at
+    // sf0.001/0.01 but 17 at sf0.1 — fixed nProbe=4 against 10× more
+    // centroids probes a shrinking corpus fraction, the textbook IVF
+    // trade-off — so the floor sits below the worst observed SF, still
+    // far above the ~0 a broken assignment or probe join produces.
     QueryDef(
       "q35_ann_ivf",
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
-        Similarity.ivfTopK(
-            corpus = emb, queries = emb.filter(col("vec_id") < 10),
-            idCol = "vec_id", vecCol = "embedding", k = 5,
-            centroidEvery = 50, nProbe = 4)
+        val qs = emb.filter(col("vec_id") < 10)
+        val ivf = Similarity.ivfTopK(
+          corpus = emb, queries = qs,
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          centroidEvery = 50, nProbe = 4)
+        val exact = Similarity.bruteForceTopK(
+          corpus = emb, queries = qs,
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+        Similarity.withRecallGate(ivf, exact, minTotalHits = 15)
           .orderBy(col("query_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -121,9 +155,21 @@ object SimilarityQueries {
              |  FROM probes p JOIN asg a USING (centroid_id) WHERE p.query_id <> a.id),
              |r AS (SELECT query_id, id AS neighbor_id, cos_sim,
              |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, id) AS rank
-             |  FROM scored)
-             |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin),
+             |  FROM scored),
+             |topk AS (SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5),
+             |bf AS (SELECT vq.id AS query_id, vc.id AS neighbor_id,
+             |    ROW_NUMBER() OVER (PARTITION BY vq.id
+             |      ORDER BY ROUND(list_cosine_similarity(vq.v, vc.v), 4) DESC, vc.id) AS brank
+             |  FROM v vq CROSS JOIN v vc WHERE vq.id < 10 AND vq.id <> vc.id),
+             |bft AS (SELECT query_id, neighbor_id FROM bf WHERE brank <= 5),
+             |hits AS (SELECT t.query_id, count(b.neighbor_id) AS exact_hits
+             |  FROM topk t LEFT JOIN bft b
+             |    ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+             |  GROUP BY t.query_id)
+             |SELECT t.query_id, t.rank, t.neighbor_id, t.cos_sim, h.exact_hits,
+             |  TRUE AS recall_ok
+             |FROM topk t JOIN hits h ON t.query_id = h.query_id
+             |ORDER BY t.query_id, t.rank""".stripMargin),
     ),
   )
 }

@@ -55,6 +55,23 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("withRecallGate: per-query hit counts and the total-hits floor") {
+    import spark.implicits._
+    // approx finds 2/2 for query 1, 1/2 for query 2 → total 3
+    val approx = Seq((1L, 1, 10L, 0.9), (1L, 2, 11L, 0.8),
+      (2L, 1, 20L, 0.9), (2L, 2, 99L, 0.8))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    val exact = Seq((1L, 1, 10L, 0.9), (1L, 2, 11L, 0.8),
+      (2L, 1, 20L, 0.9), (2L, 2, 21L, 0.8))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    val ok = Similarity.withRecallGate(approx, exact, minTotalHits = 3)
+      .select("query_id", "exact_hits", "recall_ok").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(ok === Set((1L, 2L, true), (2L, 1L, true)))
+    val notOk = Similarity.withRecallGate(approx, exact, minTotalHits = 4)
+    assert(notOk.filter(col("recall_ok")).count() === 0)
+  }
+
   test("SQL exposure: views + custom functions queryable via spark.sql") {
     val out = GraftSession.sql(spark, sf,
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -29,9 +29,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // documents scan is a single parquet split at test SF and the per-row
     // n-gram fold is compute-bound, so spreading it across cores is the
     // intended plan.
-    "q27_ann_lsh" -> 3, "q28_lang_id" -> 2, "q29_text_quality" -> 1,
+    // q27/q35's extra (4th/5th) shuffle is the deliberate recall gate:
+    // a single-partition window totalling brute-force hits over the
+    // bounded |queries|×k top-k frame (Similarity.withRecallGate).
+    "q27_ann_lsh" -> 4, "q28_lang_id" -> 2, "q29_text_quality" -> 1,
     "q30_token_count" -> 1, "q31_fingerprint" -> 1, "q32_multimodal_meta" -> 1,
-    "q33_media_features" -> 1, "q34_hmac_sign" -> 1, "q35_ann_ivf" -> 4,
+    "q33_media_features" -> 1, "q34_hmac_sign" -> 1, "q35_ann_ivf" -> 5,
     "q36_dedup_clusters" -> 1, "q37_train_split" -> 2, "q38_balanced_sample" -> 2,
     "q39_tfidf" -> 4, "q40_rollup" -> 2, "q41_asof_join" -> 2,
     "q42_sessionize" -> 2, "q43_bm25" -> 7, "q44_profile" -> 2,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining-data preparation: concatenate
+  * documents in id order into one token stream and cut it every `budget`
+  * tokens; a document belongs to the pack where it STARTS (the standard
+  * concat-and-chunk packing used to fill fixed-length context windows;
+  * the reference pipeline has no analogue — this is part of the
+  * training-data operator set layered on the same engine).
+  *
+  * The global running token offset is a prefix sum. A naive
+  * `sum(...).over(Window.orderBy(id))` moves the ENTIRE corpus into one
+  * partition — the canonical window-function scale trap. Instead the sum
+  * runs in two phases, the distributed-prefix-sum shape:
+  *   1. local cumulative sums inside id-range groups of `groupSize` docs
+  *      (window partitioned by group — parallel, no global ordering);
+  *   2. one tiny single-partition window over the PER-GROUP TOTALS
+  *      (corpus_size / groupSize rows, e.g. 1e9 docs / 1e5 = 1e4 rows)
+  *      to produce each group's starting offset, broadcast back.
+  * Only the group-totals frame — smaller than the data by a factor of
+  * `groupSize` — ever sits in a single partition; recurse the same trick
+  * if even that outgrows one task.
+  */
+object Packing {
+
+  /** Per-document pack assignment: (doc_id, n_tokens, start_offset,
+    * pack_id), where start_offset is the exclusive prefix sum of
+    * `nTokens` in `idCol` order and pack_id = floor(start_offset/budget).
+    */
+  def packAssignments(docs: DataFrame, idCol: String, nTokens: Column,
+      budget: Int, groupSize: Int = 1024): DataFrame = {
+    require(budget > 0 && groupSize > 0, "budget and groupSize must be positive")
+    val base = docs
+      .select(col(idCol).as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("grp", floor(col("doc_id") / groupSize))
+    // Phase 1: exclusive cumsum within each id-range group.
+    val wLocal = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+    val local = base.withColumn("local_cum",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)) - col("n_tokens"))
+    // Phase 2: exclusive cumsum over group totals (bounded: one row per
+    // group), broadcast back as each group's base offset.
+    val wGrp = Window.orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("grp"))
+      .agg(sum(col("n_tokens")).as("grp_tokens"))
+      .withColumn("grp_offset", coalesce(sum(col("grp_tokens")).over(wGrp), lit(0L)))
+      .select(col("grp"), col("grp_offset"))
+    local.join(broadcast(offsets), Seq("grp"))
+      .withColumn("start_offset", col("grp_offset") + col("local_cum"))
+      .withColumn("pack_id", floor(col("start_offset") / budget))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("pack_id"))
+  }
+
+  /** Pack-level summary: docs per pack, token mass, id span. Every pack
+    * except the last holds exactly `budget` tokens of the concatenated
+    * stream; `pack_tokens` (the mass of documents STARTING there) varies
+    * around it because documents straddle cut points.
+    */
+  def packSummary(docs: DataFrame, idCol: String, nTokens: Column,
+      budget: Int, groupSize: Int = 1024): DataFrame =
+    packAssignments(docs, idCol, nTokens, budget, groupSize)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+}

@@ -97,6 +97,30 @@ object Relational {
       .select(keys.map(col) :+ col("change_type"): _*)
   }
 
+  /** Changelog compaction: reduce an append-only CDC event log to the
+    * current state — for each key keep only the LAST event in `ordering`,
+    * then drop keys whose last event is a tombstone. This is the read
+    * side of the L4/L5 write modes: a log of upserts+deletes replayed
+    * into a snapshot (Kafka compacted-topic / Delta CDF semantics).
+    *
+    * One shuffle, on the key, via row_number — no self-join against a
+    * max-ts aggregate (which would shuffle the log twice). `ordering`
+    * must be a total order per key (e.g. ts + a unique event id as the
+    * tie-break) or "last" is not well-defined.
+    */
+  def compactChangelog(log: DataFrame, keys: Seq[String],
+      ordering: Seq[Column], isTombstone: Column): DataFrame = {
+    require(keys.nonEmpty && ordering.nonEmpty,
+      "compactChangelog needs key and ordering columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(ordering.map(_.desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .filter(!isTombstone)
+  }
+
   /** Banded range join: match fact rows against a (small) set of
     * possibly-overlapping [lo, hi) bands WITHOUT a nested-loop join.
     *

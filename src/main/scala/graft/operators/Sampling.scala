@@ -47,4 +47,32 @@ object Sampling {
       .filter(col("sample_rank") <= perClass)
       .drop("sample_rank")
   }
+
+  /** Mixture-weighted subsample: hit a target data-mixture by source.
+    * Each source gets quota = floor(totalRows · weight / Σweights) rows,
+    * chosen deterministically by id hash within the source (so re-runs,
+    * retries and incremental appends pick the same rows).
+    *
+    * `weight` must be constant within a source (it is aggregated with
+    * max). Scale shape: the per-source weight table and the quota table
+    * are |sources|-sized — aggregated small, broadcast back; the only
+    * full-data shuffle is the per-source ranking window, partitioned by
+    * source (salt the window via [[balancedSample]]-style sub-keys if one
+    * source dominates the corpus).
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+      weight: Column, totalRows: Long): DataFrame = {
+    val srcW = df.groupBy(col(sourceCol)).agg(max(weight).as("wt"))
+    val total = srcW.agg(sum(col("wt")).as("tw"))
+    val quotas = srcW.crossJoin(broadcast(total))
+      .withColumn("quota",
+        floor(lit(totalRows.toDouble) * col("wt") / col("tw")))
+      .select(col(sourceCol), col("quota"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(idBucket(col(idCol), 1000000), col(idCol))
+    df.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= col("quota"))
+      .drop("sample_rank")
+  }
 }

@@ -382,5 +382,36 @@ object AnalyticsQueries {
              |  COUNT(DISTINCT term) AS exact_vocab, TRUE AS approx_ok
              |FROM toks""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Approximate-quantile sketch vs exact percentiles: the quantile twin
+    // of q67's HLL gate. Exact percentile() buffers every group value for
+    // a full sort; approx_percentile merges bounded Greenwald-Khanna-
+    // style summaries map-side — at 100 TB the only viable quantile path.
+    // The query asserts the sketch lands within 5% (with a small absolute
+    // floor near zero) of truth on two quantiles; the oracle pins the
+    // exact values and approx_ok=TRUE, so a sketch regression fails the
+    // driver gate.
+    QueryDef(
+      "q79_quantile_sketch",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.9)"), 6).as("p90"),
+            expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+            expr("approx_percentile(value, 0.9, 10000)").as("a90"))
+          .select(col("event_type"), col("p50"), col("p90"),
+            (abs(col("a50") - col("p50")) <= greatest(abs(col("p50")) * 0.05, lit(0.05)) &&
+              abs(col("a90") - col("p90")) <= greatest(abs(col("p90")) * 0.05, lit(0.05)))
+              .as("approx_ok"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |ROUND(quantile_cont(value, 0.5), 6) AS p50,
+             |ROUND(quantile_cont(value, 0.9), 6) AS p90,
+             |TRUE AS approx_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
 
 /** Corpus-curation capability queries: duplicate-cluster resolution,
   * deterministic dataset splitting, class-balanced sampling, TF-IDF.
@@ -125,6 +125,62 @@ object CurationQueries {
              |  PARTITION BY doc ORDER BY bm25 DESC, term) AS term_rank FROM scored)
              |SELECT doc AS doc_id, term_rank, term, bm25 FROM r WHERE term_rank <= 3
              |ORDER BY doc_id, term_rank""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Sequence packing (concat-and-chunk): documents in id order fill
+    // 2048-token context windows; a doc belongs to the pack where it
+    // starts. The prefix sum runs as Packing's two-phase distributed
+    // cumsum (per-group windows + a bounded group-offset window), never
+    // a global single-partition window over the corpus; the oracle is
+    // the plain global-window formulation — same math, DuckDB-sized.
+    QueryDef(
+      "q76_seq_pack",
+      (spark, dir) =>
+        Packing.packSummary(
+            Tables.documents(spark, dir), "doc_id",
+            size(TextAnalysis.tokens(col("text"))),
+            budget = 2048, groupSize = 64)
+          .orderBy(col("pack_id")),
+      Some("""WITH d AS (SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM d),
+             |p AS (SELECT doc_id, n_tokens,
+             |  CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS pack_id FROM c)
+             |SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Data-mixture sampling: per-source quotas proportional to target
+    // weights (here derived from the source index so the oracle can
+    // regenerate them), rows picked deterministically by id hash within
+    // each source — the "mix N tokens at ratios w" curation step. Quota
+    // math is |sources|-sized and broadcast; the data-sized work is one
+    // ranking window partitioned by source.
+    QueryDef(
+      "q77_mixture_sample",
+      (spark, dir) =>
+        Sampling.mixtureSample(
+            Tables.documents(spark, dir), "source", "doc_id",
+            expr("1 + (cast(substring(source, 4, 10) as int) % 3)"),
+            totalRows = 200)
+          .select(col("doc_id"), col("source"), col("quota"))
+          .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT source, 1 + (CAST(substr(source, 4, 10) AS INT) % 3) AS wt
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |tot AS (SELECT SUM(wt) AS tw FROM w),
+             |q AS (SELECT source, CAST(FLOOR(200.0 * wt / tw) AS BIGINT) AS quota
+             |  FROM w CROSS JOIN tot),
+             |r AS (SELECT d.doc_id, d.source, ROW_NUMBER() OVER (PARTITION BY d.source
+             |  ORDER BY ((d.doc_id % 2147483647) * 2654435761 % 2147483647) % 1000000, d.doc_id) AS rk
+             |  FROM documents d)
+             |SELECT r.doc_id, r.source, q.quota FROM r JOIN q USING (source)
+             |WHERE r.rk <= q.quota ORDER BY r.doc_id""".stripMargin),
     ),
   )
 }

@@ -235,5 +235,28 @@ object RelationalQueries {
              |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY bin ORDER BY bin""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Changelog compaction (CDC replay): the events log collapses to
+    // current state — last event per user_id by (ts, event_id), keys
+    // whose last event is a tombstone ('error') disappear. The read-side
+    // complement of the MERGE/dedup write modes: one key shuffle via
+    // row_number, no second pass against a max-ts aggregate.
+    QueryDef(
+      "q78_changelog_compact",
+      (spark, dir) =>
+        graft.operators.Relational.compactChangelog(
+            Tables.events(spark, dir),
+            keys = Seq("user_id"),
+            ordering = Seq(col("ts"), col("event_id")),
+            isTombstone = col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .orderBy(col("user_id")),
+      Some("""WITH r AS (SELECT user_id, ts, event_type, value,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, ts, event_type, value FROM r
+             |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin),
+    ),
   )
 }

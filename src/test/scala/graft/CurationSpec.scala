@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
 
 class CurationSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
@@ -82,6 +82,45 @@ class CurationSpec extends AnyFunSuite {
     val counts = sampled.groupBy("label").count().collect().map(_.getLong(1))
     assert(counts.forall(_ === 10L))
     assert(sampled.collect().toSet === Sampling.balancedSample(df, "label", "id", 10).collect().toSet)
+  }
+
+  test("packAssignments: exclusive offsets, start-pack ownership, straddling docs") {
+    // token stream: 10 | 5 | 2000 | 50 | 3000 → cut every 1024
+    val docs = Seq((0L, 10), (1L, 5), (2L, 2000), (3L, 50), (4L, 3000))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packAssignments(docs, "doc_id", col("n_tokens"),
+        budget = 1024, groupSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // start offsets: 0, 10, 15, 2015, 2065 → packs 0, 0, 0, 1, 2
+    assert(out === Array((0L, 0L, 0L), (1L, 10L, 0L), (2L, 15L, 0L),
+      (3L, 2015L, 1L), (4L, 2065L, 2L)))
+  }
+
+  test("packAssignments: two-phase cumsum is groupSize-invariant") {
+    val docs = (0L until 100L).map(i => (i, (i % 7).toInt + 1))
+      .toDF("doc_id", "n_tokens")
+    def run(g: Int) = Packing.packAssignments(docs, "doc_id",
+        col("n_tokens"), budget = 16, groupSize = g)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // one group (plain cumsum) ≡ many groups (distributed path)
+    assert(run(1000) === run(3))
+  }
+
+  test("mixtureSample: quotas follow weights, selection is hash-deterministic") {
+    val df = (0L until 100L).map(i => (i, s"s${i % 2}")).toDF("id", "src")
+    // weights: s0 → 1, s1 → 3 ⇒ quotas of 40 total: 10 and 30
+    val out = Sampling.mixtureSample(df, "src", "id",
+      when(col("src") === "s0", 1).otherwise(3), totalRows = 40)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc === Map("s0" -> 10L, "s1" -> 30L))
+    // deterministic: same rows on re-run
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ===
+      Sampling.mixtureSample(df, "src", "id",
+        when(col("src") === "s0", 1).otherwise(3), totalRows = 40)
+        .select("id").collect().map(_.getLong(0)).toSet)
   }
 
   test("tfidf ranks rare terms above ubiquitous ones") {

@@ -66,6 +66,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // merge — the exact side exists only to audit the sketch.
     "q74_sketch_merge" -> 4,
     "q75_contamination" -> 3,
+    // q76: two-phase prefix sum (local-cumsum window on grp, group-totals
+    // agg + bounded offset window) + pack agg + output sort.
+    "q76_seq_pack" -> 5,
+    // q77: per-source weight agg, one-row total, ranking window on
+    // source, output sort (+AQE-visible broadcast prep).
+    "q77_mixture_sample" -> 5,
+    "q78_changelog_compact" -> 2, "q79_quantile_sketch" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -85,6 +85,21 @@ class RelationalSpec extends AnyFunSuite {
       (3L, "updated"), (4L, "deleted"), (5L, "inserted")))
   }
 
+  test("compactChangelog: last event wins, tombstoned keys disappear") {
+    val log = Seq(
+      (1L, 100L, 1L, "set", "a"),   // key 1: set→set, latest v="b"
+      (2L, 100L, 1L, "set", "b"),
+      (3L, 100L, 2L, "set", "x"),   // key 2: tombstoned last → gone
+      (4L, 200L, 2L, "del", null.asInstanceOf[String]),
+      (5L, 100L, 3L, "del", null.asInstanceOf[String]), // key 3: deleted then re-set
+      (6L, 200L, 3L, "set", "z"),
+    ).toDF("event_id", "ts", "key", "op", "v")
+    val out = Relational.compactChangelog(log, Seq("key"),
+        Seq(col("ts"), col("event_id")), isTombstone = col("op") === "del")
+      .orderBy("key").collect().map(r => (r.getLong(2), r.getString(4)))
+    assert(out === Array((1L, "b"), (3L, "z")))
+  }
+
   test("snapshotDiff refuses schema drift") {
     val a = Seq((1L, "x")).toDF("id", "v")
     val b = Seq((1L, "x", 0)).toDF("id", "v", "extra")

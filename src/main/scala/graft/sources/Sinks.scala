@@ -283,4 +283,37 @@ object Sinks {
     // footers, not data pages.
     spark.read.parquet(path).count()
   }
+
+  /** Small-file compaction (the OPTIMIZE half of table maintenance; the
+    * other half — clustering — is ZOrder.writeZOrdered). Incremental
+    * appends leave a table with per-batch file counts; at 100 TB the
+    * resulting listing + footer overhead dominates small scans. This
+    * rewrites the table into ceil(total_bytes / targetFileBytes) files
+    * via `coalesce` — a NARROW merge of input splits, no shuffle, no
+    * re-sort (it preserves whatever clustering the files already have) —
+    * then swaps atomically through the same crash-safe rename as the
+    * other sinks. No-op (returns unchanged counts) when the table is
+    * already at or under the target file count.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactFiles(spark: SparkSession, path: String,
+      targetFileBytes: Long): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    recoverSwap(spark, path)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (dataFiles.length <= nOut) return (dataFiles.length, dataFiles.length)
+    val tmp = path + ".tmp"
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapInto(spark, tmp, path)
+    val after = fs.listStatus(hPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, after)
+  }
 }

@@ -22,6 +22,20 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === 3L)
   }
 
+  test("compactFiles: many small files -> few, identical data, no-op when compact") {
+    val path = tmpDir("compact")
+    // 20 single-row appends → 20+ small files
+    (0 until 20).foreach { i =>
+      Sinks.append(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), path)
+    }
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+    val (nBefore, nAfter) = Sinks.compactFiles(spark, path, targetFileBytes = 1L << 20)
+    assert(nBefore >= 20 && nAfter === 1, s"$nBefore -> $nAfter")
+    assert(spark.read.parquet(path).orderBy("id").collect().toSeq === before)
+    // already compact → no rewrite
+    assert(Sinks.compactFiles(spark, path, 1L << 20) === ((1, 1)))
+  }
+
   test("mergeUpsert sink rewrites target with merged content (L5)") {
     val path = tmpDir("merge")
     Sinks.truncateInsert(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path)

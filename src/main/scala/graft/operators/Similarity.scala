@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.CacheScope
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -78,6 +79,58 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  /** One deterministic Lloyd refinement step over the id-seeded IVF
+    * codebook: assign every vector to its nearest centroid, recompute
+    * each centroid as the per-dimension mean of its members, re-assign,
+    * and report per-centroid membership counts before and after. This is
+    * the codebook-training step [[ivfTopK]]'s training-free subsample
+    * skips — run it a few times on a corpus sample to tighten the
+    * inverted lists (k-means for embedding clustering / semantic dedup).
+    *
+    * Everything is DETERMINISTIC and engine-replayable:
+    *  - assignment ranks on round-4 cosine with centroid-id tie-break
+    *    (ulp differences between engines collapse, ties break fixed);
+    *  - the mean is computed on embeddings quantized to 1e-7 via
+    *    floor-to-integer — integer sums are exact and floor (unlike
+    *    round) has no engine-dependent halfway mode, so the refined
+    *    centroids are bit-identical doubles in any engine.
+    *
+    * Scale shape: centroids broadcast in both assignment passes; the
+    * per-dimension mean is a (centroid × dim)-keyed aggregate of the
+    * posexploded members (map-side partial sums — dims× row expansion
+    * but only two narrow integer columns wide). The initial assignment
+    * feeds three branches, so it is cached through the caller's
+    * [[CacheScope]].
+    */
+  def kmeansRefineCounts(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int = 50,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
+    val cent0 = v.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .select(col("id").as("centroid_id"), col("v").as("cv"))
+    def assign(cents: DataFrame): DataFrame =
+      v.join(broadcast(cents))
+        .withColumn("cscore", round(cosine(col("v"), col("cv")), 4))
+        .groupBy(col("id"), col("v"))
+        .agg(max_by(col("centroid_id"),
+          struct(col("cscore"), col("centroid_id"))).as("centroid_id"))
+    val a0 = scope.cached(assign(cent0))
+    val sums = a0.select(col("centroid_id"), posexplode(col("v")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(((sum(floor(col("col") * lit(1.0e7))).cast("double") / lit(1.0e7)) /
+        count(lit(1))).as("cval"))
+    val cent1 = sums.groupBy(col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        (s: Column) => s.getField("cval")).as("cv"))
+    val n0 = a0.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_init"))
+    val n1 = assign(cent1).groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_refined"))
+    n0.join(n1, Seq("centroid_id"), "full_outer")
+      .select(col("centroid_id"),
+        coalesce(col("n_init"), lit(0L)).as("n_init"),
+        coalesce(col("n_refined"), lit(0L)).as("n_refined"))
   }
 
   /** Recall audit for an approximate top-k result against the exact one.

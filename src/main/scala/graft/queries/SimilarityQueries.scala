@@ -171,5 +171,45 @@ object SimilarityQueries {
              |FROM topk t JOIN hits h ON t.query_id = h.query_id
              |ORDER BY t.query_id, t.rank""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // K-means codebook refinement (one Lloyd step): the training pass the
+    // IVF index skips. Deterministic end to end — round-4 cosine with
+    // centroid-id tie-break for assignment, floor-quantized (1e-7)
+    // integer sums for the per-dimension means — so the oracle replays
+    // assignment → mean → re-assignment exactly and the membership
+    // counts hash-match.
+    QueryDef(
+      "q80_kmeans_refine",
+      (spark, dir) =>
+        Similarity.kmeansRefineCounts(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            centroidEvery = 50)
+          .orderBy(col("centroid_id")),
+      Some("""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cent AS (SELECT id AS centroid_id, v AS cv FROM v WHERE id % 50 = 0),
+             |a0r AS (SELECT v.id, v.v, c.centroid_id,
+             |    ROW_NUMBER() OVER (PARTITION BY v.id
+             |      ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 4) DESC, c.centroid_id DESC) AS rn
+             |  FROM v CROSS JOIN cent c),
+             |a0 AS (SELECT id, v, centroid_id FROM a0r WHERE rn = 1),
+             |ex AS (SELECT a0.centroid_id, r.range AS pos, a0.v[r.range + 1] AS val
+             |  FROM a0, range(64) r),
+             |sums AS (SELECT centroid_id, pos,
+             |    CAST(SUM(CAST(FLOOR(val * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS cval
+             |  FROM ex GROUP BY centroid_id, pos),
+             |newc AS (SELECT centroid_id, list(cval ORDER BY pos) AS cv FROM sums GROUP BY centroid_id),
+             |a1r AS (SELECT v.id, c.centroid_id,
+             |    ROW_NUMBER() OVER (PARTITION BY v.id
+             |      ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 4) DESC, c.centroid_id DESC) AS rn
+             |  FROM v CROSS JOIN newc c),
+             |a1 AS (SELECT id, centroid_id FROM a1r WHERE rn = 1),
+             |n0 AS (SELECT centroid_id, COUNT(*) AS n_init FROM a0 GROUP BY centroid_id),
+             |n1 AS (SELECT centroid_id, COUNT(*) AS n_refined FROM a1 GROUP BY centroid_id)
+             |SELECT COALESCE(n0.centroid_id, n1.centroid_id) AS centroid_id,
+             |  COALESCE(n_init, 0) AS n_init, COALESCE(n_refined, 0) AS n_refined
+             |FROM n0 FULL OUTER JOIN n1 ON n0.centroid_id = n1.centroid_id
+             |ORDER BY centroid_id""".stripMargin),
+    ),
   )
 }

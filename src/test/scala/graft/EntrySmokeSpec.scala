@@ -55,6 +55,20 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("kmeansRefineCounts: counts conserve the corpus and assignments move") {
+    val emb = Tables.embeddings(spark, sf)
+    val total = emb.count()
+    val out = Similarity.kmeansRefineCounts(emb, "vec_id", "embedding",
+      centroidEvery = 50)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum === total, "initial assignment partitions the corpus")
+    assert(rows.map(_._3).sum === total, "refined assignment partitions the corpus")
+    // deterministic: same counts on re-run
+    assert(Similarity.kmeansRefineCounts(emb, "vec_id", "embedding", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === rows.toSet)
+  }
+
   test("withRecallGate: per-query hit counts and the total-hits floor") {
     import spark.implicits._
     // approx finds 2/2 for query 1, 1/2 for query 2 → total 3

@@ -73,6 +73,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // source, output sort (+AQE-visible broadcast prep).
     "q77_mixture_sample" -> 5,
     "q78_changelog_compact" -> 2, "q79_quantile_sketch" -> 2,
+    // q80: assignment agg (cached, counted once), per-dimension mean agg,
+    // centroid re-collect agg, the two count aggs, and the full-outer
+    // count join — every aggregate is keyed on the ≤(centroids×dims)
+    // domain except the cached assignment itself.
+    "q80_kmeans_refine" -> 6,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -81,7 +86,9 @@ class PlanBudgetSpec extends AnyFunSuite {
   private val smjAllowed = Set(
     "q12_merge_upsert",  // full-outer target⋈source on the PK: both sides big
     "q59_snapshot_diff", // full-outer between two same-scale snapshots
-    "q62_bucketed_join"  // the POINT: co-located SMJ with no exchanges
+    "q62_bucketed_join", // the POINT: co-located SMJ with no exchanges
+    "q80_kmeans_refine"  // full-outer n_init⋈n_refined: codebook-sized both
+                         // sides (full outer cannot broadcast)
   )
 
   test("every declared query stays within its audited plan budget") {

@@ -85,4 +85,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val mixtureGen: Gen[(Seq[(Long, String)], Map[String, Int], Int)] = for {
+    nSrc <- Gen.choose(2, 5)
+    weights <- Gen.listOfN(nSrc, Gen.choose(1, 5))
+    rowsPerSrc <- Gen.choose(5, 40)
+    total <- Gen.choose(1, nSrc * rowsPerSrc)
+  } yield {
+    val srcs = (0 until nSrc).map(i => s"s$i")
+    val rows = for { s <- srcs.indices; r <- 0 until rowsPerSrc }
+      yield (s.toLong * 1000 + r, srcs(s))
+    (rows, srcs.zip(weights).toMap, total)
+  }
+
+  test("mixtureSample: Σ quotas ≤ totalRows, per-source take = min(quota, available), deterministic") {
+    forAll(mixtureGen, n = 6) { case (rows, weights, total) =>
+      val df = rows.toDF("id", "src")
+      val wCol = weights.foldLeft(lit(0)) { case (acc, (s, w)) =>
+        when(col("src") === s, w).otherwise(acc) }
+      val out = graft.operators.Sampling
+        .mixtureSample(df, "src", "id", wCol, total.toLong)
+      val perSrc = out.groupBy("src")
+        .agg(count(lit(1)).as("n"), first(col("quota")).as("q"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val wSum = weights.values.sum.toDouble
+      val avail = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      perSrc.foreach { case (s, n, q) =>
+        assert(q === math.floor(total.toDouble * weights(s) / wSum).toLong)
+        assert(n === math.min(q, avail(s)))
+      }
+      assert(perSrc.map(_._3).sum <= total, "quota floor never over-allocates")
+    }
+  }
 }

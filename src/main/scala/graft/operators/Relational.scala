@@ -97,6 +97,43 @@ object Relational {
       .select(keys.map(col) :+ col("change_type"): _*)
   }
 
+  /** Bloom-filter semi-join pre-filter: the runtime-filter pattern, as an
+    * explicit operator. Build a Bloom filter over the build side's keys
+    * (one aggregate → a kilobytes-sized binary sketch), inline the sketch
+    * into the probe plan, and stamp each probe row with `bloom_hit`.
+    * At 100 TB this prunes the probe scan before any shuffle: rows with
+    * `bloom_hit = false` are DEFINITELY not in the build side (no false
+    * negatives) and can skip the exact join entirely; the false-positive
+    * fraction (tunable via `numBits`) pays only the exact-join cost it
+    * failed to prune. Keys are hashed to 64-bit with xxhash64 — the
+    * sketch never sees raw strings.
+    *
+    * Implementation note: `BloomFilterAggregate`/`BloomFilterMightContain`
+    * are Catalyst's internal runtime-filter expressions (not in the SQL
+    * registry), reached through the graftbridge. might_contain requires a
+    * CONSTANT sketch, so the aggregate is materialized on the driver —
+    * kilobytes, the explicit form of the scalar-subquery injection
+    * Spark's own InjectRuntimeFilter performs.
+    */
+  def bloomPreFilter(probe: DataFrame, build: DataFrame, keyCol: String,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    require(expectedItems > 0 && numBits > 0, "bloom sizing must be positive")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val bfAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col(keyCol))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bfBytes = build.agg(bfAgg.as("__bf")).head().getAs[Array[Byte]](0)
+    val hit =
+      if (bfBytes == null) lit(false) // empty build side: nothing can match
+      else ColumnBridge.column(BloomFilterMightContain(
+        Literal(bfBytes, BinaryType),
+        ColumnBridge.expression(xxhash64(col(keyCol)))))
+    probe.withColumn("bloom_hit", hit)
+  }
+
   /** Changelog compaction: reduce an append-only CDC event log to the
     * current state — for each key keep only the LAST event in `ordering`,
     * then drop keys whose last event is a tombstone. This is the read

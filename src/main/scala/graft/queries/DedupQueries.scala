@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Relational, TextAnalysis}
 
 /** Deduplication capability queries over the `documents` corpus. The corpus
   * plants ~25 near-duplicate pairs (3-gram Jaccard ≥ 0.9) in an otherwise
@@ -209,6 +209,51 @@ object DedupQueries {
              |  COALESCE(c.n_shared, 0) > 0 AS contaminated
              |FROM sh s LEFT JOIN cnt c USING (doc_id)
              |WHERE s.doc_id % 20 = 0 ORDER BY s.doc_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Bloom-filter semi-join pre-filter (runtime-filter pattern): build a
+    // kilobytes-sized sketch over the train side's 3-token-prefix keys,
+    // broadcast the SKETCH, stamp eval rows with bloom_hit. The audit
+    // aggregates the two properties that make the pattern sound at
+    // 100 TB: zero false negatives (fn_free — a pruned row is truly
+    // absent) and a bounded false-positive fraction (fp_ok ≤ 10% —
+    // wasted exact-join work stays small). The oracle replays the EXACT
+    // membership (the bloom side is engine-specific) and pins both
+    // booleans TRUE.
+    QueryDef(
+      "q81_bloom_prefilter",
+      (spark, dir) => {
+        val keyed = Tables.documents(spark, dir).select(col("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 3)).as("k"))
+        val train = keyed.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val ev = keyed.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val probed = Relational.bloomPreFilter(ev, train, "k",
+          expectedItems = 4096L, numBits = 65536L)
+        val exact = train.select(col("k")).distinct()
+          .withColumn("__in", lit(1))
+        probed.join(broadcast(exact), Seq("k"), "left")
+          .withColumn("in_train", col("__in").isNotNull)
+          .agg(
+            count(lit(1)).as("n_eval"),
+            sum(when(col("in_train"), 1L).otherwise(0L)).as("n_in_train"),
+            sum(when(col("in_train") && !col("bloom_hit"), 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("in_train") && col("bloom_hit"), 1L).otherwise(0L)).as("fp"))
+          .select(col("n_eval"), col("n_in_train"),
+            (col("fn") === 0).as("fn_free"),
+            (col("fp") * 10 <= col("n_eval")).as("fp_ok"))
+      },
+      Some("""WITH keyed AS (SELECT doc_id,
+             |    array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 3), ' ') AS k
+             |  FROM documents),
+             |train AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 5 <> 0),
+             |ev AS (SELECT doc_id, k FROM keyed WHERE doc_id % 5 = 0),
+             |j AS (SELECT e.doc_id, (t.k IS NOT NULL) AS in_train
+             |  FROM ev e LEFT JOIN train t ON e.k = t.k)
+             |SELECT COUNT(*) AS n_eval,
+             |  CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS BIGINT) AS n_in_train,
+             |  TRUE AS fn_free, TRUE AS fp_ok
+             |FROM j""".stripMargin),
     ),
   )
 }

@@ -78,6 +78,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // count join — every aggregate is keyed on the ≤(centroids×dims)
     // domain except the cached assignment itself.
     "q80_kmeans_refine" -> 6,
+    // q81: the exact-membership distinct agg + the one-row audit agg; the
+    // bloom build itself runs eagerly and its sketch inlines as a literal.
+    "q81_bloom_prefilter" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -100,6 +100,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(out === Array((1L, "b"), (3L, "z")))
   }
 
+  test("bloomPreFilter: no false negatives, misses mostly pruned") {
+    val build = (0L until 500L).map(i => s"key$i").toDF("k")
+    val probe = ((0L until 100L).map(i => s"key$i") ++   // present
+      (0L until 100L).map(i => s"absent$i")).toDF("k")   // absent
+    val out = Relational.bloomPreFilter(probe, build, "k",
+        expectedItems = 1024L, numBits = 16384L)
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(out.count(_._1.startsWith("key")) === 100)
+    assert(out.filter(_._1.startsWith("key")).forall(_._2),
+      "a build-side key must always hit")
+    val fp = out.filter(_._1.startsWith("absent")).count(_._2)
+    assert(fp <= 10, s"false positives out of bound: $fp/100")
+  }
+
   test("snapshotDiff refuses schema drift") {
     val a = Seq((1L, "x")).toDF("id", "v")
     val b = Seq((1L, "x", 0)).toDF("id", "v", "extra")

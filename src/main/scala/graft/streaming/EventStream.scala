@@ -8,6 +8,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 case class UserEvent(user_id: Long, value: Double)
 case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+/** Typed rows for streaming changelog compaction. */
+case class ChangeEvent(key: Long, seq: Long, op: String, payload: String)
+case class CurrentState(key: Long, seq: Long, deleted: Boolean, payload: String)
+
 /** Structured-Streaming parity for the reference's micro-batch semantics
   * (SURVEY §2.7): 10-min incremental cycles with overlapping lookback
   * windows, idempotent via PK dedup at the sink.
@@ -72,6 +76,30 @@ object EventStream {
           val updated = UserTotal(userId, n, v)
           state.update(updated)
           Iterator(updated)
+      }
+  }
+
+  /** Streaming changelog compaction — the stateful twin of
+    * `Relational.compactChangelog`: keyed state holds the highest-`seq`
+    * event seen per key; each batch emits the key's refreshed current
+    * state, flagged `deleted` when the winning op is a tombstone. Stale
+    * redeliveries and out-of-order events collapse because state only
+    * advances when `seq` increases — replaying the log (or re-reading a
+    * checkpointed batch) converges to the same states, which is what
+    * makes the sink idempotent.
+    */
+  def compactedChangelog(log: org.apache.spark.sql.Dataset[ChangeEvent])
+      : org.apache.spark.sql.Dataset[CurrentState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import log.sparkSession.implicits._
+    log.groupByKey(_.key)
+      .flatMapGroupsWithState[ChangeEvent, CurrentState](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[ChangeEvent], state: GroupState[ChangeEvent]) =>
+          val latest = (state.getOption ++ batch).maxBy(_.seq)
+          state.update(latest)
+          Iterator(CurrentState(key, latest.seq,
+            deleted = latest.op == "del", payload = latest.payload))
       }
   }
 

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Skew
-import graft.streaming.{EventStream, UserEvent}
+import graft.streaming.{ChangeEvent, EventStream, UserEvent}
 
 class SkewAndStateSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
@@ -41,6 +41,34 @@ class SkewAndStateSpec extends AnyFunSuite {
         .orderBy("user_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(out === Array((1L, 2L, 15.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("streaming changelog compaction: seq wins across batches, stale events ignored") {
+    val src = Files.createTempDirectory("graft-cdc-src").toString
+    Seq(ChangeEvent(1L, 1L, "set", "a"), ChangeEvent(2L, 1L, "set", "x"))
+      .toDF().write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(Seq.empty[ChangeEvent].toDF().schema).parquet(src)
+      .as[ChangeEvent]
+    val q = EventStream.compactedChangelog(stream)
+      .writeStream.format("memory").queryName("cdc_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: key 1 tombstoned (newer seq), key 2 gets a STALE event
+      Seq(ChangeEvent(1L, 2L, "del", ""), ChangeEvent(2L, 0L, "set", "stale"))
+        .toDF().write.mode("append").parquet(src)
+      q.processAllAvailable()
+      // latest emission per key = the compacted current state
+      val out = spark.table("cdc_test")
+        .groupBy("key")
+        .agg(max_by(struct(col("seq"), col("deleted"), col("payload")),
+          col("seq")).as("s"))
+        .select(col("key"), col("s.seq"), col("s.deleted"), col("s.payload"))
+        .orderBy("key").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+      assert(out === Array((1L, 2L, true, ""), (2L, 1L, false, "x")))
     } finally q.stop()
   }
 }

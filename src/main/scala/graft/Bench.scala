@@ -60,7 +60,13 @@ object Bench {
         spark.catalog.clearCache()
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, timings.map(_._1).min, timings.forall(_._2))
+      // Minimum over SUCCESSFUL iterations only: a fast-failing iteration
+      // (transient OOM, etc.) must not report its crash latency as the
+      // query's measurement. A query with zero successes keeps the overall
+      // min purely so the negated value stays non-zero and parseable.
+      val okTimings = timings.collect { case (t, true) => t }
+      val best = if (okTimings.nonEmpty) okTimings.min else timings.map(_._1).min
+      (name, best, timings.forall(_._2))
     }
     // A crashed query must be machine-detectable from the JSON alone:
     // list it in "failed" AND negate its timing.

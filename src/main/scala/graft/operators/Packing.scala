@@ -29,6 +29,13 @@ object Packing {
   /** Per-document pack assignment: (doc_id, n_tokens, start_offset,
     * pack_id), where start_offset is the exclusive prefix sum of
     * `nTokens` in `idCol` order and pack_id = floor(start_offset/budget).
+    *
+    * `idCol` is the ordering grain and must be UNIQUE: with duplicate
+    * ids the relative order of the duplicates (and therefore which pack
+    * each lands in) is partition-order-dependent. The window uses a ROWS
+    * frame so even then every document is counted exactly once — a RANGE
+    * frame would sum id-peers together and corrupt the duplicates'
+    * offsets outright.
     */
   def packAssignments(docs: DataFrame, idCol: String, nTokens: Column,
       budget: Int, groupSize: Int = 1024): DataFrame = {
@@ -38,6 +45,7 @@ object Packing {
       .withColumn("grp", floor(col("doc_id") / groupSize))
     // Phase 1: exclusive cumsum within each id-range group.
     val wLocal = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = base.withColumn("local_cum",
       coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)) - col("n_tokens"))
     // Phase 2: exclusive cumsum over group totals (bounded: one row per

@@ -217,10 +217,12 @@ object DedupQueries {
     // broadcast the SKETCH, stamp eval rows with bloom_hit. The audit
     // aggregates the two properties that make the pattern sound at
     // 100 TB: zero false negatives (fn_free — a pruned row is truly
-    // absent) and a bounded false-positive fraction (fp_ok ≤ 10% —
-    // wasted exact-join work stays small). The oracle replays the EXACT
-    // membership (the bloom side is engine-specific) and pins both
-    // booleans TRUE.
+    // absent) and a bounded false-positive fraction (fp_ok: ≤ 10% of the
+    // ABSENT rows fire spuriously — the denominator is the population
+    // that can produce a false positive, so a degenerate always-true
+    // filter fails even when most eval keys are genuinely present).
+    // The oracle replays the EXACT membership (the bloom side is
+    // engine-specific) and pins both booleans TRUE.
     QueryDef(
       "q81_bloom_prefilter",
       (spark, dir) => {
@@ -241,7 +243,7 @@ object DedupQueries {
             sum(when(!col("in_train") && col("bloom_hit"), 1L).otherwise(0L)).as("fp"))
           .select(col("n_eval"), col("n_in_train"),
             (col("fn") === 0).as("fn_free"),
-            (col("fp") * 10 <= col("n_eval")).as("fp_ok"))
+            (col("fp") * 10 <= col("n_eval") - col("n_in_train")).as("fp_ok"))
       },
       Some("""WITH keyed AS (SELECT doc_id,
              |    array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 3), ' ') AS k

@@ -288,14 +288,21 @@ object Sinks {
     * other half — clustering — is ZOrder.writeZOrdered). Incremental
     * appends leave a table with per-batch file counts; at 100 TB the
     * resulting listing + footer overhead dominates small scans. This
-    * rewrites the table into ceil(total_bytes / targetFileBytes) files
-    * via `coalesce` — a NARROW merge of input splits, no shuffle, no
-    * re-sort (it preserves whatever clustering the files already have) —
-    * then swaps atomically through the same crash-safe rename as the
-    * other sinks. No-op (returns unchanged counts) when the table is
-    * already at or under the target file count.
+    * rewrites each leaf directory into ceil(total_bytes/targetFileBytes)
+    * files via `coalesce` — a NARROW merge of input splits, no shuffle,
+    * no re-sort (it preserves whatever clustering the files already
+    * have) — then swaps atomically through the same crash-safe rename as
+    * the other sinks. No-op (returns unchanged counts) when already at
+    * or under the target file count.
     *
-    * Returns (filesBefore, filesAfter).
+    * Hive-partitioned tables (`k=v` subdirectories — the load-date
+    * layout this module defaults to) are compacted PER PARTITION:
+    * partition pruning and the directory-derived partition column are
+    * preserved because each leaf rewrite stays inside its own
+    * directory. At scale, partitions compact independently — run this
+    * only over partitions the last ingest touched.
+    *
+    * Returns (filesBefore, filesAfter) summed over leaves.
     */
   def compactFiles(spark: SparkSession, path: String,
       targetFileBytes: Long): (Int, Int) = {
@@ -303,16 +310,33 @@ object Sinks {
     recoverSwap(spark, path)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(hPath)
+    val partitions = fs.listStatus(hPath)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (partitions.nonEmpty) {
+      val results = partitions.map(p =>
+        compactFlatDir(spark, fs, p.getPath.toString, targetFileBytes))
+      (results.map(_._1).sum, results.map(_._2).sum)
+    } else compactFlatDir(spark, fs, path, targetFileBytes)
+  }
+
+  private def compactFlatDir(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      targetFileBytes: Long): (Int, Int) = {
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val dataFiles = fs.listStatus(hDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (dataFiles.length <= nOut) return (dataFiles.length, dataFiles.length)
-    val tmp = path + ".tmp"
-    spark.read.parquet(path).coalesce(nOut)
+    val tmp = dir + ".tmp"
+    // Read the leaf's files directly (not the table root): the partition
+    // column lives in the directory name, not the files, so a same-leaf
+    // rewrite preserves it.
+    spark.read.parquet(dataFiles.map(_.getPath.toString).toIndexedSeq: _*)
+      .coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    swapInto(spark, tmp, path)
-    val after = fs.listStatus(hPath)
+    swapInto(spark, tmp, dir)
+    val after = fs.listStatus(hDir)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, after)
   }

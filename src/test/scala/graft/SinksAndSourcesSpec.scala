@@ -36,6 +36,21 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     assert(Sinks.compactFiles(spark, path, 1L << 20) === ((1, 1)))
   }
 
+  test("compactFiles on a partitioned table: per-partition rewrite, layout preserved") {
+    val path = tmpDir("compact-part")
+    (0 until 10).foreach { i =>
+      Seq((i.toLong, s"d${i % 2}", s"v$i")).toDF("id", "load_date", "v")
+        .coalesce(1).write.mode("append").partitionBy("load_date").parquet(path)
+    }
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+    val (nBefore, nAfter) = Sinks.compactFiles(spark, path, targetFileBytes = 1L << 20)
+    assert(nBefore >= 10 && nAfter === 2, s"$nBefore -> $nAfter") // one file per partition
+    val after = spark.read.parquet(path)
+    assert(after.orderBy("id").collect().toSeq === before)
+    // partition pruning still works on the directory-derived column
+    assert(after.filter(col("load_date") === "d0").count() === 5)
+  }
+
   test("mergeUpsert sink rewrites target with merged content (L5)") {
     val path = tmpDir("merge")
     Sinks.truncateInsert(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path)

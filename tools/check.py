@@ -55,6 +55,12 @@ def main():
     names = [d.rstrip("/").rsplit("/", 1)[-1] for d in result_dirs]
     if only:
         names = [n for n in names if n in only]
+        # A mistyped subset name matches no result dir AND no oracle —
+        # without this guard it silently yields "ALL PASS (0 queries)".
+        unknown = only - set(names) - set(oracles)
+        for name in sorted(unknown):
+            print(f"  {name:28s} FAIL unknown query name (typo?)")
+            failures += 1
     for name in names:
         spark_rel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")

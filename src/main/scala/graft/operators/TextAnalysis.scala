@@ -212,6 +212,39 @@ object TextAnalysis {
         col("max_rep").cast(DoubleType) / col("n_grams").cast(DoubleType))
   }
 
+  /** Content-defined chunking (CDC): a chunk boundary falls wherever the
+    * token's hash ≡ 0 (mod `modulus`), giving chunks of expected length
+    * `modulus` whose boundaries depend on CONTENT, not position — insert
+    * a token early in a document and only its own chunk changes, while
+    * fixed-size chunking would shift every later boundary. This is the
+    * segmentation primitive behind dedup storage / incremental-sync
+    * systems; chunk hashes (not done here) then dedupe across a corpus
+    * where whole-document fingerprints miss partial overlap.
+    *
+    * Per-document output: n_chunks, n_tokens, max_chunk_tokens. The
+    * per-doc window partitions by the id — parallel across documents,
+    * bounded by document length within one.
+    */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int): DataFrame = {
+    require(modulus > 1, "modulus must exceed 1")
+    val positioned = df
+      .select(col(idCol), posexplode(tokens(col(textCol))))
+      .withColumn("h", pmod(Dedup.auditableTokenHash(col("col")), lit(2147483647L)))
+      .withColumn("boundary",
+        (pmod(col("h"), lit(modulus.toLong)) === 0).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    positioned
+      .withColumn("chunk_id", sum(col("boundary")).over(w))
+      .groupBy(col(idCol), col("chunk_id")).agg(count(lit(1)).as("clen"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("n_tokens"),
+        max(col("clen")).as("max_chunk_tokens"))
+  }
+
   /** Polynomial rolling hash (Rabin-Karp shape) over the token stream —
     * an order-SENSITIVE fingerprint, unlike the MD5 of the normalized text:
     * hash = Σ tok_hash(t_i)·B^i mod P, computed as a left fold.

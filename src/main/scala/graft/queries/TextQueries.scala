@@ -340,5 +340,34 @@ object TextQueries {
              |  MAX(cnt) * 1.0 / SUM(cnt) >= 0.1 AS repetitive
              |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Content-defined chunking: boundaries where the auditable token
+    // hash ≡ 0 (mod 8) — shift-resistant segmentation (dedup-storage /
+    // incremental-sync chunking). Modulus 8 (not a production-sized 64)
+    // because the synthetic corpus has a ~31-token vocabulary: 3 of the
+    // 31 hashes are ≡ 0 mod 8, giving real multi-chunk documents, while
+    // mod 64 happens to select none and degenerates to one chunk per
+    // doc. The oracle replays token hashing, boundary selection, and the
+    // cumulative chunk assignment exactly.
+    QueryDef(
+      "q82_cdc_chunks",
+      (spark, dir) =>
+        TextAnalysis.cdcChunkStats(
+            Tables.documents(spark, dir), "doc_id", "text", modulus = 8)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |tk AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM toks),
+             |t AS (SELECT doc_id, pos,
+             |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS h
+             |  FROM tk),
+             |b AS (SELECT doc_id, pos, CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END AS boundary FROM t),
+             |c AS (SELECT doc_id, pos, SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id FROM b),
+             |cl AS (SELECT doc_id, chunk_id, COUNT(*) AS clen FROM c GROUP BY doc_id, chunk_id)
+             |SELECT doc_id, COUNT(*) AS n_chunks, CAST(SUM(clen) AS BIGINT) AS n_tokens,
+             |  CAST(MAX(clen) AS BIGINT) AS max_chunk_tokens
+             |FROM cl GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

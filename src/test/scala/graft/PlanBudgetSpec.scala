@@ -81,6 +81,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q81: the exact-membership distinct agg + the one-row audit agg; the
     // bloom build itself runs eagerly and its sketch inlines as a literal.
     "q81_bloom_prefilter" -> 2,
+    // q82: one doc_id exchange feeds the window AND both per-doc aggs
+    // (same-key partitioning reuse), plus the output sort.
+    "q82_cdc_chunks" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -413,5 +413,37 @@ object AnalyticsQueries {
              |TRUE AS approx_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Cohort retention matrix: users grouped by first-seen week, counted
+    // in each later week they return — the standard product-analytics
+    // retention triangle. Two user_id-keyed aggregations (first-seen +
+    // distinct activity weeks) and one join that reuses the same key
+    // partitioning; week arithmetic stays exact because both engines
+    // truncate weeks to Mondays, making the day difference a multiple
+    // of 7.
+    QueryDef(
+      "q83_cohort_retention",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+        val active = ev.distinct()
+        active.join(cohort, Seq("user_id"))
+          .withColumn("week_offset",
+            floor(datediff(col("wk"), col("cohort_week")) / 7))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+             |cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id)
+             |SELECT c.cohort_week,
+             |  CAST(FLOOR(date_diff('day', c.cohort_week, e.wk) / 7.0) AS BIGINT) AS week_offset,
+             |  COUNT(DISTINCT e.user_id) AS n_users
+             |FROM ev e JOIN cohort c USING (user_id)
+             |GROUP BY c.cohort_week, week_offset
+             |ORDER BY c.cohort_week, week_offset""".stripMargin),
+    ),
   )
 }

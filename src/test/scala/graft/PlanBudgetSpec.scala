@@ -84,6 +84,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q82: one doc_id exchange feeds the window AND both per-doc aggs
     // (same-key partitioning reuse), plus the output sort.
     "q82_cdc_chunks" -> 2,
+    // q83: the distinct-(user, week) agg, the first-seen agg (same-key,
+    // join reuses its partitioning), the two-phase distinct count on the
+    // (cohort, offset) key, and the output sort.
+    "q83_cohort_retention" -> 5,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

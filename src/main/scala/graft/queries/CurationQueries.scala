@@ -182,5 +182,45 @@ object CurationQueries {
              |SELECT r.doc_id, r.source, q.quota FROM r JOIN q USING (source)
              |WHERE r.rk <= q.quota ORDER BY r.doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Temperature-scaled mixture (α = 0.5): quotas ∝ (per-source token
+    // mass)^α — the standard multilingual-training rebalance that
+    // up-weights low-resource sources relative to proportional
+    // sampling. Cross-engine determinism: sqrt is IEEE
+    // correctly-rounded in both engines, the weight routes through
+    // DECIMAL(18,9) so the Σweights is EXACT (a double sum would be
+    // engine-order-dependent), and a halfway decimal rounding cannot
+    // occur (sqrt of a non-square is irrational; of a square, exact).
+    QueryDef(
+      "q84_temperature_mixture",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val wt = docs
+          .select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy(col("source")).agg(sum(col("nt")).as("toks"))
+          .select(col("source"),
+            sqrt(col("toks")).cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("wt"))
+        Sampling.mixtureSample(
+            docs.join(broadcast(wt), Seq("source")),
+            "source", "doc_id", col("wt"), totalRows = 200)
+          .select(col("doc_id"), col("source"), col("quota"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT source,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt
+             |  FROM documents),
+             |mass AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS toks FROM tok GROUP BY source),
+             |w AS (SELECT source, CAST(sqrt(toks) AS DECIMAL(18,9)) AS wt FROM mass),
+             |tot AS (SELECT SUM(wt) AS tw FROM w),
+             |q AS (SELECT source, CAST(FLOOR(200.0 * wt / tw) AS BIGINT) AS quota
+             |  FROM w CROSS JOIN tot),
+             |r AS (SELECT d.doc_id, d.source, ROW_NUMBER() OVER (PARTITION BY d.source
+             |  ORDER BY ((d.doc_id % 2147483647) * 2654435761 % 2147483647) % 1000000, d.doc_id) AS rk
+             |  FROM documents d)
+             |SELECT r.doc_id, r.source, q.quota FROM r JOIN q USING (source)
+             |WHERE r.rk <= q.quota ORDER BY r.doc_id""".stripMargin),
+    ),
   )
 }

@@ -88,6 +88,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // join reuses its partitioning), the two-phase distinct count on the
     // (cohort, offset) key, and the output sort.
     "q83_cohort_retention" -> 5,
+    // q84: token-mass agg feeding the broadcast weight table, then the
+    // q77 mixture pipeline (weight agg, one-row total, source-ranking
+    // window, output sort) — all but the window and sort operate on
+    // |sources|-sized frames; the corpus scans twice by design (stats
+    // pass, then sample pass).
+    "q84_temperature_mixture" -> 8,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -15,8 +15,28 @@ import org.apache.spark.sql.SparkSession
   * masked real regressions. The min of two executions measures the
   * steady-state plan; caches are still cleared between every execution,
   * so the repeat re-reads the source rather than timing RAM.
+  *
+  * The artifact is self-diagnosing: "iters" records EVERY iteration's
+  * timing (not just the min), and "sentinel" records a fixed pure-CPU
+  * micro-query re-timed at the start and after every 10th query. Min-of-N
+  * damps one-off codegen noise but cannot detect a SUSTAINED environmental
+  * slowdown (both iterations slow); a flat sentinel alongside a slow query
+  * says "real regression", a sentinel that rises in the same stretch says
+  * "perturbed run" — distinguishable from the JSON alone, no re-run needed.
   */
 object Bench {
+  /** Fixed-cost CPU-bound probe: no file I/O, no shuffle, no cache
+    * interaction with the queries under test. Any drift in its timing
+    * across the suite measures the ENVIRONMENT (CPU steal, thermal,
+    * memory thrash), never the code being benchmarked.
+    */
+  private def sentinelSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 20000000L, 1, 32)
+      .selectExpr("sum(id * 3 + 1) as s", "count(*) as c")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,7 +62,14 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Sentinel checkpoints: key = "start" or the name of the last query
+    // completed before the probe ran, value = probe seconds. Ordered.
+    val sentinels = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    sentinelSec(spark) // untimed: first probe pays one-time codegen; recording
+                       // it would make every run's baseline look "recovered"
+    sentinels += ("start" -> sentinelSec(spark))
+    val ordered = selected.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       val timings = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -60,22 +87,30 @@ object Bench {
         spark.catalog.clearCache()
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      if ((idx + 1) % 10 == 0 || idx == ordered.size - 1)
+        sentinels += (name -> sentinelSec(spark))
       // Minimum over SUCCESSFUL iterations only: a fast-failing iteration
       // (transient OOM, etc.) must not report its crash latency as the
       // query's measurement. A query with zero successes keeps the overall
       // min purely so the negated value stays non-zero and parseable.
       val okTimings = timings.collect { case (t, true) => t }
       val best = if (okTimings.nonEmpty) okTimings.min else timings.map(_._1).min
-      (name, best, timings.forall(_._2))
+      (name, best, timings, timings.forall(_._2))
     }
     // A crashed query must be machine-detectable from the JSON alone:
-    // list it in "failed" AND negate its timing.
-    val qs = results.map { case (k, v, ok) =>
+    // list it in "failed" AND negate its timing (per-iteration too).
+    val qs = results.map { case (k, v, _, ok) =>
       "\"" + k + "\":" + (if (ok) v else -v) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val allIters = results.map { case (k, _, ts, _) =>
+      "\"" + k + "\":" + ts.map { case (t, ok) => if (ok) t else -t }
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val sentinelJson = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$allIters,"sentinel":$sentinelJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -155,7 +155,11 @@ object Relational {
     log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .filter(!isTombstone)
+      // NULL-safe: a key whose winning event evaluates the tombstone
+      // predicate to NULL (e.g. a null op column) SURVIVES — `!NULL` is
+      // NULL, which a bare filter would silently drop, vanishing the key
+      // as if it had been tombstoned.
+      .filter(!coalesce(isTombstone, lit(false)))
   }
 
   /** Banded range join: match fact rows against a (small) set of

@@ -87,6 +87,11 @@ object EventStream {
     * advances when `seq` increases — replaying the log (or re-reading a
     * checkpointed batch) converges to the same states, which is what
     * makes the sink idempotent.
+    *
+    * Like the batch operator, `seq` must be a total order per key. If two
+    * DISTINCT events share a key and seq, the tie is broken by (op,
+    * payload) so the winner is a pure function of the event set — never
+    * of partition/file arrival order, which would diverge across replays.
     */
   def compactedChangelog(log: org.apache.spark.sql.Dataset[ChangeEvent])
       : org.apache.spark.sql.Dataset[CurrentState] = {
@@ -96,7 +101,8 @@ object EventStream {
       .flatMapGroupsWithState[ChangeEvent, CurrentState](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, batch: Iterator[ChangeEvent], state: GroupState[ChangeEvent]) =>
-          val latest = (state.getOption ++ batch).maxBy(_.seq)
+          val latest = (state.getOption ++ batch)
+            .maxBy(e => (e.seq, e.op, e.payload))
           state.update(latest)
           Iterator(CurrentState(key, latest.seq,
             deleted = latest.op == "del", payload = latest.payload))

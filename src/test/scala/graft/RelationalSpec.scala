@@ -100,6 +100,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(out === Array((1L, "b"), (3L, "z")))
   }
 
+  test("compactChangelog: null tombstone predicate means survive, not vanish") {
+    // key 7's winning event has op=NULL → `op === "del"` is NULL; the key
+    // must SURVIVE (it was not tombstoned), not silently disappear.
+    val log = Seq(
+      (1L, 100L, 7L, "set", "a"),
+      (2L, 200L, 7L, null.asInstanceOf[String], "b"),
+      (3L, 100L, 8L, "del", null.asInstanceOf[String]),
+    ).toDF("event_id", "ts", "key", "op", "v")
+    val out = Relational.compactChangelog(log, Seq("key"),
+        Seq(col("ts"), col("event_id")), isTombstone = col("op") === "del")
+      .collect().map(r => (r.getLong(2), r.getString(4)))
+    assert(out === Array((7L, "b")))
+  }
+
   test("bloomPreFilter: no false negatives, misses mostly pruned") {
     val build = (0L until 500L).map(i => s"key$i").toDF("k")
     val probe = ((0L until 100L).map(i => s"key$i") ++   // present

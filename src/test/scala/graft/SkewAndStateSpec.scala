@@ -71,4 +71,26 @@ class SkewAndStateSpec extends AnyFunSuite {
       assert(out === Array((1L, 2L, true, ""), (2L, 1L, false, "x")))
     } finally q.stop()
   }
+
+  test("streaming changelog compaction: equal-seq tie resolves by (op, payload), not arrival order") {
+    val src = Files.createTempDirectory("graft-cdc-tie").toString
+    // Two DISTINCT events, same key and seq, in one batch: the winner must
+    // be a pure function of the event set (max by (seq, op, payload) →
+    // payload "b"), never of partition/file iteration order.
+    Seq(ChangeEvent(9L, 5L, "set", "b"), ChangeEvent(9L, 5L, "set", "a"))
+      .toDF().repartition(2).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(Seq.empty[ChangeEvent].toDF().schema).parquet(src)
+      .as[ChangeEvent]
+    val q = EventStream.compactedChangelog(stream)
+      .writeStream.format("memory").queryName("cdc_tie_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("cdc_tie_test")
+        .select("key", "seq", "payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(out === Array((9L, 5L, "b")))
+    } finally q.stop()
+  }
 }

@@ -112,17 +112,21 @@ object SimilarityQueries {
 
     // ----------------------------------------------------------------
     // IVF-bucketed ANN: training-free deterministic codebook (every 50th
-    // vector), broadcast centroid assignment, nProbe inverted-list probing.
-    // Approximate but deterministic end to end — the oracle replays the
-    // same assignment (max_by (cscore, centroid_id) ≡ row_number ordered
-    // cscore DESC, centroid_id DESC), probing, and round-4 ranking.
+    // vector), broadcast centroid assignment, ADAPTIVE inverted-list
+    // probing — nProbe = max(8, ceil(0.6 × nCentroids)) scales with the
+    // codebook so the probed corpus fraction (and recall) holds as the
+    // data grows; the fixed nProbe=4 it replaces decayed 34→17 of 50 when
+    // the codebook grew 10→40 centroids at sf0.1. Approximate but
+    // deterministic end to end — the oracle replays the same assignment
+    // (max_by (cscore, centroid_id) ≡ row_number ordered cscore DESC,
+    // centroid_id DESC), the same adaptive probe limit (COUNT OVER the
+    // query partition), and round-4 ranking.
     //
     // Recall gate (same shape as q27): per-query `exact_hits` + pinned
-    // `recall_ok` with a 15/50 total floor. IVF recall is 32/34 at
-    // sf0.001/0.01 but 17 at sf0.1 — fixed nProbe=4 against 10× more
-    // centroids probes a shrinking corpus fraction, the textbook IVF
-    // trade-off — so the floor sits below the worst observed SF, still
-    // far above the ~0 a broken assignment or probe join produces.
+    // `recall_ok` with a 40/50 total floor — measured hits 48/45/43 at
+    // sf0.001/0.01/0.1 (10/10/40 centroids → probe 8/8/24), so the floor
+    // binds every SF with margin while still failing any real recall
+    // regression, not just a catastrophic ~0 collapse.
     QueryDef(
       "q35_ann_ivf",
       (spark, dir) => {
@@ -131,11 +135,11 @@ object SimilarityQueries {
         val ivf = Similarity.ivfTopK(
           corpus = emb, queries = qs,
           idCol = "vec_id", vecCol = "embedding", k = 5,
-          centroidEvery = 50, nProbe = 4)
+          centroidEvery = 50) // adaptive probe: max(8, ceil(0.6·nCent))
         val exact = Similarity.bruteForceTopK(
           corpus = emb, queries = qs,
           idCol = "vec_id", vecCol = "embedding", k = 5)
-        Similarity.withRecallGate(ivf, exact, minTotalHits = 15)
+        Similarity.withRecallGate(ivf, exact, minTotalHits = 40)
           .orderBy(col("query_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -148,9 +152,11 @@ object SimilarityQueries {
              |q AS (SELECT id AS query_id, v AS v_q FROM v WHERE id < 10),
              |pr0 AS (SELECT q.query_id, q.v_q, c.centroid_id,
              |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-             |      ORDER BY list_cosine_similarity(q.v_q, c.cv) DESC, c.centroid_id) AS pr
+             |      ORDER BY list_cosine_similarity(q.v_q, c.cv) DESC, c.centroid_id) AS pr,
+             |    COUNT(*) OVER (PARTITION BY q.query_id) AS n_cent
              |  FROM q CROSS JOIN cent c),
-             |probes AS (SELECT query_id, v_q, centroid_id FROM pr0 WHERE pr <= 4),
+             |probes AS (SELECT query_id, v_q, centroid_id FROM pr0
+             |  WHERE pr <= GREATEST(8, CEIL(0.6 * n_cent))),
              |scored AS (SELECT p.query_id, a.id, ROUND(list_cosine_similarity(p.v_q, a.v), 4) AS cos_sim
              |  FROM probes p JOIN asg a USING (centroid_id) WHERE p.query_id <> a.id),
              |r AS (SELECT query_id, id AS neighbor_id, cos_sim,

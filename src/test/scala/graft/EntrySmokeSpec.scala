@@ -53,6 +53,12 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(ivf.size === exact.size) // full k per query
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall $recall")
+    // Adaptive probing (the default) must beat the narrow fixed probe and
+    // hold recall@5 >= 0.8 — the property that held the 40/50 q35 floor.
+    val adaptive = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      centroidEvery = 25))
+    val aRecall = (exact intersect adaptive).size.toDouble / exact.size
+    assert(aRecall >= 0.8 && aRecall >= recall, s"adaptive recall $aRecall vs fixed $recall")
   }
 
   test("kmeansRefineCounts: counts conserve the corpus and assignments move") {

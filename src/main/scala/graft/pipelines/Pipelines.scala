@@ -63,7 +63,7 @@ object Pipelines {
         s"present: ${normalized.columns.mkString(",")}")
     val appended = Sinks.dedupAppend(
       spark, normalized, s"$stagingRoot/${spec.name}", spec.keys)
-    EndpointResult(endpoint, normalized.count(), appended)
+    EndpointResult(endpoint, normalized.count(), appended.rows)
   }
 
   /** §3.2 `facolos_incremental_etl_production`: PHASE 1 MISA endpoints in
@@ -93,7 +93,7 @@ object Pipelines {
       val appended = Sinks.dedupAppend(spark, flat,
         s"$stagingRoot/${SchemaRegistry.tiktokOrders.name}",
         SchemaRegistry.tiktokOrders.keys)
-      EndpointResult(SchemaRegistry.tiktokOrders.name, flat.count(), appended)
+      EndpointResult(SchemaRegistry.tiktokOrders.name, flat.count(), appended.rows)
     }
 
     val results = misaResults :+ tiktokResult

@@ -81,9 +81,33 @@ object Sinks {
       batchSize: Int = 1000): Unit =
     jdbcWrite(df, url, table, SaveMode.Overwrite, batchSize, truncate = false)
 
-  /** JDBC read-back (parallelized reads would add partitionColumn/bounds). */
-  def jdbcTable(spark: SparkSession, url: String, table: String): DataFrame =
-    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+  /** JDBC read-back. With `partitionColumn` set, the scan issues
+    * `numPartitions` range-predicated queries in parallel (Spark's stride
+    * split of [lowerBound, upperBound] on a numeric/date column) — the
+    * difference between one connection dragging a 100 TB table and a
+    * cluster-wide parallel read. Rows OUTSIDE the bounds are still read
+    * (they land in the first/last stripe), so the bounds only need to be
+    * approximate — stale min/max stats are fine. Default: single-partition
+    * read, matching the reference's small-table scan surface.
+    */
+  def jdbcTable(spark: SparkSession, url: String, table: String,
+      partitionColumn: String = "", lowerBound: Long = 0L,
+      upperBound: Long = 0L, numPartitions: Int = 1): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val reader =
+      if (partitionColumn.isEmpty) base
+      else {
+        require(numPartitions >= 1 && upperBound > lowerBound,
+          s"partitioned jdbc read needs numPartitions >= 1 and upperBound > lowerBound " +
+            s"(got $numPartitions, [$lowerBound, $upperBound])")
+        base.option("partitionColumn", partitionColumn)
+          .option("lowerBound", lowerBound.toString)
+          .option("upperBound", upperBound.toString)
+          .option("numPartitions", numPartitions.toString)
+      }
+    reader.load()
+  }
 
   // ----------------------------------------------------------- parquet path
 
@@ -101,19 +125,112 @@ object Sinks {
     }
   }
 
+  // ---------------------------------------------------- leaf-swap machinery
+
+  private type HPath = org.apache.hadoop.fs.Path
+  private type HFs = org.apache.hadoop.fs.FileSystem
+
+  /** Names Spark's readers skip (and partition listings must too):
+    * dot/underscore-hidden entries plus legacy `.tmp`/`.old` staging
+    * suffixes. Treating any of these as a data partition would resurrect
+    * stale rows under bogus partition values.
+    */
+  private def isAuxName(n: String): Boolean =
+    n.startsWith(".") || n.startsWith("_") ||
+      n.endsWith(".tmp") || n.endsWith(".old")
+
+  // Leaf staging lives BESIDE the leaf under dot-prefixed names, so at no
+  // point in a swap (or after a crash at any point of one) does the table
+  // namespace contain an entry spark.read.parquet or a partition listing
+  // would mistake for data — the flaw in the former `<leaf>.tmp`/`.old`
+  // sibling scheme.
+  private def leafTmp(leaf: HPath): HPath =
+    new org.apache.hadoop.fs.Path(leaf.getParent, s".graft-tmp-${leaf.getName}")
+  private def leafBackup(leaf: HPath): HPath =
+    new org.apache.hadoop.fs.Path(leaf.getParent, s".graft-old-${leaf.getName}")
+
+  /** Recover an interrupted swap of `leaf`: a hidden backup beside a
+    * missing leaf is the only copy (crash between the two renames) —
+    * restore it; beside a present leaf the swap completed — drop it.
+    * Legacy `<leaf>.old` staging recovers the same way, and legacy
+    * `<leaf>.tmp` is deleted (its content is either stale or already
+    * swapped in; the live copy is never there).
+    */
+  private def recoverLeafSwap(fs: HFs, leaf: HPath): Unit = {
+    val b = leafBackup(leaf)
+    if (fs.exists(b)) {
+      if (!fs.exists(leaf))
+        require(fs.rename(b, leaf), s"leaf swap recovery: rename $b -> $leaf failed")
+      else fs.delete(b, true)
+    }
+    val legacyOld = new org.apache.hadoop.fs.Path(leaf.toString + ".old")
+    if (fs.exists(legacyOld)) {
+      if (!fs.exists(leaf))
+        require(fs.rename(legacyOld, leaf), s"leaf swap recovery: rename $legacyOld -> $leaf failed")
+      else fs.delete(legacyOld, true)
+    }
+    val legacyTmp = new org.apache.hadoop.fs.Path(leaf.toString + ".tmp")
+    if (fs.exists(legacyTmp)) fs.delete(legacyTmp, true)
+  }
+
+  /** Backup-ordered swap of a leaf directory through the hidden staging
+    * names; same crash-safety argument as [[swapInto]] (the previous copy
+    * survives at the backup until the new one is in place), plus the
+    * namespace guarantee above.
+    */
+  private def swapLeaf(fs: HFs, tmp: HPath, leaf: HPath): Unit = {
+    recoverLeafSwap(fs, leaf)
+    val b = leafBackup(leaf)
+    if (fs.exists(leaf))
+      require(fs.rename(leaf, b), s"swap: rename $leaf -> $b failed")
+    require(fs.rename(tmp, leaf), s"swap: rename $tmp -> $leaf failed")
+    fs.delete(b, true)
+  }
+
+  /** Walk a (possibly multi-level) Hive layout, recovering every
+    * interrupted leaf swap on the way down. Runs from every sink entry
+    * point that reads the target, so a crashed maintenance pass can
+    * never hide a partition from a subsequent read or listing.
+    */
+  private def recoverTree(fs: HFs, dir: HPath): Unit = {
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory) return
+    fs.listStatus(dir).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".graft-old-"))
+        recoverLeafSwap(fs, new org.apache.hadoop.fs.Path(dir, n.stripPrefix(".graft-old-")))
+      else if ((n.endsWith(".old") || n.endsWith(".tmp")) && n.contains("="))
+        recoverLeafSwap(fs, new org.apache.hadoop.fs.Path(dir, n.dropRight(4)))
+    }
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && !isAuxName(s.getPath.getName) &&
+        s.getPath.getName.contains("="))
+      .foreach(s => recoverTree(fs, s.getPath))
+  }
+
   private[graft] def targetExists(spark: SparkSession, path: String): Boolean = {
     recoverSwap(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    val ok = fs.exists(p) && fs.listStatus(p).nonEmpty
+    if (ok) recoverTree(fs, p)
+    ok
   }
+
+  /** What an ingest did: rows written plus the partition leaf directories
+    * it touched (paths relative to the table root, exactly as the writer
+    * names them) — the input [[compactFiles]]'s partition-scoped overload
+    * wants, so post-ingest maintenance is O(touched), not O(table).
+    */
+  final case class IngestResult(rows: Long, touchedPartitions: Seq[String])
 
   /** L4 incremental append with PK dedup (tiktok_shop_staging_loader.py:
     * 128-153): in-batch dropDuplicates + anti-join against the target's
-    * keys, then append. Returns rows actually appended.
+    * keys, then append. Returns rows actually appended and the partition
+    * directories they landed in (Hive-escaped via the same routine
+    * Spark's writer uses, so the names match the emitted layout).
     */
   def dedupAppend(spark: SparkSession, df: DataFrame, path: String,
-      keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+      keys: Seq[String], partitionBy: Seq[String] = Nil): IngestResult = {
     val fresh =
       if (targetExists(spark, path))
         Relational.dedupAppend(df, spark.read.parquet(path), keys)
@@ -126,7 +243,21 @@ object Sinks {
     val materialized = fresh.localCheckpoint(true)
     val n = materialized.count()
     if (n > 0) append(materialized, path, partitionBy)
-    n
+    val touched =
+      if (n == 0 || partitionBy.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        // The distinct set is |touched partitions|-sized — collected, like
+        // mergeUpsertPartitioned's affected-value list, because the swap/
+        // compaction machinery needs the names on the driver anyway.
+        materialized.select(partitionBy.map(c => col(c).cast("string")): _*)
+          .distinct().collect().toSeq
+          .map(r => partitionBy.indices.map(i =>
+            ExternalCatalogUtils.getPartitionPathString(partitionBy(i), r.getString(i)))
+            .mkString("/"))
+          .sorted
+      }
+    IngestResult(n, touched)
   }
 
   /** L5 MERGE upsert (run_historical_backfill.py:86-183): set-based merge
@@ -236,9 +367,15 @@ object Sinks {
     * embeds the date, or any stable row→partition mapping).
     */
   def mergeUpsertPartitioned(spark: SparkSession, source: DataFrame,
-      path: String, keys: Seq[String], partitionCol: String): Unit = {
+      path: String, keys: Seq[String], partitionCol: String): Seq[String] = {
     if (!targetExists(spark, path)) {
-      truncateInsert(source, path, partitionBy = Seq(partitionCol)); return
+      truncateInsert(source, path, partitionBy = Seq(partitionCol))
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      return fs.listStatus(hPath)
+        .filter(s => s.isDirectory && !isAuxName(s.getPath.getName) &&
+          s.getPath.getName.startsWith(s"$partitionCol="))
+        .map(_.getPath.getName).toSeq.sorted
     }
     val affected = source.select(partitionCol).distinct().collect().map(_.get(0))
     val nonNull = affected.filter(_ != null).toSeq
@@ -263,11 +400,21 @@ object Sinks {
       .partitionBy(partitionCol).parquet(tmpRoot)
     val hTmpRoot = new org.apache.hadoop.fs.Path(tmpRoot)
     val fs = hTmpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(hTmpRoot).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol=")).foreach { s =>
-      swapInto(spark, s.getPath.toString, s"$path/${s.getPath.getName}")
-    }
+    // Per-leaf swaps go through the hidden-staging swapLeaf, so a crash
+    // mid-loop leaves every partition either fully old or fully new and
+    // nothing a reader could mistake for a partition named `k=v.old`.
+    val touched = fs.listStatus(hTmpRoot).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol=")).map { s =>
+      val leaf = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path), s.getPath.getName)
+      val staged = leafTmp(leaf)
+      fs.delete(staged, true)
+      require(fs.rename(s.getPath, staged), s"stage: rename ${s.getPath} -> $staged failed")
+      swapLeaf(fs, staged, leaf)
+      s.getPath.getName
+    }.toSeq.sorted
     fs.delete(hTmpRoot, true)
+    touched
   }
 
   /** L7 retention delete (misa_crm_loader.py:384-427) as keep-filter
@@ -291,51 +438,87 @@ object Sinks {
     * rewrites each leaf directory into ceil(total_bytes/targetFileBytes)
     * files via `coalesce` — a NARROW merge of input splits, no shuffle,
     * no re-sort (it preserves whatever clustering the files already
-    * have) — then swaps atomically through the same crash-safe rename as
-    * the other sinks. No-op (returns unchanged counts) when already at
-    * or under the target file count.
+    * have) — then swaps each leaf through backup-ordered renames whose
+    * staging names are HIDDEN (dot-prefixed siblings): a crash at any
+    * point leaves the previous copy recoverable and never plants an
+    * entry a reader or partition listing would mistake for data. Every
+    * entry point recovers interrupted swaps before proceeding. No-op
+    * (returns unchanged counts) when already at or under the target
+    * file count.
     *
-    * Hive-partitioned tables (`k=v` subdirectories — the load-date
-    * layout this module defaults to) are compacted PER PARTITION:
-    * partition pruning and the directory-derived partition column are
-    * preserved because each leaf rewrite stays inside its own
-    * directory. At scale, partitions compact independently — run this
-    * only over partitions the last ingest touched.
+    * Hive-partitioned tables (`k=v` subdirectories, any nesting depth —
+    * the load-date layout this module defaults to) are compacted PER
+    * LEAF: partition pruning and the directory-derived partition columns
+    * are preserved because each rewrite stays inside its own directory.
+    * At scale, use the partitioned overload with the touched-partition
+    * list an ingest returns — O(touched), not O(table).
     *
     * Returns (filesBefore, filesAfter) summed over leaves.
     */
   def compactFiles(spark: SparkSession, path: String,
       targetFileBytes: Long): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    recoverSwap(spark, path)
+    recoverSwap(spark, path) // whole-table swaps stage at <path>.tmp/.old
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partitions = fs.listStatus(hPath)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    if (partitions.nonEmpty) {
-      val results = partitions.map(p =>
-        compactFlatDir(spark, fs, p.getPath.toString, targetFileBytes))
-      (results.map(_._1).sum, results.map(_._2).sum)
-    } else compactFlatDir(spark, fs, path, targetFileBytes)
+    recoverTree(fs, hPath) // leaf swaps stage at hidden names — recover first
+    val results = dataLeaves(fs, hPath)
+      .map(leaf => compactFlatDir(spark, fs, leaf, targetFileBytes))
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 
-  private def compactFlatDir(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+  /** Partition-scoped compaction: rewrite ONLY the listed leaf directories
+    * (paths relative to the table root, e.g. "load_date=2026-01-01" or
+    * "k1=a/k2=b" — exactly what [[dedupAppend]] and
+    * [[mergeUpsertPartitioned]] return as touched partitions). The
+    * post-ingest maintenance pass is then O(touched), never a scan of
+    * every partition of a 100 TB table. Unknown leaves fail loudly — a
+    * typo must not read as "already compact".
+    */
+  def compactFiles(spark: SparkSession, path: String, targetFileBytes: Long,
+      partitions: Seq[String]): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val results = partitions.map { rel =>
+      require(rel.nonEmpty && !rel.startsWith("/") && !rel.split("/").contains(".."),
+        s"partition must be a relative leaf path, got '$rel'")
+      val leaf = new org.apache.hadoop.fs.Path(hPath, rel)
+      recoverLeafSwap(fs, leaf)
+      require(fs.exists(leaf), s"partition '$rel' not found under $path")
+      compactFlatDir(spark, fs, leaf, targetFileBytes)
+    }
+    (results.map(_._1).sum, results.map(_._2).sum)
+  }
+
+  /** True data leaves of a (possibly multi-level) Hive layout: recurse
+    * through `k=v` levels — `k1=a/k2=b/...` — until a directory holds the
+    * data files themselves. A single flat (unpartitioned) table is its own
+    * leaf. Aux/staging entries are invisible here by [[isAuxName]].
+    */
+  private def dataLeaves(fs: HFs, dir: HPath): Seq[HPath] = {
+    val parts = fs.listStatus(dir)
+      .filter(s => s.isDirectory && !isAuxName(s.getPath.getName) &&
+        s.getPath.getName.contains("="))
+    if (parts.isEmpty) Seq(dir)
+    else parts.toSeq.flatMap(p => dataLeaves(fs, p.getPath))
+  }
+
+  private def compactFlatDir(spark: SparkSession, fs: HFs, hDir: HPath,
       targetFileBytes: Long): (Int, Int) = {
-    val hDir = new org.apache.hadoop.fs.Path(dir)
     val dataFiles = fs.listStatus(hDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (dataFiles.length <= nOut) return (dataFiles.length, dataFiles.length)
-    val tmp = dir + ".tmp"
+    val tmp = leafTmp(hDir)
     // Read the leaf's files directly (not the table root): the partition
     // column lives in the directory name, not the files, so a same-leaf
     // rewrite preserves it.
     spark.read.parquet(dataFiles.map(_.getPath.toString).toIndexedSeq: _*)
       .coalesce(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    swapInto(spark, tmp, dir)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapLeaf(fs, tmp, hDir)
     val after = fs.listStatus(hDir)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, after)

@@ -15,10 +15,10 @@ class SinksAndSourcesSpec extends AnyFunSuite {
   test("dedupAppend sink: re-appending the same batch is a no-op (idempotent cycles)") {
     val path = tmpDir("dedup-append")
     val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
-    assert(Sinks.dedupAppend(spark, batch, path, Seq("id")) === 2L)
-    assert(Sinks.dedupAppend(spark, batch, path, Seq("id")) === 0L) // PK rejects dupes
+    assert(Sinks.dedupAppend(spark, batch, path, Seq("id")).rows === 2L)
+    assert(Sinks.dedupAppend(spark, batch, path, Seq("id")).rows === 0L) // PK rejects dupes
     val batch2 = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
-    assert(Sinks.dedupAppend(spark, batch2, path, Seq("id")) === 1L)
+    assert(Sinks.dedupAppend(spark, batch2, path, Seq("id")).rows === 1L)
     assert(spark.read.parquet(path).count() === 3L)
   }
 
@@ -51,6 +51,73 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     assert(after.filter(col("load_date") === "d0").count() === 5)
   }
 
+  test("partition-scoped compactFiles: only touched leaves rewritten, others byte-identical") {
+    val path = tmpDir("compact-touched")
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, s"d${i % 2}", s"v$i")).toDF("id", "load_date", "v")
+        .coalesce(1).write.mode("append").partitionBy("load_date").parquet(path)
+    }
+    // Ingest into d0 only — the returned touched list drives the compaction.
+    val res = Sinks.dedupAppend(spark,
+      Seq((100L, "d0", "w")).toDF("id", "load_date", "v"),
+      path, Seq("id"), partitionBy = Seq("load_date"))
+    assert(res.rows === 1L && res.touchedPartitions === Seq("load_date=d0"))
+    def snap(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val d1Before = snap(s"$path/load_date=d1")
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+    val (nb, na) = Sinks.compactFiles(spark, path, 1L << 20, res.touchedPartitions)
+    assert(nb >= 4 && na === 1, s"$nb -> $na") // only d0's files counted/rewritten
+    assert(snap(s"$path/load_date=d1") === d1Before, "untouched leaf must not be rewritten")
+    assert(spark.read.parquet(path).orderBy("id").collect().toSeq === before)
+    // a typo'd partition fails loudly, never reads as "already compact"
+    intercept[IllegalArgumentException] {
+      Sinks.compactFiles(spark, path, 1L << 20, Seq("load_date=nope"))
+    }
+  }
+
+  test("compactFiles recovers interrupted leaf swaps (hidden and legacy staging)") {
+    val path = tmpDir("compact-crash")
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"d${i % 2}", s"v$i")).toDF("id", "load_date", "v")
+        .coalesce(1).write.mode("append").partitionBy("load_date").parquet(path)
+    }
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+    // Crash between swapLeaf's renames: d0's only copy sits at the hidden
+    // backup. Crash in the LEGACY scheme: d1's only copy at `<leaf>.old`,
+    // plus a stale `<leaf>.tmp` a partition listing must never resurrect.
+    val root = new java.io.File(path)
+    assert(new java.io.File(root, "load_date=d0")
+      .renameTo(new java.io.File(root, ".graft-old-load_date=d0")))
+    assert(new java.io.File(root, "load_date=d1")
+      .renameTo(new java.io.File(root, "load_date=d1.old")))
+    val staleTmp = new java.io.File(root, "load_date=d1.tmp")
+    assert(staleTmp.mkdir())
+    val (nb, na) = Sinks.compactFiles(spark, path, 1L << 20)
+    assert(nb === 4 && na === 2, s"$nb -> $na") // both leaves recovered, then compacted
+    assert(spark.read.parquet(path).orderBy("id").collect().toSeq === before)
+    assert(!staleTmp.exists, "stale legacy staging must be removed, not listed as a partition")
+    assert(root.listFiles().map(_.getName).forall(n =>
+      !n.startsWith(".graft-") && !n.endsWith(".old") && !n.endsWith(".tmp")))
+  }
+
+  test("compactFiles compacts nested k1=a/k2=b layouts at the true leaves") {
+    val path = tmpDir("compact-nested")
+    (0 until 8).foreach { i =>
+      Seq((i.toLong, s"a${i % 2}", s"b${i % 2}", s"v$i")).toDF("id", "k1", "k2", "v")
+        .coalesce(1).write.mode("append").partitionBy("k1", "k2").parquet(path)
+    }
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+    val (nb, na) = Sinks.compactFiles(spark, path, 1L << 20)
+    assert(nb >= 8 && na === 2, s"$nb -> $na") // one file per (k1,k2) leaf
+    val after = spark.read.parquet(path)
+    assert(after.orderBy("id").collect().toSeq === before)
+    assert(after.filter(col("k1") === "a0" && col("k2") === "b0").count() === 4)
+    // the nested leaf is addressable by its relative path too
+    assert(Sinks.compactFiles(spark, path, 1L << 20, Seq("k1=a0/k2=b0")) === ((1, 1)))
+  }
+
   test("mergeUpsert sink rewrites target with merged content (L5)") {
     val path = tmpDir("merge")
     Sinks.truncateInsert(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path)
@@ -81,10 +148,11 @@ class SinksAndSourcesSpec extends AnyFunSuite {
 
     // Source touches TWO partitions (exercises the materialize-before-swap
     // path): update id=2 in 06-02, update id=1 + insert id=4 in 06-01.
-    Sinks.mergeUpsertPartitioned(spark,
+    val touched = Sinks.mergeUpsertPartitioned(spark,
       Seq((2L, 99.0, "2024-06-02"), (1L, 11.0, "2024-06-01"), (4L, 40.0, "2024-06-01"))
         .toDF("id", "bal", "d"),
       path, Seq("id"), "d")
+    assert(touched === Seq("d=2024-06-01", "d=2024-06-02"))
 
     val out = spark.read.parquet(path).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
@@ -173,6 +241,23 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     Sinks.jdbcReplace(b3, url, table)
     assert(readBack().toSeq === Seq((9L, "z", 3.25), (10L, "w", 4.5)))
     assert(Sinks.jdbcTable(spark, url, table).columns.toSeq === Seq("id", "v", "amount"))
+  }
+
+  test("partitioned jdbc read splits the scan and loses no rows (Derby)") {
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("graft-derby-home2").toString)
+    val url = s"jdbc:derby:${tmpDir("derby-db2")};create=true"
+    val table = "wide_scan"
+    // ids 0..99 plus rows OUTSIDE the declared bounds on both ends — the
+    // stride split must sweep them into the first/last stripe, not drop them.
+    val rows = ((-5L to 104L).map(i => (i, s"r$i"))).toDF("id", "v")
+    Sinks.jdbcAppend(rows, url, table)
+    val df = Sinks.jdbcTable(spark, url, table,
+      partitionColumn = "id", lowerBound = 0L, upperBound = 100L,
+      numPartitions = 4)
+    assert(df.rdd.getNumPartitions === 4, "scan must split into range stripes")
+    assert(df.count() === 110L, "out-of-bounds rows must survive the split")
+    assert(df.agg(min(col("id")), max(col("id"))).head().toSeq === Seq(-5L, 104L))
   }
 
   // -------------------------------------------------- retry / token refresh

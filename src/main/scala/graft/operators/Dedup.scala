@@ -118,6 +118,72 @@ object Dedup {
       .filter(coalesce(greatest(col("cont_a"), col("cont_b")) >= threshold, lit(false)))
       .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
 
+  // ---------------------------------------------- exact substring dedup
+
+  /** Exact duplicated-substring statistics — the suffix-array dedup family
+    * member (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"), realized sort/join-style: find every maximal token
+    * span whose length-`k` grams all appear verbatim in at least one OTHER
+    * document, and report per-document coverage.
+    *
+    * Shape (all work ∝ gram instances, never doc × doc):
+    *  1. stream every k-token gram as a 64-bit hash with its start
+    *     position (tokens staged into their own projection first — see
+    *     [[shinglesFromTokens]]'s inlining note);
+    *  2. one hash-aggregate per gram keeps the min/max owning doc — a
+    *     gram is cross-document iff min != max, no countDistinct
+    *     expansion, map-side partial aggregation applies;
+    *  3. inverted-index join back to the position stream (shuffle keyed
+    *     on the gram hash; the duplicated-gram side is the small one and
+    *     broadcasts under AQE);
+    *  4. per-doc merge of the covered [pos, pos+k) intervals — a
+    *     doc-partitioned window over positions, bounded by document
+    *     length; uniform interval width makes "new span starts here" a
+    *     single lag comparison (pos - prev > k), no running-max frame.
+    *
+    * Returns one row per document: `n_tokens`, `n_dup_spans`,
+    * `dup_tokens` (positions covered by some cross-document span),
+    * `dup_frac`. Zero rows mean "clean document"; a removal policy (drop
+    * spans, or drop docs above a dup_frac threshold) reads directly off
+    * the stats. Gram identity is a 64-bit hash: at 2^64 a corpus-scale
+    * collision is ~1e-11-likely, the standard shingle-hash trade.
+    */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("n_tokens"))
+    // (doc, pos, gram-hash) stream; consumed by the frequency aggregate
+    // AND the join back, hence scope-cached.
+    val gramStream = scope.cached(
+      toks.select(col("doc_id"), posexplode(gramsFromTokens(col("toks"), k)))
+        .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh")))
+    val dupGrams = gramStream.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = gramStream.join(dupGrams, Seq("gh"))
+      .withColumn("prev", lag(col("pos"), 1).over(wDoc))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id")) // doc-partitioning satisfies this grouping — no new shuffle
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("mx"))
+      .withColumn("e", col("mx") + k)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum((col("e") - col("s")).cast(LongType)).as("dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac", round(col("dup_tokens") / col("n_tokens"), 4))
+  }
+
   /** Shared inverted-index core of the exact set-similarity pairs: explode
     * shingles, self-join on the shingle (one shuffle), count shared
     * shingles per canonical (id_a < id_b) pair. Work is proportional to

@@ -257,5 +257,45 @@ object DedupQueries {
              |  TRUE AS fn_free, TRUE AS fp_ok
              |FROM j""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Exact substring dedup (suffix-array family, sort/join realization):
+    // per-doc stats of maximal token spans whose 5-grams all recur
+    // verbatim in another document. k=5 against this corpus's 31-token
+    // vocabulary flags a minority of docs (57/71/2064 at sf0.001/.01/.1)
+    // — enough signal to gate, far from all-dup noise. The oracle replays
+    // gram extraction, the min!=max cross-doc test, and the lag-based
+    // interval merge on raw gram strings (the Spark side ships xxhash64
+    // of the gram — identity up to 64-bit collisions).
+    QueryDef(
+      "q85_substring_dedup",
+      (spark, dir) =>
+        Dedup.duplicateSpanStats(Tables.documents(spark, dir),
+            idCol = "doc_id", textCol = "text", k = 5)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |tn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+             |grams AS (SELECT doc_id, i.i AS pos, array_to_string(t[i.i+1 : i.i+5], ' ') AS gram
+             |  FROM tn, LATERAL (SELECT unnest(range(0, n_tokens - 4)) AS i) i
+             |  WHERE n_tokens >= 5),
+             |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+             |dp AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+             |flag AS (SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
+             |      THEN 1 ELSE 0 END AS ns
+             |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |sp AS (SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM flag),
+             |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+             |  FROM sp GROUP BY doc_id, span_id),
+             |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             |    CAST(SUM(e - s) AS BIGINT) AS dup_tokens FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+             |  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+             |  ROUND(COALESCE(p.dup_tokens, 0) * 1.0 / t.n_tokens, 4) AS dup_frac
+             |FROM tn t LEFT JOIN per p USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin),
+    ),
   )
 }

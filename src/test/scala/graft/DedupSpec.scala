@@ -110,6 +110,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 4L)))
   }
 
+  test("duplicateSpanStats: cross-doc spans merge, within-doc repeats don't count") {
+    val docs = Seq(
+      // 1 & 2 share the verbatim 7-token passage "p q r s t u v":
+      // three overlapping 5-grams merge into ONE span on each side.
+      (1L, "a b p q r s t u v c d"),
+      (2L, "p q r s t u v x y z w"),
+      // 3 repeats its own 5-gram three times — single-document repetition
+      // is q73's business, NOT a cross-document duplicated span.
+      (3L, "m n o k l m n o k l m n o k l"),
+      (4L, "one two three"), // shorter than k: zero grams, clean
+      // 5 & 6 share two passages separated by unique middles: the
+      // interval merge must report TWO spans, not one bridged blob.
+      (5L, "s1 s2 s3 s4 s5 u1 u2 u3 u4 u5 u6 e1 e2 e3 e4 e5"),
+      (6L, "s1 s2 s3 s4 s5 w1 w2 w3 w4 w5 w6 e1 e2 e3 e4 e5"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out === Array(
+      (1L, 11L, 1L, 7L, 0.6364),
+      (2L, 11L, 1L, 7L, 0.6364),
+      (3L, 15L, 0L, 0L, 0.0),
+      (4L, 3L, 0L, 0L, 0.0),
+      (5L, 16L, 2L, 10L, 0.625),
+      (6L, 16L, 2L, 10L, 0.625)))
+  }
+
   test("embedding near-dup pairs on a hand-built set") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

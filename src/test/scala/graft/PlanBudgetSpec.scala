@@ -94,6 +94,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // |sources|-sized frames; the corpus scans twice by design (stats
     // pass, then sample pass).
     "q84_temperature_mixture" -> 8,
+    // q85: gram-hash frequency agg, the doc_id window exchange (span
+    // merge + both per-doc aggs and the stats join reuse that
+    // partitioning), and the output sort; the duplicated-gram join
+    // broadcasts its small side.
+    "q85_substring_dedup" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -121,20 +121,20 @@ object DedupQueries {
     // ----------------------------------------------------------------
     // Edit-distance fuzzy matching: per-part count of same-brand parts
     // within Levenshtein distance 2 (typo-class variants). Brand blocking
-    // + broadcast self-join; the probe side is EXPLICITLY repartitioned
-    // first — a small dimension table scans as one parquet split, and a
-    // broadcast join inherits the probe side's partitioning, so without
-    // the repartition all O(n²/brands) levenshtein work ran in ONE task
-    // (13s at sf0.1; ~1s spread over the cluster). A |Δlength| ≤ 2
-    // prefilter short-circuits before the O(len²) levenshtein; the
-    // integer threshold has no float-boundary hazard.
+    // + broadcast self-join; the probe side goes through spreadIfNarrow —
+    // a small dimension table scans as one parquet split, and a broadcast
+    // join inherits the probe side's partitioning, so an under-split scan
+    // would run all O(n²/brands) levenshtein work in ONE task (13s at
+    // sf0.1; ~1s spread). At scale the scan is already parallel and
+    // nothing shuffles. A |Δlength| ≤ 2 prefilter short-circuits before
+    // the O(len²) levenshtein; the integer threshold has no
+    // float-boundary hazard.
     QueryDef(
       "q50_fuzzy_match",
       (spark, dir) => {
-        val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
         val p = Tables.part(spark, dir)
           .select(col("p_partkey"), col("p_brand"), col("p_name"))
-        val a = p.repartition(shufflePartitions)
+        val a = QueryDef.spreadIfNarrow(p)
         val b = p.select(col("p_partkey").as("b_key"), col("p_brand"),
           col("p_name").as("b_name"))
         a.join(broadcast(b), Seq("p_brand"))

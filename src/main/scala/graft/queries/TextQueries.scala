@@ -20,11 +20,12 @@ object TextQueries {
         // The scoring pass is compute-heavy per row and the query has no
         // shuffle of its own, so a small documents table (one parquet
         // split) would otherwise run the whole tokenize+score loop in ONE
-        // task. Redistribute the skinny scan first — same idiom as q50.
-        val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-        Tables.documents(spark, dir)
-          .select(col("doc_id"), col("lang"), col("text"))
-          .repartition(shufflePartitions)
+        // task. spreadIfNarrow redistributes ONLY under-split scans — at
+        // production scale the scan is already parallel and no document
+        // bodies shuffle. Same idiom as q50.
+        QueryDef.spreadIfNarrow(
+            Tables.documents(spark, dir)
+              .select(col("doc_id"), col("lang"), col("text")))
           .select(col("doc_id"), col("lang").as("labeled_lang"),
             TextAnalysis.langId(col("text")).as("pred_lang"))
           .orderBy(col("doc_id"))

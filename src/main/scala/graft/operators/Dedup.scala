@@ -184,6 +184,58 @@ object Dedup {
       .withColumn("dup_frac", round(col("dup_tokens") / col("n_tokens"), 4))
   }
 
+  /** The REWRITE half of exact substring dedup: emit each document with
+    * its cross-document duplicated spans REMOVED, keeping one canonical
+    * copy corpus-wide — the min-doc_id owner of a duplicated gram retains
+    * its text; every other document drops the tokens that gram covers
+    * (the "keep first occurrence" policy of suffix-array dedup, with
+    * min-id as the deterministic notion of "first").
+    *
+    * Scale shape extends [[duplicateSpanStats]] steps 1-3 (gram-hash
+    * stream, min/max owner aggregate, inverted-index join) with:
+    *  4. covered-position expansion — each non-owner dup gram start
+    *     explodes to its k positions, then a (doc, pos) distinct: work is
+    *     ∝ duplicated positions × k, never corpus size × k;
+    *  5. a token-level LEFT ANTI equi-join on (doc, pos) — no interval
+    *     non-equi join, so it hash-dispatches instead of nested-looping;
+    *  6. per-doc reassembly: sort-free collect_list of (pos, token)
+    *     structs, array_sort, concat — one doc-keyed aggregate.
+    *
+    * Returns doc_id, n_tokens, kept_tokens, clean_text ('' when the whole
+    * document was duplicated elsewhere).
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("n_tokens"))
+    val gramStream = scope.cached(
+      toks.select(col("doc_id"), posexplode(gramsFromTokens(col("toks"), k)))
+        .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh")))
+    val dupOwn = gramStream.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"), col("mn"))
+    val covered = gramStream.join(dupOwn, Seq("gh"))
+      .filter(col("doc_id") =!= col("mn")) // the min owner keeps its copy
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = toks.select(col("doc_id"), posexplode(col("toks")))
+      .withColumnRenamed("col", "tok")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Shared inverted-index core of the exact set-similarity pairs: explode
     * shingles, self-join on the shingle (one shuffle), count shared
     * shingles per canonical (id_a < id_b) pair. Work is proportional to

@@ -297,5 +297,40 @@ object DedupQueries {
              |FROM tn t LEFT JOIN per p USING (doc_id)
              |ORDER BY t.doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Substring-dedup REWRITE: the corpus with duplicated spans removed,
+    // min-doc_id owner keeping the canonical copy. The oracle replays the
+    // min-owner policy, the k-position coverage expansion, the token-level
+    // anti join, and the ordered reassembly (string_agg ORDER BY pos).
+    QueryDef(
+      "q86_span_removal",
+      (spark, dir) =>
+        Dedup.removeDuplicateSpans(Tables.documents(spark, dir),
+            idCol = "doc_id", textCol = "text", k = 5)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |tn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+             |grams AS (SELECT doc_id, i.i AS pos, array_to_string(t[i.i+1 : i.i+5], ' ') AS gram
+             |  FROM tn, LATERAL (SELECT unnest(range(0, n_tokens - 4)) AS i) i
+             |  WHERE n_tokens >= 5),
+             |dup AS (SELECT gram, min(doc_id) AS mn FROM grams
+             |  GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+             |cover AS (SELECT DISTINCT g.doc_id, c.c AS pos
+             |  FROM grams g JOIN dup d USING (gram),
+             |    LATERAL (SELECT unnest(range(g.pos, g.pos + 5)) AS c) c
+             |  WHERE g.doc_id <> d.mn),
+             |tokpos AS (SELECT doc_id, i.i AS pos, t[i.i+1] AS tok
+             |  FROM tn, LATERAL (SELECT unnest(range(0, n_tokens)) AS i) i),
+             |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+             |  LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+             |  WHERE c.pos IS NULL)
+             |SELECT tn.doc_id, tn.n_tokens,
+             |  CAST(COUNT(k.pos) AS BIGINT) AS kept_tokens,
+             |  COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
+             |FROM tn LEFT JOIN kept k USING (doc_id)
+             |GROUP BY tn.doc_id, tn.n_tokens
+             |ORDER BY tn.doc_id""".stripMargin),
+    ),
   )
 }

@@ -137,6 +137,25 @@ class DedupSpec extends AnyFunSuite {
       (6L, 16L, 2L, 10L, 0.625)))
   }
 
+  test("removeDuplicateSpans: min-owner keeps the copy, others lose covered tokens") {
+    val docs = Seq(
+      (1L, "a b p q r s t u v c d"),   // min owner of the shared passage: keeps ALL
+      (2L, "p q r s t u v x y z w"),   // drops the 7 covered tokens
+      (3L, "one two three"),           // clean, shorter than k
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 11L, 11L, "a b p q r s t u v c d"),
+      (2L, 11L, 4L, "x y z w"),
+      (3L, 3L, 3L, "one two three")))
+    // Conservation: stats and rewrite agree on what was removed.
+    val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(stats(1)._2 === 11L - 4L)
+  }
+
   test("embedding near-dup pairs on a hand-built set") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -99,6 +99,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // partitioning), and the output sort; the duplicated-gram join
     // broadcasts its small side.
     "q85_substring_dedup" -> 3,
+    // q86: gram-hash frequency agg, covered-position distinct, the
+    // (doc,pos) anti-join exchange feeding the doc-keyed reassembly
+    // agg (partitioning reuse), and the output sort; the dup-owner join
+    // broadcasts.
+    "q86_span_removal" -> 4,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -75,4 +75,47 @@ object Packing {
         sum(col("n_tokens")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+
+  /** Padding-aware length-bucketed batching — the PADDED twin of the
+    * concat-and-chunk packer above, for training loops that pad each
+    * batch to its longest sequence instead of concatenating: group
+    * similar-length documents so the pad waste (batch_size × max_len −
+    * Σ len) stays small.
+    *
+    * Scale shape: a globally length-sorted batch assignment is a total
+    * order — the same single-partition trap as the naive prefix sum — so
+    * lengths are first coarsened into FIXED-WIDTH buckets
+    * (floor(len/bucketWidth): deterministic, engine-replayable, no
+    * quantile estimation), and batches form WITHIN each bucket via a
+    * bucket-partitioned window ordered by (len, doc_id). Each window
+    * partition holds one length-band, batches never cross bands, and the
+    * worst-case per-doc padding is bounded by bucketWidth − 1 regardless
+    * of corpus size. Buckets parallelize across the cluster; no global
+    * ordering ever materializes.
+    *
+    * Returns one row per batch: bucket, batch_in_bucket, n_docs,
+    * max_len, sum_len, padded_tokens (= n_docs × max_len), waste_frac
+    * (rounded; 0 for a perfectly homogeneous batch). The trailing batch
+    * of each bucket may run short — its n_docs < batchSize.
+    */
+  def lengthBucketedBatches(docs: DataFrame, idCol: String, nTokens: Column,
+      batchSize: Int, bucketWidth: Int): DataFrame = {
+    require(batchSize > 0 && bucketWidth > 0,
+      "batchSize and bucketWidth must be positive")
+    val base = docs
+      .select(col(idCol).as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", floor(col("n_tokens") / bucketWidth))
+    val wBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    base
+      .withColumn("rn", row_number().over(wBucket))
+      .withColumn("batch_in_bucket", floor((col("rn") - 1) / batchSize))
+      .groupBy(col("bucket"), col("batch_in_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_len"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_len"))
+      .withColumn("waste_frac",
+        round((col("padded_tokens") - col("sum_len")) / col("padded_tokens"), 4))
+  }
 }

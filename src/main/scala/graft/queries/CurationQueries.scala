@@ -156,6 +156,37 @@ object CurationQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Padding-aware length-bucketed batching — q76's twin for PADDED
+    // training loops: fixed-width length bands (floor(len/10), no global
+    // sort, no quantile estimation), batches of 16 formed inside each
+    // band by a band-partitioned window. Deterministic end to end; the
+    // oracle replays band assignment, in-band ranking, and waste math.
+    QueryDef(
+      "q87_length_batching",
+      (spark, dir) =>
+        Packing.lengthBucketedBatches(
+            Tables.documents(spark, dir), "doc_id",
+            size(TextAnalysis.tokens(col("text"))),
+            batchSize = 16, bucketWidth = 10)
+          .orderBy(col("bucket"), col("batch_in_bucket")),
+      Some("""WITH d AS (SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT doc_id, n_tokens, CAST(FLOOR(n_tokens / 10.0) AS BIGINT) AS bucket FROM d),
+             |r AS (SELECT bucket, n_tokens,
+             |  ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn FROM b),
+             |a AS (SELECT bucket, n_tokens,
+             |  CAST(FLOOR((rn - 1) / 16.0) AS BIGINT) AS batch_in_bucket FROM r)
+             |SELECT bucket, batch_in_bucket, COUNT(*) AS n_docs,
+             |  MAX(n_tokens) AS max_len, CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+             |  CAST(COUNT(*) * MAX(n_tokens) AS BIGINT) AS padded_tokens,
+             |  ROUND((COUNT(*) * MAX(n_tokens) - SUM(n_tokens)) * 1.0
+             |    / (COUNT(*) * MAX(n_tokens)), 4) AS waste_frac
+             |FROM a GROUP BY bucket, batch_in_bucket
+             |ORDER BY bucket, batch_in_bucket""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Data-mixture sampling: per-source quotas proportional to target
     // weights (here derived from the source index so the oracle can
     // regenerate them), rows picked deterministically by id hash within

@@ -108,6 +108,24 @@ class CurationSpec extends AnyFunSuite {
     assert(run(1000) === run(3))
   }
 
+  test("lengthBucketedBatches: batches stay inside length bands, waste math exact") {
+    // Lengths 10,11,12,13 land in band 1; 25,29 in band 2; batchSize=2.
+    val docs = Seq(
+      (1L, 10L), (2L, 11L), (3L, 12L), (4L, 13L), (5L, 25L), (6L, 29L),
+    ).toDF("doc_id", "len")
+    val out = Packing.lengthBucketedBatches(docs, "doc_id", col("len"),
+        batchSize = 2, bucketWidth = 10)
+      .orderBy("bucket", "batch_in_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out === Array(
+      // band 1: (10,11) pad to 11 → waste 1/22; (12,13) pad to 13 → 1/26
+      (1L, 0L, 2L, 11L, 21L, 22L, 0.0455),
+      (1L, 1L, 2L, 13L, 25L, 26L, 0.0385),
+      // band 2: (25,29) pad to 29 → waste 4/58
+      (2L, 0L, 2L, 29L, 54L, 58L, 0.069)))
+  }
+
   test("mixtureSample: quotas follow weights, selection is hash-deterministic") {
     val df = (0L until 100L).map(i => (i, s"s${i % 2}")).toDF("id", "src")
     // weights: s0 → 1, s1 → 3 ⇒ quotas of 40 total: 10 and 30

@@ -104,6 +104,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // agg (partitioning reuse), and the output sort; the dup-owner join
     // broadcasts.
     "q86_span_removal" -> 4,
+    // q87: one bucket-keyed window exchange (the batch agg reuses its
+    // partitioning) + the output sort.
+    "q87_length_batching" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

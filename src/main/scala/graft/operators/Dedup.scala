@@ -236,6 +236,61 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Incremental (delta) near-dup gate: score each INCOMING document
+    * against the EXISTING corpus and flag it when its best-match
+    * containment (|shared distinct n-grams| / |its own grams|) clears the
+    * threshold — the L4 "dedup against the target" contract lifted from
+    * exact PK equality to near-duplicate text, i.e. the decision an
+    * ingest pipeline makes per batch rather than re-deduplicating the
+    * whole corpus.
+    *
+    * Scale shape: asymmetric inverted-index join — batch grams ⋈ corpus
+    * gram postings on the 64-bit gram hash. Work is ∝ co-occurring gram
+    * instances touching the BATCH, never |corpus|² and never
+    * batch × corpus; the small batch side broadcasts under AQE. At 100 TB
+    * the corpus postings are a maintained index table written at ingest
+    * (gram-hash → doc), so the per-batch cost doesn't even rescan the
+    * corpus — here they're derived inline from the text.
+    *
+    * Returns one row per batch doc: best_match (null when nothing
+    * shares a gram), shared, sz_batch, containment, rejected. Best match
+    * ties break on the smaller corpus id — deterministic.
+    */
+  def containmentAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def gramSets(df: DataFrame, alias: String) = df
+      .select(col(idCol).as(alias), tokens(col(textCol)).as("toks"))
+      .select(col(alias), shinglesFromTokens(col("toks"), n).as("sh"))
+    val b = scope.cached(
+      gramSets(batch, "batch_id")
+        .withColumn("sz_batch", size(col("sh")).cast(LongType)))
+    val bg = b.select(col("batch_id"), explode(col("sh")).as("g"))
+      .select(col("batch_id"), xxhash64(col("g")).as("gh"))
+    val cg = gramSets(corpus, "corpus_id")
+      .select(col("corpus_id"), explode(col("sh")).as("g"))
+      .select(col("corpus_id"), xxhash64(col("g")).as("gh"))
+    // Distinct gram sets on both sides ⇒ the co-occurrence count IS the
+    // intersection size.
+    val shared = bg.join(cg, Seq("gh"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+    val w = Window.partitionBy(col("batch_id"))
+      .orderBy(col("shared").desc, col("corpus_id"))
+    val best = shared.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id").as("best_match"), col("shared"))
+    b.select(col("batch_id"), col("sz_batch"))
+      .join(best, Seq("batch_id"), "left")
+      .select(col("batch_id"), col("best_match"),
+        coalesce(col("shared"), lit(0L)).as("shared"), col("sz_batch"))
+      .withColumn("containment",
+        round(col("shared").cast(DoubleType) / col("sz_batch"), 6))
+      .withColumn("rejected",
+        col("shared").cast(DoubleType) / col("sz_batch") >= threshold)
+  }
+
   /** Shared inverted-index core of the exact set-similarity pairs: explode
     * shingles, self-join on the shingle (one shuffle), count shared
     * shingles per canonical (id_a < id_b) pair. Work is proportional to

@@ -332,5 +332,45 @@ object DedupQueries {
              |GROUP BY tn.doc_id, tn.n_tokens
              |ORDER BY tn.doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Incremental (delta) near-dup gate: batch = every 10th doc, corpus =
+    // the rest; each batch doc scored by best-match 3-gram containment
+    // against the corpus, rejected at >= 0.8 (the planted near-dup pairs
+    // sit at jac >= 0.9, everything else < 0.1 — the threshold is far
+    // from any data point). The oracle replays the asymmetric
+    // explode-join, the shared counts, and the smaller-corpus-id
+    // tie-break.
+    QueryDef(
+      "q88_delta_neardup",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.containmentAgainstCorpus(
+            batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+            corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+            idCol = "doc_id", textCol = "text", n = 3, threshold = 0.8)
+          .orderBy(col("batch_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+             |  list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s FROM toks),
+             |b AS (SELECT doc_id AS batch_id, s, CAST(len(s) AS BIGINT) AS sz_batch
+             |  FROM sh WHERE doc_id % 10 = 0),
+             |c AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 10 <> 0),
+             |bg AS (SELECT batch_id, unnest(s) AS g FROM b),
+             |cg AS (SELECT corpus_id, unnest(s) AS g FROM c),
+             |shared AS (SELECT batch_id, corpus_id, CAST(COUNT(*) AS BIGINT) AS shared
+             |  FROM bg JOIN cg USING (g) GROUP BY batch_id, corpus_id),
+             |best AS (SELECT batch_id, corpus_id, shared,
+             |    ROW_NUMBER() OVER (PARTITION BY batch_id
+             |      ORDER BY shared DESC, corpus_id) AS rn
+             |  FROM shared)
+             |SELECT b.batch_id, w.corpus_id AS best_match,
+             |  COALESCE(w.shared, 0) AS shared, b.sz_batch,
+             |  ROUND(COALESCE(w.shared, 0) * 1.0 / b.sz_batch, 6) AS containment,
+             |  (COALESCE(w.shared, 0) * 1.0 / b.sz_batch) >= 0.8 AS rejected
+             |FROM b LEFT JOIN (SELECT * FROM best WHERE rn = 1) w USING (batch_id)
+             |ORDER BY b.batch_id""".stripMargin),
+    ),
   )
 }

@@ -156,6 +156,27 @@ class DedupSpec extends AnyFunSuite {
     assert(stats(1)._2 === 11L - 4L)
   }
 
+  test("containmentAgainstCorpus: near-dup batch doc rejected, novel doc kept") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words live here now okay yes"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (20L, "completely novel content nothing shared at all"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentAgainstCorpus(batch, corpus, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    // doc 10 has 6 three-token windows over its 8 tokens; only the last
+    // window touches the changed final token, so 5 of 6 grams are shared
+    // with doc 1 -> containment 5/6 = 0.8333 >= 0.8 -> rejected.
+    assert(out(0) === ((10L, Some(1L), 5L, 6L, true)))
+    assert(out(1) === ((20L, None, 0L, 5L, false))) // 7 tokens -> 5 grams
+  }
+
   test("embedding near-dup pairs on a hand-built set") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -107,6 +107,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q87: one bucket-keyed window exchange (the batch agg reuses its
     // partitioning) + the output sort.
     "q87_length_batching" -> 2,
+    // q88: shared-gram pair agg, best-match window (same-key — batch_id
+    // is a prefix of the agg key, still one exchange each), the final
+    // stats join's exchange, and the output sort; the batch gram side
+    // broadcasts into the postings join.
+    "q88_delta_neardup" -> 4,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -116,8 +121,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q12_merge_upsert",  // full-outer target⋈source on the PK: both sides big
     "q59_snapshot_diff", // full-outer between two same-scale snapshots
     "q62_bucketed_join", // the POINT: co-located SMJ with no exchanges
-    "q80_kmeans_refine"  // full-outer n_init⋈n_refined: codebook-sized both
+    "q80_kmeans_refine", // full-outer n_init⋈n_refined: codebook-sized both
                          // sides (full outer cannot broadcast)
+    "q88_delta_neardup"  // batch grams ⋈ corpus gram postings: the postings
+                         // side scales with the corpus and the batch-gram
+                         // side with batch size × doc length — a hash-
+                         // dispatch join on the gram key is the intended
+                         // 100 TB shape (AQE still broadcasts small batches
+                         // at runtime)
   )
 
   test("every declared query stays within its audited plan budget") {

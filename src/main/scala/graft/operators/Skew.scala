@@ -43,4 +43,35 @@ object Skew {
       explode(array((0 until factor).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Key-distribution skew report — the diagnostic that DECIDES whether a
+    * join needs [[saltedJoin]] (or AQE skew splitting) before it runs:
+    * per-key counts reduced to ONE row of shape statistics — key count,
+    * row count, hottest key's rows, exact p50/p99 of per-key counts,
+    * skew_ratio (max/mean; ~1 = uniform, ≫1 = salt it), and the row
+    * share of the 10 hottest keys.
+    *
+    * Scale shape: one shuffle to the per-key counts (map-side partial
+    * aggregation — the frame is |keys|-sized, not |rows|); the top-10
+    * goes through orderBy+limit, which plans as TakeOrdered (per-
+    * partition top-10 + driver merge, never a full sort shuffle); both
+    * summary frames are one row and cross-join for free.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+    val top10 = counts.orderBy(col("cnt").desc, col(keyCol)).limit(10)
+      .agg(sum(col("cnt")).as("top10_rows"))
+    summary.crossJoin(broadcast(top10))
+      .withColumn("skew_ratio",
+        round(col("max_cnt") * col("n_keys") / col("n_rows"), 4))
+      .withColumn("top10_share", round(col("top10_rows") / col("n_rows"), 6))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"), col("skew_ratio"), col("top10_share"))
+  }
 }

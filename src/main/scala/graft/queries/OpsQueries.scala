@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.core.Tables
-import graft.operators.{Aggregations, Relational}
+import graft.operators.{Aggregations, Relational, Skew}
 
 /** Operational / lifecycle capability queries (SURVEY §2.4 A2–A3, §2.6 L7,
   * §2.7 incremental semantics) over the `events` micro-batch table.
@@ -262,6 +262,30 @@ object OpsQueries {
              |  CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM dev d JOIN mads m USING (event_type)
              |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Key-skew report: the pre-join diagnostic that decides whether a key
+    // needs q52's salting (or AQE skew splitting). One |keys|-sized
+    // count aggregate, exact count percentiles, TakeOrdered top-10 —
+    // never a full sort. The oracle replays counts, quantile_cont, and
+    // the tie-broken top-10 share.
+    QueryDef(
+      "q89_skew_report",
+      (spark, dir) =>
+        Skew.skewReport(Tables.events(spark, dir), "user_id"),
+      Some("""WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY user_id),
+             |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |  CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt,
+             |  ROUND(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+             |  ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt FROM c),
+             |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM
+             |  (SELECT cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10))
+             |SELECT s.n_keys, s.n_rows, s.max_cnt, s.p50_cnt, s.p99_cnt,
+             |  ROUND(s.max_cnt * s.n_keys * 1.0 / s.n_rows, 4) AS skew_ratio,
+             |  ROUND(t.top10_rows * 1.0 / s.n_rows, 6) AS top10_share
+             |FROM s, t""".stripMargin),
     ),
   )
 }

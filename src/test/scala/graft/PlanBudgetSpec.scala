@@ -112,6 +112,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // stats join's exchange, and the output sort; the batch gram side
     // broadcasts into the postings join.
     "q88_delta_neardup" -> 4,
+    // q89: the |keys|-sized count agg (feeding both the one-row summary
+    // and the TakeOrdered top-10 — no full sort) plus the single-
+    // partition exchanges under the two one-row aggregates.
+    "q89_skew_report" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

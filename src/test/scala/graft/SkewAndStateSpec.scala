@@ -72,6 +72,20 @@ class SkewAndStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("skewReport: exact shape stats on a known distribution") {
+    val rows = (Seq.fill(6)("A") ++ Seq.fill(2)("B") ++ Seq("C", "D"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val out = Skew.skewReport(rows, "k").collect().head
+    // counts sorted: [1, 1, 2, 6] -> p50 = 1.5, p99 = 2 + 0.97*(6-2) = 5.88
+    assert(out.getLong(0) === 4L)      // n_keys
+    assert(out.getLong(1) === 10L)     // n_rows
+    assert(out.getLong(2) === 6L)      // max_cnt
+    assert(out.getDouble(3) === 1.5)   // p50_cnt
+    assert(out.getDouble(4) === 5.88)  // p99_cnt
+    assert(out.getDouble(5) === 2.4)   // skew_ratio = 6 / (10/4)
+    assert(out.getDouble(6) === 1.0)   // top10_share: only 4 keys exist
+  }
+
   test("streaming changelog compaction: equal-seq tie resolves by (op, payload), not arrival order") {
     val src = Files.createTempDirectory("graft-cdc-tie").toString
     // Two DISTINCT events, same key and seq, in one batch: the winner must

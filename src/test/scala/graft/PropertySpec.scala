@@ -117,4 +117,77 @@ class PropertySpec extends AnyFunSuite {
       assert(perSrc.map(_._3).sum <= total, "quota floor never over-allocates")
     }
   }
+
+  // Arbitrary small corpora over a tiny vocabulary (so cross-document
+  // gram collisions actually occur) for the substring-dedup family.
+  private val corpusGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(2, 10)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 20)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+    } yield toks.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("substring dedup invariants: coverage bounds, cross-doc symmetry, rewrite conservation") {
+    val k = 3
+    forAll(corpusGen, n = 6) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val stats = graft.operators.Dedup.duplicateSpanStats(df, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(stats.map(_._1).sorted === rows.map(_._1), "one row per doc")
+      stats.foreach { case (_, n, spans, dup) =>
+        assert(dup >= 0 && dup <= n, "coverage within the document")
+        assert(spans * k <= dup || spans == 0, "every span covers >= k tokens")
+      }
+      // A cross-document duplicate needs at least two participating docs.
+      val flagged = stats.count(_._4 > 0)
+      assert(flagged == 0 || flagged >= 2, s"cross-doc dup can't involve one doc: $flagged")
+      val rewrite = graft.operators.Dedup.removeDuplicateSpans(df, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val dupByDoc = stats.map(s => s._1 -> s._4).toMap
+      rewrite.foreach { case (id, n, kept) =>
+        // Removal drops only NON-owner coverage, stats count owners too.
+        assert(kept >= n - dupByDoc(id) && kept <= n, s"doc $id kept $kept of $n")
+      }
+    }
+  }
+
+  test("delta near-dup gate: containment in [0,1], threshold is the decision, ids preserved") {
+    forAll(corpusGen.suchThat(_.size >= 4), n = 6) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val batch = df.filter(col("doc_id") % 2 === 0)
+      val corpus = df.filter(col("doc_id") % 2 =!= 0)
+      val out = graft.operators.Dedup.containmentAgainstCorpus(
+          batch, corpus, "doc_id", "text", n = 2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5)))
+      assert(out.map(_._1).sorted === rows.map(_._1).filter(_ % 2 == 0),
+        "every batch doc reported exactly once")
+      out.foreach { case (_, shared, sz, cont, rejected) =>
+        assert(shared <= sz && cont >= 0.0 && cont <= 1.0)
+        assert(rejected === (shared.toDouble / sz >= 0.5))
+      }
+    }
+  }
+
+  test("length batching: partition of the corpus, caps respected, batches stay in their band") {
+    val lensGen = for {
+      n <- Gen.choose(1, 40)
+      lens <- Gen.listOfN(n, Gen.choose(1L, 60L))
+    } yield lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+    forAll(lensGen, n = 6) { rows =>
+      val out = graft.operators.Packing.lengthBucketedBatches(
+          rows.toDF("doc_id", "len"), "doc_id", col("len"),
+          batchSize = 4, bucketWidth = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6)))
+      assert(out.map(_._2).sum === rows.size, "batches partition the corpus")
+      out.foreach { case (bucket, nDocs, maxLen, sumLen, padded, waste) =>
+        assert(nDocs >= 1 && nDocs <= 4)
+        assert(maxLen / 10 === bucket, "a batch never crosses its length band")
+        assert(padded === nDocs * maxLen && sumLen <= padded)
+        assert(waste >= 0.0 && waste < 1.0)
+      }
+    }
+  }
 }

@@ -258,22 +258,41 @@ object Dedup {
     */
   def containmentAgainstCorpus(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double,
+      scope: CacheScope = CacheScope.session): DataFrame =
+    containmentAgainstPostings(batch,
+      gramPostings(corpus, idCol, textCol, n), idCol, textCol, n, threshold,
+      scope)
+
+  /** Corpus gram postings (corpus_id, gh) — the ingest-time index
+    * [[containmentAgainstCorpus]]'s scale note promises. Write this once
+    * per ingest cycle (append the accepted batch's own postings after
+    * gating) and subsequent delta gates join against the INDEX —
+    * 16 bytes a row, bucketable on `gh` — instead of re-tokenizing the
+    * corpus text every batch.
+    */
+  def gramPostings(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), tokens(col(textCol)).as("toks"))
+      .select(col("corpus_id"), explode(shinglesFromTokens(col("toks"), n)).as("g"))
+      .select(col("corpus_id"), xxhash64(col("g")).as("gh"))
+
+  /** [[containmentAgainstCorpus]] against a pre-built postings frame
+    * (from [[gramPostings]], typically read back from the maintained
+    * index table) — the steady-state ingest path.
+    */
+  def containmentAgainstPostings(batch: DataFrame, postings: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double,
       scope: CacheScope = CacheScope.session): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def gramSets(df: DataFrame, alias: String) = df
-      .select(col(idCol).as(alias), tokens(col(textCol)).as("toks"))
-      .select(col(alias), shinglesFromTokens(col("toks"), n).as("sh"))
     val b = scope.cached(
-      gramSets(batch, "batch_id")
+      batch.select(col(idCol).as("batch_id"), tokens(col(textCol)).as("toks"))
+        .select(col("batch_id"), shinglesFromTokens(col("toks"), n).as("sh"))
         .withColumn("sz_batch", size(col("sh")).cast(LongType)))
     val bg = b.select(col("batch_id"), explode(col("sh")).as("g"))
       .select(col("batch_id"), xxhash64(col("g")).as("gh"))
-    val cg = gramSets(corpus, "corpus_id")
-      .select(col("corpus_id"), explode(col("sh")).as("g"))
-      .select(col("corpus_id"), xxhash64(col("g")).as("gh"))
     // Distinct gram sets on both sides ⇒ the co-occurrence count IS the
     // intersection size.
-    val shared = bg.join(cg, Seq("gh"))
+    val shared = bg.join(postings, Seq("gh"))
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("shared"))
     val w = Window.partitionBy(col("batch_id"))

@@ -177,6 +177,39 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1) === ((20L, None, 0L, 5L, false))) // 7 tokens -> 5 grams
   }
 
+  test("gram postings index: persisted index gates like the inline path, and maintains incrementally") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words live here now okay yes"),
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (20L, "completely novel content nothing shared at all"),
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-postings")
+      .resolve("idx").toString
+    // Ingest cycle 1: build the index once, gate the batch against it.
+    Dedup.gramPostings(corpus, "doc_id", "text", n = 3)
+      .write.mode("overwrite").parquet(idx)
+    def gate(b: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentAgainstPostings(b, spark.read.parquet(idx),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("batch_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(5)))
+    val inline = Dedup.containmentAgainstCorpus(batch1, corpus, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("batch_id").collect().map(r => (r.getLong(0), r.getBoolean(5)))
+    assert(gate(batch1) === inline, "index path must equal the inline path")
+    // Maintenance: append the ACCEPTED doc's postings; a later redelivery
+    // of the same text is then rejected against the index alone — the
+    // corpus text is never re-tokenized.
+    Dedup.gramPostings(batch1.filter(col("doc_id") === 20L), "doc_id", "text", n = 3)
+      .write.mode("append").parquet(idx)
+    val batch2 = Seq((30L, "completely novel content nothing shared at all"))
+      .toDF("doc_id", "text")
+    assert(gate(batch2) === Array((30L, true)), "redelivery caught by the maintained index")
+  }
+
   test("embedding near-dup pairs on a hand-built set") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

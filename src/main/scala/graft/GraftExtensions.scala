@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HmacSha256, MinHashSignature, SimHash64}
+import graft.functions.{DotProduct, HmacSha256, MinHashSignature, MisraGries, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * as SQL functions at session build time —
@@ -57,5 +57,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit SimHash over pre-hashed array<bigint>"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(key, k) - heavy-hitter candidate keys (Misra-Gries summary of width k)"),
+      (exprs: Seq[Expression]) => {
+        val kExpr = exprs(1)
+        val k =
+          if (!kExpr.foldable) throw new IllegalArgumentException(
+            "misra_gries: k must be an integer literal, got a non-foldable expression")
+          else kExpr.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.intValue()
+            case other => throw new IllegalArgumentException(
+              s"misra_gries: k must be an integer literal, got $other")
+          }
+        // The analyzer wraps a bare AggregateFunction in AggregateExpression.
+        MisraGries(exprs(0), k)
+      }))
   }
 }

@@ -118,4 +118,58 @@ object Packing {
       .withColumn("waste_frac",
         round((col("padded_tokens") - col("sum_len")) / col("padded_tokens"), 4))
   }
+
+  /** Corpus selection under a global token budget: walk the corpus in
+    * descending `score` order (ties broken by id) and keep documents
+    * while the running token total stays ≤ `budget` — the "take the best
+    * B tokens" step that ends most curation pipelines (quality-classifier
+    * selection, dedup-survivor capping).
+    *
+    * `score` must be an INTEGRAL column (quantize upstream — e.g.
+    * density · 1e6 via integral division) so the order, and therefore the
+    * selected set, is bit-reproducible across engines and re-runs.
+    *
+    * The running total is a prefix sum over a GLOBAL order — the
+    * single-partition window trap again — so it runs two-phase like
+    * [[packAssignments]], but banded by score instead of id-range:
+    *   1. rows are coarsened into score bands (floor(score/bandWidth));
+    *      within each band a band-partitioned window computes the local
+    *      inclusive cumsum in (score desc, id) order — parallel across
+    *      bands;
+    *   2. one tiny window over the per-band totals (score_range/bandWidth
+    *      rows) produces each band's starting offset, broadcast back.
+    * Bands follow the global order because every score in a higher band
+    * sorts before every score in a lower one.
+    *
+    * Returns (doc_id, score, n_tokens, cum_tokens) for the selected
+    * documents, cum_tokens inclusive. A single document larger than the
+    * remaining budget stops the walk at its band position (standard
+    * greedy prefix semantics: selection is the maximal prefix whose
+    * inclusive sum fits).
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, score: Column,
+      nTokens: Column, budget: Long, bandWidth: Int = 1000): DataFrame = {
+    require(budget > 0 && bandWidth > 0, "budget and bandWidth must be positive")
+    val base = docs.select(col(idCol).as("doc_id"),
+      score.cast("long").as("score"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("band", floor(col("score") / bandWidth))
+    // Phase 1: inclusive cumsum inside each score band, in global-order
+    // direction (score desc, id).
+    val wBand = Window.partitionBy(col("band"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("local_cum", sum(col("n_tokens")).over(wBand))
+    // Phase 2: exclusive cumsum over per-band totals, walking bands in
+    // descending order (higher band = earlier in the global walk).
+    val wTot = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("band"))
+      .agg(sum(col("n_tokens")).as("band_tokens"))
+      .withColumn("band_offset", coalesce(sum(col("band_tokens")).over(wTot), lit(0L)))
+      .select(col("band"), col("band_offset"))
+    local.join(broadcast(offsets), Seq("band"))
+      .withColumn("cum_tokens", col("band_offset") + col("local_cum"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
 }

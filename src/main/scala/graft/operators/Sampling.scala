@@ -75,4 +75,74 @@ object Sampling {
       .filter(col("sample_rank") <= col("quota"))
       .drop("sample_rank")
   }
+
+  /** Seeded pseudo-random draw for `id` on [0, buckets): the [[idBucket]]
+    * hash with the seed folded in, so different epochs/draws decorrelate
+    * while each remains fully deterministic. Same ANSI-overflow guard:
+    * the id is reduced mod P before the multiply ((P-1)·2654435761 + the
+    * seed term stays under 2^63 for any seed ≤ ~1e9).
+    */
+  def seededBucket(id: Column, seed: Int, buckets: Int): Column = {
+    require(seed >= 0 && seed <= 1000000000, s"seed must be in [0, 1e9], got $seed")
+    val P = 2147483647L
+    pmod(pmod(pmod(id, lit(P)) * lit(2654435761L) + lit(seed.toLong) * lit(48271L),
+      lit(P)), lit(buckets.toLong))
+  }
+
+  /** Deterministic training-epoch shuffle with shard assignment: every row
+    * gets a pseudo-random sort key from (id, epoch seed), its shard is
+    * `key mod nShards`, and its position is its key-rank WITHIN the shard.
+    * Changing the seed reshuffles the corpus; re-running the same seed
+    * reproduces the exact order — the property a resumable 100 TB training
+    * job needs (no `rand()`, no partition-order dependence).
+    *
+    * Scale shape: one shuffle, keyed by shard (each shard is one window
+    * partition); the within-shard sort is the per-reducer sort Spark does
+    * anyway for a window. nShards should be ≥ the write parallelism you
+    * want; rows land in shards near-uniformly by the hash.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Int, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val keyed = df.withColumn("shuffle_key", seededBucket(col(idCol), seed, 1000000000))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    keyed.withColumn("pos", row_number().over(w))
+  }
+
+  /** Weighted sampling WITHOUT replacement: keep the k rows with the
+    * largest priority `weight · S / u`, where u is the row's deterministic
+    * pseudo-random draw on [1, S] — integer-quantized priority sampling
+    * (Duffield, Lund & Thorup, JACM'07). Heavier rows get stochastically
+    * larger priorities, so inclusion probability rises with weight, but
+    * any row can win — unlike a plain `ORDER BY weight LIMIT k`, which
+    * deterministically censors the light tail.
+    *
+    * All arithmetic is 64-bit integer (the priority is an integer
+    * DIVISION, not a float), so the selection is bit-reproducible across
+    * engines and re-runs. `weight` must be a positive integral column;
+    * weights above ~9e11 would overflow the `weight · S` product and are
+    * rejected at runtime via a guarded expression.
+    *
+    * Scale shape: top-k by (priority, id) compiles to
+    * TakeOrderedAndProject — per-partition heaps + a k-row driver merge,
+    * never a global sort shuffle.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val S = 1000000L
+    val u = seededBucket(col(idCol), seed, S.toInt) + lit(1L)
+    val wOk = when(weight > 0 && weight <= lit(9000000000000L / S), weight.cast("long"))
+      .otherwise(raise_error(concat(lit("prioritySample: weight out of (0, 9e6] range: "),
+        weight.cast("string"))).cast("long"))
+    // `div` (IntegralDivide) keeps the priority exact 64-bit integer math —
+    // a double division + floor can misround near-integer quotients (double
+    // abs error ~1e-3 at 9e12 exceeds the 1/u fraction granularity).
+    df.withColumn("w_scaled", wOk * lit(S)).withColumn("u_draw", u)
+      .withColumn("priority", expr("w_scaled div u_draw"))
+      .drop("w_scaled", "u_draw")
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
 }

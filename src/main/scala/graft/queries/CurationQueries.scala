@@ -253,5 +253,87 @@ object CurationQueries {
              |SELECT r.doc_id, r.source, q.quota FROM r JOIN q USING (source)
              |WHERE r.rk <= q.quota ORDER BY r.doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Token-budget corpus selection: rank by an integer-quantized quality
+    // score (alphabetic-character density · 1e6, integral division — no
+    // float ordering), walk in (score desc, doc_id) order, keep documents
+    // while the running token total fits the budget. The prefix sum runs
+    // two-phase over score bands (Packing.tokenBudgetSelect) — never a
+    // global single-partition window. The oracle replays the same walk
+    // with a plain window cumsum.
+    QueryDef(
+      "q91_token_budget",
+      (spark, dir) => {
+        val scored = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("alpha"),
+            greatest(col("n_chars"), lit(1L)).as("nc"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("score", expr("alpha * 1000000 div nc"))
+        Packing.tokenBudgetSelect(scored, "doc_id", col("score"),
+            col("n_tokens"), budget = 15000)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("""WITH scored AS (SELECT doc_id,
+             |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) * 1000000
+             |      // greatest(n_chars, 1) AS score,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, score, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM scored)
+             |SELECT doc_id, score, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 15000
+             |ORDER BY score DESC, doc_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Deterministic training-epoch shuffle + shard assignment: seeded
+    // integer-hash sort key, shard = key mod 8, position = key-rank
+    // within shard. Re-running the same seed reproduces the byte-exact
+    // order (resumable training); a new seed reshuffles. One shuffle,
+    // keyed by shard — the window sorts per shard, never globally.
+    QueryDef(
+      "q92_epoch_shuffle",
+      (spark, dir) =>
+        Sampling.epochShuffle(
+            Tables.documents(spark, dir).select(col("doc_id")),
+            "doc_id", seed = 7, nShards = 8)
+          .select(col("doc_id"), col("shuffle_key"), col("shard"), col("pos"))
+          .orderBy(col("shard"), col("pos")),
+      Some("""WITH k AS (SELECT doc_id,
+             |    ((doc_id % 2147483647) * 2654435761 + 7 * 48271) % 2147483647 % 1000000000 AS shuffle_key
+             |  FROM documents),
+             |s AS (SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard,
+             |    ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+             |      ORDER BY shuffle_key, doc_id) AS pos
+             |  FROM k)
+             |SELECT doc_id, shuffle_key, shard, pos FROM s ORDER BY shard, pos""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Weighted sampling without replacement via integer-quantized
+    // priority sampling (Duffield–Lund–Thorup): priority =
+    // weight·1e6 div u for a deterministic per-id draw u ∈ [1, 1e6];
+    // keep the top-k priorities. Pure 64-bit integer math — the
+    // selection is bit-reproducible in any engine — and the top-k
+    // compiles to TakeOrderedAndProject (per-partition heaps), not a
+    // global sort.
+    QueryDef(
+      "q93_priority_sample",
+      (spark, dir) =>
+        Sampling.prioritySample(
+            Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+            "doc_id", col("n_chars"), k = 100, seed = 3)
+          .select(col("doc_id"), col("n_chars"), col("priority"))
+          .orderBy(col("priority").desc, col("doc_id")),
+      Some("""WITH pr AS (SELECT doc_id, n_chars,
+             |    (n_chars * 1000000) //
+             |      (((doc_id % 2147483647) * 2654435761 + 3 * 48271) % 2147483647 % 1000000 + 1) AS priority
+             |  FROM documents)
+             |SELECT doc_id, n_chars, priority FROM pr
+             |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin),
+    ),
   )
 }

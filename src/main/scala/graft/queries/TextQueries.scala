@@ -370,5 +370,30 @@ object TextQueries {
              |  CAST(MAX(clen) AS BIGINT) AS max_chunk_tokens
              |FROM cl GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Exact heavy hitters over the token stream WITHOUT a full-vocabulary
+    // groupBy: a Misra–Gries candidate sketch (native TypedImperativeAgg,
+    // ≤ 200 counters per task on the shuffle) prunes to ≤ k candidates,
+    // then an exact broadcast-semi-join recount applies the freq·k > n
+    // cut — so the answer is exact and merge-order-independent while the
+    // vocabulary (billions of keys at corpus scale) never shuffles. The
+    // oracle computes the same heavy-hitter set the brute-force way.
+    QueryDef(
+      "q90_heavy_hitters",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(TextAnalysis.tokens(col("text")).as("toks"))
+          .select(explode(col("toks")).as("token"))
+        graft.operators.Frequency.heavyHitters(toks, col("token"), 200)
+          .withColumnRenamed("key", "token")
+          .orderBy(col("freq").desc, col("token"))
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+             |tot AS (SELECT COUNT(*) AS n_total FROM toks)
+             |SELECT token, COUNT(*) AS freq FROM toks, tot
+             |GROUP BY token, tot.n_total HAVING COUNT(*) * 200 > tot.n_total
+             |ORDER BY freq DESC, token""".stripMargin),
+    ),
   )
 }

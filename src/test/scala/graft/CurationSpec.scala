@@ -141,6 +141,78 @@ class CurationSpec extends AnyFunSuite {
         .select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("tokenBudgetSelect: maximal prefix, bandWidth-invariant, matches naive walk") {
+    // Deterministic pseudo-random scores/sizes (no RNG state in tests).
+    val docs = (1L to 400L).map { i =>
+      (i, (i * 7919) % 5000, 10 + (i * 104729) % 90)
+    }.toDF("doc_id", "score", "n_tokens")
+    val budget = 6000L
+    // Naive reference: single global walk in (score desc, id) order.
+    val walk = docs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, s, _) => (-s, id) }
+    var cum = 0L
+    val expected = walk.iterator.map { case (id, s, nt) =>
+      cum += nt; (id, s, nt, cum)
+    }.takeWhile(_._4 <= budget).toSeq
+    for (bw <- Seq(1, 97, 1000, 100000)) {
+      val got = Packing.tokenBudgetSelect(docs, "doc_id", col("score"),
+          col("n_tokens"), budget, bandWidth = bw)
+        .orderBy(col("score").desc, col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === expected, s"bandWidth=$bw")
+    }
+    // Maximal prefix: the next document in the walk would not have fit.
+    val next = walk(expected.size)
+    assert(expected.last._4 + next._3 > budget)
+  }
+
+  test("epochShuffle: reproducible per seed, per-shard positions dense, seeds decorrelate") {
+    val df = (1L to 300L).toDF("doc_id")
+    val a = Sampling.epochShuffle(df, "doc_id", seed = 7, nShards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val b = Sampling.epochShuffle(df.repartition(5), "doc_id", seed = 7, nShards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(a === b, "same seed must reproduce the exact layout, any partitioning")
+    // Every row lands exactly once; positions are 1..count within a shard.
+    assert(a.map(_._1).toSeq === (1L to 300L))
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.size), s"shard $shard")
+    }
+    val c = Sampling.epochShuffle(df, "doc_id", seed = 8, nShards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(a.toSeq !== c.toSeq, "a different seed must produce a different layout")
+  }
+
+  test("prioritySample: exactly k rows, reproducible, matches local reference math") {
+    val df = (1L to 500L).map(i => (i, 1L + (i * 31L) % 100L)).toDF("doc_id", "w")
+    val got = Sampling.prioritySample(df, "doc_id", col("w"), k = 50, seed = 3)
+      .select("doc_id", "priority").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 50)
+    // Local replay of the integer priority math.
+    val P = 2147483647L
+    val ref = (1L to 500L).map { i =>
+      val w = 1L + (i * 31L) % 100L
+      val u = (i % P * 2654435761L + 3L * 48271L) % P % 1000000L + 1L
+      (i, w * 1000000L / u)
+    }.sortBy { case (id, pr) => (-pr, id) }.take(50)
+    assert(got.toSeq === ref.map { case (id, pr) => (id, pr) })
+    val again = Sampling.prioritySample(df.repartition(7), "doc_id", col("w"), 50, seed = 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(again.toSet === got.map(_._1).toSet, "partitioning must not change the sample")
+  }
+
+  test("prioritySample rejects non-positive weights") {
+    val df = Seq((1L, 0L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.prioritySample(df, "doc_id", col("w"), k = 1).collect()
+    }
+    assert(e.getMessage.contains("prioritySample"))
+  }
+
   test("tfidf ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare_one rare_one"),

@@ -32,6 +32,12 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(got.getDouble(1) === 11.0)
       assert(got.getLong(2) === 1L)
       assert(got.getInt(3) === 16)
+      // misra_gries is an AGGREGATE injection: the analyzer must wrap the
+      // bare AggregateFunction the builder returns.
+      val mg = s.sql(
+        """SELECT misra_gries(k, 2) AS c FROM VALUES ('a'),('a'),('a'),('b') t(k)"""
+      ).head().getSeq[String](0)
+      assert(mg.contains("a"), s"sketch lost the majority key: $mg")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+import graft.operators.Frequency
+
+/** Misra–Gries sketch + two-pass heavy hitters: the candidate set must
+  * contain every true heavy hitter under ANY partitioning (merge order),
+  * and the recounted final answer must equal the brute-force groupBy
+  * answer exactly.
+  */
+class FrequencySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** Zipf-ish corpus: key_i appears ~N/i times — a few heavy keys and a
+    * long tail, the shape the sketch exists for.
+    */
+  private def corpus: Seq[String] =
+    (1 to 40).flatMap(i => Seq.fill(400 / i)(s"key$i"))
+
+  private def trueHeavy(rows: Seq[String], k: Int): Set[String] = {
+    val n = rows.size
+    rows.groupBy(identity).collect {
+      case (key, occ) if occ.size.toLong * k > n => key
+    }.toSet
+  }
+
+  test("candidate set ⊇ true heavy hitters under every partitioning") {
+    val rows = corpus
+    val k = 10
+    for (parts <- Seq(1, 3, 7, 16)) {
+      val df = rows.toDF("key").repartition(parts)
+      val cands = df.agg(MisraGries.misra_gries(col("key"), k).as("c"))
+        .select(explode(col("c")).as("key"))
+        .as[String].collect().toSet
+      assert(cands.size <= k, s"parts=$parts: sketch exceeded width: $cands")
+      val heavy = trueHeavy(rows, k)
+      assert(heavy.subsetOf(cands),
+        s"parts=$parts: lost heavy hitters ${heavy -- cands}")
+    }
+  }
+
+  test("heavyHitters equals brute-force groupBy answer, any partitioning") {
+    val rows = corpus
+    val k = 10
+    val expected = trueHeavy(rows, k)
+    for (parts <- Seq(1, 4, 13)) {
+      val df = rows.toDF("key").repartition(parts)
+      val got = Frequency.heavyHitters(df, col("key"), k)
+        .as[(String, Long)].collect().toMap
+      assert(got.keySet === expected, s"parts=$parts")
+      // Recounted frequencies are EXACT, not sketch lower bounds.
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got.foreach { case (key, freq) => assert(freq === exact(key)) }
+    }
+  }
+
+  test("null keys are ignored and n counts non-null rows only") {
+    val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Option.empty[String]) ++
+      (1 to 40).map(i => Some(s"t$i"))).toDF("key")
+    val got = Frequency.heavyHitters(df, col("key"), 4)
+      .as[(String, Long)].collect().toMap
+    // n = 100 non-null rows; hot has 60 > 100/4; every tail key has 1.
+    assert(got === Map("hot" -> 60L))
+  }
+
+  test("k wider than the vocabulary degrades to the exact answer") {
+    val rows = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c")
+    // n = 100, k = 100 → threshold freq > 1: every key qualifies.
+    val got = Frequency.heavyHitters(rows.toDF("key"), col("key"), 100)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 50L, "b" -> 30L, "c" -> 20L))
+  }
+
+  test("sketch buffer serialization round-trips") {
+    val mg = graft.functions.MisraGries(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit("x")), k = 5)
+    val buf = scala.collection.mutable.HashMap("alpha" -> 3L, "βeta" -> 7L, "" -> 1L)
+    assert(mg.deserialize(mg.serialize(buf)) === buf)
+  }
+}

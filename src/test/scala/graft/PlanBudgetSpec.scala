@@ -116,6 +116,20 @@ class PlanBudgetSpec extends AnyFunSuite {
     // and the TakeOrdered top-10 — no full sort) plus the single-
     // partition exchanges under the two one-row aggregates.
     "q89_skew_report" -> 3,
+    // q90: the k-counter sketch merge and the one-row total each collapse
+    // to a single-partition exchange (both carry ≤ k counters per task,
+    // never the vocabulary); the candidate recount agg + the output sort.
+    // The candidate and total joins broadcast.
+    "q90_heavy_hitters" -> 4,
+    // q91: the score-band window exchange, the band-totals agg + its
+    // single-partition phase-2 window, and the output sort; the band-
+    // offset join broadcasts.
+    "q91_token_budget" -> 4,
+    // q92: the shard-keyed window exchange + the output sort.
+    "q92_epoch_shuffle" -> 2,
+    // q93: top-k plans as TakeOrderedAndProject (no exchange); the
+    // post-limit output sort re-orders ≤ k rows.
+    "q93_priority_sample" -> 1,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -145,4 +145,30 @@ object Sampling {
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
   }
+
+  /** Stratified [[prioritySample]]: the same integer-quantized
+    * Duffield–Lund–Thorup draw, but top-`kPerGroup` WITHIN each stratum —
+    * weighted sampling without replacement per source/language/domain in
+    * one pass. The global variant's TakeOrdered becomes a group-partitioned
+    * ranking window: one shuffle on the stratum key, each stratum ranked
+    * independently (salt the window if one stratum dominates — the
+    * balancedSample caveat applies unchanged).
+    */
+  def prioritySamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, kPerGroup: Int, seed: Int = 0): DataFrame = {
+    require(kPerGroup >= 1, s"kPerGroup must be >= 1, got $kPerGroup")
+    val S = 1000000L
+    val u = seededBucket(col(idCol), seed, S.toInt) + lit(1L)
+    val wOk = when(weight > 0 && weight <= lit(9000000000000L / S), weight.cast("long"))
+      .otherwise(raise_error(concat(lit("prioritySamplePerGroup: weight out of (0, 9e6] range: "),
+        weight.cast("string"))).cast("long"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol))
+    df.withColumn("w_scaled", wOk * lit(S)).withColumn("u_draw", u)
+      .withColumn("priority", expr("w_scaled div u_draw"))
+      .drop("w_scaled", "u_draw")
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= kPerGroup)
+      .drop("sample_rank")
+  }
 }

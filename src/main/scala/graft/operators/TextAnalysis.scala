@@ -263,4 +263,48 @@ object TextAnalysis {
     aggregate(tokens(c), lit(0L),
       (acc, t) => pmod(acc * B + pmod(tokenHasher(t), lit(Pm)), lit(Pm)))
   }
+
+  /** PMI collocations: adjacent token pairs whose co-occurrence beats the
+    * independence assumption — pmi(x,y) = ln(p(xy) / (p(x)·p(y))) with
+    * p(xy) = c_xy/B over bigram instances and p(x) = c_x/N over tokens.
+    * The classic collocation/multi-word-expression extractor (Church &
+    * Hanks 1990); `minCount` suppresses the low-frequency pairs whose PMI
+    * is all variance.
+    *
+    * Scale shape: two corpus-bounded aggregations (unigram + bigram
+    * tables, keyed shuffles on the token/gram); the bigram→unigram count
+    * joins are plain key joins (the unigram table broadcasts when the
+    * vocabulary is small); the corpus totals ride as broadcast one-row
+    * frames. Factors are cast to double BEFORE multiplying (the integer
+    * product c_xy·N² overflows int64 at corpus scale), and the PMI is
+    * rounded to 6 decimals so downstream ordering is engine-stable.
+    *
+    * Returns (gram, c_xy, pmi), one row per surviving bigram.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = docs.select(tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val biAll = toks
+      .select(explode(Dedup.gramsFromTokens(col("toks"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
+    // Corpus totals from the ARRAY SIZES, not by re-aggregating the
+    // unigram/bigram tables: one-row map-side sums (N = Σ|toks|,
+    // B = Σ max(|toks|−1, 0)) — no vocabulary-keyed shuffle and no
+    // second explode pass just to count what the array length knows.
+    val nTok = toks.agg(sum(size(col("toks"))).cast("long").as("n_tokens"))
+    val nBi = toks.agg(sum(greatest(size(col("toks")) - 1, lit(0)))
+      .cast("long").as("n_bigrams"))
+    biAll.filter(col("c_xy") >= minCount)
+      .withColumn("x", split(col("gram"), " ").getItem(0))
+      .withColumn("y", split(col("gram"), " ").getItem(1))
+      .join(uni.select(col("t").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .withColumn("pmi", round(log(
+        (col("c_xy").cast("double") * col("n_tokens") * col("n_tokens")) /
+          (col("n_bigrams").cast("double") * col("c_x") * col("c_y"))), 6))
+      .select(col("gram"), col("c_xy"), col("pmi"))
+  }
 }

@@ -335,5 +335,31 @@ object CurationQueries {
              |SELECT doc_id, n_chars, priority FROM pr
              |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Stratified weighted sampling without replacement: q93's integer
+    // priority draw, ranked WITHIN each source — top-5 per stratum in one
+    // shuffle (the global TakeOrdered becomes a source-partitioned
+    // window). Covers per-language / per-domain quota sampling.
+    QueryDef(
+      "q95_stratified_priority",
+      (spark, dir) =>
+        Sampling.prioritySamplePerGroup(
+            Tables.documents(spark, dir)
+              .select(col("doc_id"), col("source"), col("n_chars")),
+            "source", "doc_id", col("n_chars"), kPerGroup = 5, seed = 3)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+          .orderBy(col("source"), col("priority").desc, col("doc_id")),
+      Some("""WITH pr AS (SELECT doc_id, source, n_chars,
+             |    (n_chars * 1000000) //
+             |      (((doc_id % 2147483647) * 2654435761 + 3 * 48271) % 2147483647 % 1000000 + 1) AS priority
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, n_chars, priority,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY priority DESC, doc_id) AS rk
+             |  FROM pr)
+             |SELECT doc_id, source, n_chars, priority FROM r WHERE rk <= 5
+             |ORDER BY source, priority DESC, doc_id""".stripMargin),
+    ),
   )
 }

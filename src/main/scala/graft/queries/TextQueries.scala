@@ -395,5 +395,35 @@ object TextQueries {
              |GROUP BY token, tot.n_total HAVING COUNT(*) * 200 > tot.n_total
              |ORDER BY freq DESC, token""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // PMI collocations: bigrams whose co-occurrence beats independence —
+    // pmi = ln(c_xy·N²/(B·c_x·c_y)), rounded to 6 decimals for
+    // engine-stable ordering. Factors go to double BEFORE multiplying
+    // (c_xy·N² overflows int64 at corpus scale). Top-20 by (pmi desc,
+    // gram); min count 25 cuts the all-variance low-frequency tail.
+    QueryDef(
+      "q94_pmi_collocations",
+      (spark, dir) =>
+        TextAnalysis.pmiCollocations(
+            Tables.documents(spark, dir), "text", minCount = 25)
+          .orderBy(col("pmi").desc, col("gram"))
+          .limit(20),
+      Some("""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |uc AS (SELECT t, COUNT(*) AS c FROM (SELECT unnest(l) AS t FROM toks) GROUP BY t),
+             |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uc),
+             |bc AS (SELECT gram, COUNT(*) AS c_xy FROM (
+             |    SELECT unnest(CASE WHEN len(l) < 2 THEN [] ELSE
+             |      list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) END) AS gram
+             |    FROM toks) GROUP BY gram),
+             |nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bigrams FROM bc),
+             |f AS (SELECT gram, c_xy, string_split(gram, ' ')[1] AS x,
+             |    string_split(gram, ' ')[2] AS y FROM bc WHERE c_xy >= 25)
+             |SELECT f.gram, f.c_xy,
+             |  round(ln((CAST(f.c_xy AS DOUBLE) * nt.n_tokens * nt.n_tokens) /
+             |    (CAST(nb.n_bigrams AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+             |FROM f JOIN uc ux ON f.x = ux.t JOIN uc uy ON f.y = uy.t, nt, nb
+             |ORDER BY pmi DESC, gram LIMIT 20""".stripMargin),
+    ),
   )
 }

@@ -205,6 +205,45 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSet === got.map(_._1).toSet, "partitioning must not change the sample")
   }
 
+  test("prioritySamplePerGroup: per-stratum cap, same draw as the global sampler") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}", 1L + (i * 31L) % 100L))
+      .toDF("doc_id", "src", "w")
+    val got = Sampling.prioritySamplePerGroup(df, "src", "doc_id", col("w"),
+        kPerGroup = 7, seed = 3)
+      .select("doc_id", "src", "priority").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length === 21)
+    assert(got.groupBy(_._2).forall(_._2.length === 7))
+    // Within each stratum the kept rows are the top-7 by the same integer
+    // priority math the global sampler uses.
+    val P = 2147483647L
+    val ref = (1L to 300L).map { i =>
+      val w = 1L + (i * 31L) % 100L
+      val u = (i % P * 2654435761L + 3L * 48271L) % P % 1000000L + 1L
+      (i, s"s${i % 3}", w * 1000000L / u)
+    }.groupBy(_._2).flatMap { case (_, rows) =>
+      rows.sortBy { case (id, _, pr) => (-pr, id) }.take(7)
+    }.toSet
+    assert(got.toSet === ref)
+  }
+
+  test("pmiCollocations: bound pair beats independent fillers, exact PMI math") {
+    // "aa bb" always adjacent (8 docs); "cc"/"dd" co-occur never.
+    val docs = ((1 to 8).map(i => (i.toLong, "aa bb")) ++
+      (9 to 12).map(i => (i.toLong, "cc dd")) ++
+      (13 to 16).map(i => (i.toLong, "dd cc"))).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .pmiCollocations(docs, "text", minCount = 1)
+      .orderBy(col("pmi").desc, col("gram")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // N = 32 tokens, B = 16 bigrams. aa bb: c_xy=8, c_aa=c_bb=8 →
+    // pmi = ln(8·32²/(16·8·8)) = ln(8). cc dd / dd cc: c_xy=4,
+    // c_cc=c_dd=8 → ln(4·32²/(16·8·8)) = ln(4).
+    assert(out.map(_._1).toSeq === Seq("aa bb", "cc dd", "dd cc"))
+    assert(out(0)._3 === math.rint(math.log(8) * 1e6) / 1e6)
+    assert(out(1)._3 === math.rint(math.log(4) * 1e6) / 1e6)
+  }
+
   test("prioritySample rejects non-positive weights") {
     val df = Seq((1L, 0L)).toDF("doc_id", "w")
     val e = intercept[Exception] {

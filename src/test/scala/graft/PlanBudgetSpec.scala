@@ -130,6 +130,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q93: top-k plans as TakeOrderedAndProject (no exchange); the
     // post-limit output sort re-orders ≤ k rows.
     "q93_priority_sample" -> 1,
+    // q94: the bigram count agg, the unigram count agg planned once per
+    // join side (x and y), and the two single-partition exchanges under
+    // the one-row corpus totals (computed from array sizes — no
+    // vocabulary re-agg); top-20 is TakeOrdered, the count joins
+    // broadcast the vocab side.
+    "q94_pmi_collocations" -> 5,
+    // q95: the source-keyed ranking window exchange + the output sort.
+    "q95_stratified_priority" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -54,6 +54,31 @@ object MartQueries {
     ),
 
     // ----------------------------------------------------------------
+    // q18's top-3-per-group, AGGREGATE-shaped: the native TopKByOrd
+    // aggregate keeps a k-bounded pool per group per task, so the
+    // shuffle carries ≤ k pairs per group per task — the 100 TB path,
+    // where q18's ranking window would sort the whole fact table to
+    // discard all but 3 rows per group. Same answer, same oracle shape.
+    QueryDef(
+      "q96_topk_agg",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(graft.functions.TopKByOrd.top_k_by(
+            col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+          .select(col("o_orderpriority"), posexplode(col("top")))
+          .select(col("o_orderpriority"), (col("pos") + 1).as("rn"),
+            col("col.id").as("o_orderkey"), col("col.ord").as("o_totalprice"))
+          .orderBy(col("o_orderpriority"), col("rn")),
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+             |SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders) WHERE rn <= 3
+             |ORDER BY o_orderpriority, rn""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // §2.7 micro-batch windowed aggregation, batch form (the Structured
     // Streaming twin lives in graft.streaming and is exercised in tests):
     // hourly tumbling window per event_type.

@@ -523,4 +523,24 @@ object Sinks {
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, after)
   }
+
+  /** Materialize a training-order layout (e.g. `Sampling.epochShuffle`
+    * output) as one Hive partition directory PER SHARD whose parquet rows
+    * are stored in `posCol` order — so a training loader streams shard k
+    * in its exact epoch order with zero read-time sorting.
+    *
+    * One shuffle: rows hash-partition on `shardCol` (each shard lands
+    * wholly in one task) and sort (shard, pos) within the task, so every
+    * shard directory holds files whose concatenated row order IS the
+    * epoch order. Requires distinct shard values ≤ write parallelism
+    * semantics of one-task-per-shard: with far more shards than cores the
+    * tasks just carry several whole shards each — still correct, still
+    * one file per shard.
+    */
+  def writeTrainingShards(df: DataFrame, path: String,
+      shardCol: String, posCol: String): Unit = {
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(path)
+  }
 }

@@ -138,6 +138,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q94_pmi_collocations" -> 5,
     // q95: the source-keyed ranking window exchange + the output sort.
     "q95_stratified_priority" -> 2,
+    // q96: the k-bounded TopKByOrd agg (map-side heaps — the shuffle
+    // carries ≤ k pairs per group per task, q18's window would sort the
+    // fact table) + the output sort.
+    "q96_topk_agg" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -345,4 +345,26 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     val df = PaginatedSource.timeSlicedScan(spark, wrapped, 2000L, 2020L, slices = 4)
     assert(df.count() === 20)
   }
+
+  test("writeTrainingShards: one dir per shard, rows stored in epoch order") {
+    val path = tmpDir("shards")
+    val layout = graft.operators.Sampling.epochShuffle(
+      (1L to 300L).toDF("doc_id"), "doc_id", seed = 7, nShards = 4)
+    Sinks.writeTrainingShards(layout, path, "shard", "pos")
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq === Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // Each shard's files, read in order, must yield pos already sorted —
+    // the loader contract: stream the shard, no read-time sort.
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$path/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      val pos = files.flatMap(f =>
+        spark.read.parquet(f).select("pos").coalesce(1).collect().map(_.getInt(0)))
+      assert(pos.toSeq === pos.sorted.toSeq, s"$d out of order")
+      assert(pos.head === 1, s"$d must start at position 1")
+    }
+    // Nothing lost: union of shards is the full corpus.
+    assert(spark.read.parquet(path).select("doc_id").distinct().count() === 300L)
+  }
 }

@@ -190,4 +190,73 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Misra–Gries candidates ⊇ true heavy hitters for arbitrary corpora × partitionings") {
+    // Zipf-ish skew via a power draw so some samples HAVE heavy hitters;
+    // the guarantee must hold with or without them.
+    val corpusGen = for {
+      n <- Gen.choose(20, 300)
+      keys <- Gen.listOfN(n, Gen.choose(1, 1000).map(x => s"k${1000 / x}"))
+      k <- Gen.choose(2, 12)
+      parts <- Gen.choose(1, 9)
+    } yield (keys, k, parts)
+    forAll(corpusGen, n = 10) { case (keys, k, parts) =>
+      val cands = keys.toDF("key").repartition(parts)
+        .agg(graft.functions.MisraGries.misra_gries(col("key"), k).as("c"))
+        .select(explode(col("c")).as("key")).as[String].collect().toSet
+      assert(cands.size <= k)
+      val heavy = keys.groupBy(identity).collect {
+        case (key, occ) if occ.size.toLong * k > keys.size => key
+      }.toSet
+      assert(heavy.subsetOf(cands),
+        s"k=$k parts=$parts lost ${heavy -- cands}")
+    }
+  }
+
+  test("TopKByOrd ≡ ranking window for arbitrary data, k, and partitionings") {
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 5)
+        ord <- Gen.choose(0, 30) // narrow range forces duplicate ords (tie path)
+      } yield (s"g$g", ord.toDouble))
+      k <- Gen.choose(1, 6)
+      parts <- Gen.choose(1, 8)
+    } yield (rows.zipWithIndex.map { case ((g, o), i) => (g, o, i.toLong) }, k, parts)
+    forAll(gen, n = 10) { case (rows, k, parts) =>
+      val got = rows.toDF("g", "ord", "id").repartition(parts)
+        .groupBy(col("g"))
+        .agg(graft.functions.TopKByOrd.top_k_by(col("ord"), col("id"), k).as("t"))
+        .select(col("g"), explode(col("t")).as("e"))
+        .select(col("g"), col("e.ord"), col("e.id")).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy { case (_, o, i) => (-o, i) }.take(k)
+      }.toSet
+      assert(got === expected, s"k=$k parts=$parts")
+    }
+  }
+
+  test("tokenBudgetSelect is a maximal prefix for arbitrary corpora and band widths") {
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        score <- Gen.choose(0L, 500L)
+        toks <- Gen.choose(1L, 50L)
+      } yield (score, toks))
+      budget <- Gen.choose(10L, 1500L)
+      bw <- Gen.oneOf(1, 7, 100, 10000)
+    } yield (rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }, budget, bw)
+    forAll(gen, n = 10) { case (rows, budget, bw) =>
+      val got = graft.operators.Packing.tokenBudgetSelect(
+          rows.toDF("doc_id", "score", "n_tokens"), "doc_id",
+          col("score"), col("n_tokens"), budget, bandWidth = bw)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      val walk = rows.sortBy { case (id, s, _) => (-s, id) }
+      var cum = 0L
+      val expected = walk.iterator.map { case (id, _, t) => cum += t; (id, cum) }
+        .takeWhile(_._2 <= budget).toMap
+      assert(got === expected, s"budget=$budget bw=$bw")
+    }
+  }
 }

@@ -361,5 +361,59 @@ object CurationQueries {
              |SELECT doc_id, source, n_chars, priority FROM r WHERE rk <= 5
              |ORDER BY source, priority DESC, doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // The FLAGSHIP composite: an end-to-end curation pipeline in one
+    // declarative plan — length gate → exact 3-gram Jaccard near-dup
+    // clusters → one survivor per cluster → quality-ranked token-budget
+    // selection. Each stage is an already-oracle-gated operator (q36 +
+    // q91); the composition proves the stages chain without
+    // materialization boundaries, and the oracle replays the whole
+    // pipeline: recursive-CTE closure for the clusters, window cumsum for
+    // the budget walk.
+    QueryDef(
+      "q97_curation_pipeline",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir).filter(col("n_chars") >= 100)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1), 3, 0.5)
+        val survivors = Dedup
+          .duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+          .filter(col("is_survivor")).select(col("id").as("doc_id"))
+        val scored = docs.join(survivors, Seq("doc_id"))
+          .select(col("doc_id"),
+            length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("alpha"),
+            greatest(col("n_chars"), lit(1L)).as("nc"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("score", expr("alpha * 1000000 div nc"))
+        Packing.tokenBudgetSelect(scored, "doc_id", col("score"),
+            col("n_tokens"), budget = 10000)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 100),
+             |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM d),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+             |  list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s FROM toks),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+             |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM d
+             |  UNION
+             |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+             |cc AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+             |surv AS (SELECT id AS doc_id FROM cc WHERE id = root),
+             |scored AS (SELECT d.doc_id,
+             |    CAST(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS BIGINT) * 1000000
+             |      // greatest(d.n_chars, 1) AS score,
+             |    CAST(len(string_split_regex(trim(lower(d.text)), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM d JOIN surv USING (doc_id)),
+             |c AS (SELECT doc_id, score, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM scored)
+             |SELECT doc_id, score, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
+             |ORDER BY score DESC, doc_id""".stripMargin),
+    ),
   )
 }

@@ -142,6 +142,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // carries ≤ k pairs per group per task, q18's window would sort the
     // fact table) + the output sort.
     "q96_topk_agg" -> 2,
+    // q97 (flagship composite): q36's inverted-index pair core (gram agg
+    // + pair agg), the survivor probe (broadcast), then the q91 budget
+    // walk (band window, band-totals agg + tiny phase-2 window) and the
+    // output sort.
+    "q97_curation_pipeline" -> 6,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

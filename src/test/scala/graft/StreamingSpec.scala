@@ -193,4 +193,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("dedup_test").count() === 4L)
     } finally q.stop()
   }
+
+  test("Misra–Gries heavy-hitter sketch runs as a streaming aggregate (q90's candidate pass)") {
+    // The TypedImperativeAggregate must serialize its buffer into the
+    // streaming state store across micro-batches: 60×hot + 40 singletons
+    // arrive as ONE initial batch plus a second 30×hot2 batch — the final
+    // candidate set must still contain both true heavy keys.
+    val src = Files.createTempDirectory("graft-mg-src").toString
+    val rows = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"t$i"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    rows.toDF("id", "key").write.mode("overwrite").parquet(src)
+    val schema = rows.toDF("id", "key").schema
+    val stream = EventStream.parquetStream(spark, src, schema)
+    val agg = stream.agg(
+      graft.functions.MisraGries.misra_gries(col("key"), 8).as("cands"))
+    val q = agg.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("mg_stream").select(explode(col("cands")))
+        .as[String].collect().toSet
+      assert(first.contains("hot"), s"lost the heavy key in batch 1: $first")
+      // Second micro-batch: a new heavy key arrives.
+      (100 to 129).map(i => (i.toLong, "hot2")).toDF("id", "key")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val cands = spark.table("mg_stream").select(explode(col("cands")))
+        .as[String].collect().toSet
+      assert(cands.size <= 8)
+      assert(cands.contains("hot") && cands.contains("hot2"),
+        s"state-store merge lost a heavy key: $cands")
+    } finally q.stop()
+  }
 }

@@ -55,4 +55,29 @@ object Frequency {
       .filter(col("freq") * k > col("n_total"))
       .select(col("key"), col("freq"))
   }
+
+  /** Per-stratum [[heavyHitters]]: the n/k cut applied WITHIN each group —
+    * "which tokens dominate each source/language/domain", the per-domain
+    * boilerplate-detection shape. Same two passes, grouped: the sketch runs
+    * as a grouped aggregate (one k-counter summary per group per task on
+    * the shuffle — the group count, not the vocabulary, bounds state), the
+    * candidate table is |groups|·k rows (broadcast), and the recount
+    * aggregates only (group, candidate-key) pairs.
+    */
+  def heavyHittersPerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+      k: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 2, s"heavyHittersPerGroup: k must be >= 2, got $k")
+    val keyed = scope.cached(df.select(groupCol.as("grp"), keyCol.as("key"))
+      .filter(col("key").isNotNull))
+    val candidates = keyed.groupBy(col("grp"))
+      .agg(MisraGries.misra_gries(col("key"), k).as("cands"))
+      .select(col("grp"), explode(col("cands")).as("key"))
+    val totals = keyed.groupBy(col("grp")).agg(count(lit(1)).as("n_total"))
+    keyed
+      .join(broadcast(candidates), Seq("grp", "key"), "left_semi")
+      .groupBy(col("grp"), col("key")).agg(count(lit(1)).as("freq"))
+      .join(broadcast(totals), Seq("grp"))
+      .filter(col("freq") * k > col("n_total"))
+      .select(col("grp"), col("key"), col("freq"))
+  }
 }

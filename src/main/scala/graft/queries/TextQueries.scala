@@ -425,5 +425,30 @@ object TextQueries {
              |FROM f JOIN uc ux ON f.x = ux.t JOIN uc uy ON f.y = uy.t, nt, nb
              |ORDER BY pmi DESC, gram LIMIT 20""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // q90's heavy-hitter cut applied WITHIN each source — "which tokens
+    // dominate each domain", the per-domain boilerplate detector. The
+    // sketch runs as a GROUPED aggregate (state: one k-counter summary
+    // per source per task, never a vocabulary); candidates (|sources|·k
+    // rows) broadcast into the exact recount.
+    QueryDef(
+      "q98_heavy_hitters_by_source",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("source"), explode(col("toks")).as("token"))
+        graft.operators.Frequency
+          .heavyHittersPerGroup(toks, col("source"), col("token"), 50)
+          .withColumnRenamed("grp", "source").withColumnRenamed("key", "token")
+          .orderBy(col("source"), col("freq").desc, col("token"))
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+             |tot AS (SELECT source, COUNT(*) AS n_total FROM toks GROUP BY source),
+             |f AS (SELECT source, token, COUNT(*) AS freq FROM toks GROUP BY source, token)
+             |SELECT f.source, f.token, f.freq FROM f JOIN tot USING (source)
+             |WHERE f.freq * 50 > tot.n_total
+             |ORDER BY source, freq DESC, token""".stripMargin),
+    ),
   )
 }

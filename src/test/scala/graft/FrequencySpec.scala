@@ -75,6 +75,27 @@ class FrequencySpec extends AnyFunSuite {
     assert(got === Map("a" -> 50L, "b" -> 30L, "c" -> 20L))
   }
 
+  test("heavyHittersPerGroup applies the cut within each stratum, any partitioning") {
+    // Group A: strong hitter; group B: uniform (no hitters); group C: two.
+    val rows = Seq.fill(40)(("A", "hotA")) ++ (1 to 20).map(i => ("A", s"a$i")) ++
+      (1 to 30).map(i => ("B", s"b${i % 10}")) ++
+      Seq.fill(25)(("C", "hotC1")) ++ Seq.fill(20)(("C", "hotC2")) ++
+      (1 to 15).map(i => ("C", s"c$i"))
+    val k = 4
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val n = rs.size
+      rs.groupBy(_._2).collect {
+        case (key, occ) if occ.size.toLong * k > n => (g, key, occ.size.toLong)
+      }
+    }.toSet
+    for (parts <- Seq(1, 5, 11)) {
+      val got = graft.operators.Frequency.heavyHittersPerGroup(
+          rows.toDF("g", "key").repartition(parts), col("g"), col("key"), k)
+        .as[(String, String, Long)].collect().toSet
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("sketch buffer serialization round-trips") {
     val mg = graft.functions.MisraGries(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit("x")), k = 5)

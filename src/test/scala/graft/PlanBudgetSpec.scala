@@ -147,6 +147,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // walk (band window, band-totals agg + tiny phase-2 window) and the
     // output sort.
     "q97_curation_pipeline" -> 6,
+    // q98: the grouped sketch agg and the grouped totals agg (both keyed
+    // on source), the (source, candidate)-keyed recount agg, and the
+    // output sort; candidate and totals tables broadcast.
+    "q98_heavy_hitters_by_source" -> 4,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -146,6 +146,13 @@ object Packing {
     * remaining budget stops the walk at its band position (standard
     * greedy prefix semantics: selection is the maximal prefix whose
     * inclusive sum fits).
+    *
+    * Caveat: parallelism is one task per OCCUPIED band, so a degenerate
+    * score distribution (everything in one band — e.g. a constant score)
+    * collapses phase 1 to a single partition. Pick `bandWidth` well under
+    * the score spread (spread/bandWidth ≥ cluster parallelism); for a
+    * constant-score corpus the order is id-only anyway — use
+    * [[packAssignments]]'s id-range grouping instead.
     */
   def tokenBudgetSelect(docs: DataFrame, idCol: String, score: Column,
       nTokens: Column, budget: Long, bandWidth: Int = 1000): DataFrame = {

@@ -103,6 +103,8 @@ object Sampling {
     */
   def epochShuffle(df: DataFrame, idCol: String, seed: Int, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(!Seq("shuffle_key", "shard", "pos").exists(df.columns.contains),
+      "epochShuffle adds shuffle_key/shard/pos — rename the input's conflicting columns")
     val keyed = df.withColumn("shuffle_key", seededBucket(col(idCol), seed, 1000000000))
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
     val w = Window.partitionBy(col("shard"))

@@ -280,12 +280,20 @@ object TextAnalysis {
     * rounded to 6 decimals so downstream ordering is engine-stable.
     *
     * Returns (gram, c_xy, pmi), one row per surviving bigram.
+    *
+    * The tokenized frame feeds four branches (unigram table, bigram
+    * table, both totals) and the unigram table two join sides, so both
+    * are cached under the caller's [[graft.core.CacheScope]] — the
+    * unigram cache is vocabulary-sized (cheap); the token cache is
+    * corpus-sized, the usual trade (at 100 TB prefer re-reading columnar
+    * storage: pass a scope and release it, or pre-tokenize upstream).
     */
-  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val toks = docs.select(tokens(col(textCol)).as("toks"))
-    val uni = toks.select(explode(col("toks")).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val toks = scope.cached(docs.select(tokens(col(textCol)).as("toks")))
+    val uni = scope.cached(toks.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c")))
     val biAll = toks
       .select(explode(Dedup.gramsFromTokens(col("toks"), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))

@@ -148,6 +148,50 @@ object Sampling {
       .limit(k)
   }
 
+  /** Repeat-factor OVERSAMPLING — the with-replacement counterpart of
+    * [[mixtureSample]]: hit a target mixture even when a source's quota
+    * EXCEEDS its document count by emitting each document `copies` times
+    * (multilingual/low-resource up-weighting via epoch repeat factors).
+    *
+    * Per source: quota = (totalRows · w) div Σw (all integer — exact in
+    * any engine), then copies = quota div n_docs for every document plus
+    * one extra for the quota mod n_docs documents ranked first by id-hash
+    * (deterministic: re-runs repeat the same docs). Emits one row per
+    * copy with copy_idx ∈ [1, copies]; documents in sources whose quota
+    * is 0 disappear, Σ emitted rows = Σ quotas ≤ totalRows.
+    *
+    * `weight` must be integral and constant within a source (aggregated
+    * with max). Scale shape: quota/count tables are |sources|-sized
+    * broadcasts; the ranking window is per-source; the explode is the
+    * output itself (≤ totalRows rows). The |sources|-sized quota frame is
+    * cached under the caller's [[CacheScope]] — without it the
+    * quota-total-count subtree (a full corpus aggregation) is re-planned
+    * once per consumer branch.
+    */
+  def repeatFactorOversample(df: DataFrame, sourceCol: String, idCol: String,
+      weight: Column, totalRows: Long,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    require(totalRows >= 1, s"totalRows must be >= 1, got $totalRows")
+    val srcW = df.groupBy(col(sourceCol)).agg(max(weight).cast("long").as("wt"),
+      count(lit(1)).as("n_docs"))
+    val total = srcW.agg(sum(col("wt")).as("tw"))
+    val quotas = scope.cached(srcW.crossJoin(broadcast(total))
+      .withColumn("tr", lit(totalRows))
+      .withColumn("quota", expr("(tr * wt) div tw"))
+      .select(col(sourceCol), col("quota"), col("n_docs")))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(idBucket(col(idCol), 1000000), col(idCol))
+    df.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("copies", expr("quota div n_docs") +
+        when(col("rk") <= pmod(col("quota"), col("n_docs")), 1L).otherwise(0L))
+      .filter(col("copies") >= 1)
+      // sequence(1, 0) would be DESCENDING in Spark, not empty — the
+      // copies >= 1 filter above keeps the generator in its valid range.
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("copies"))))
+      .drop("rk", "quota", "n_docs")
+  }
+
   /** Stratified [[prioritySample]]: the same integer-quantized
     * Duffield–Lund–Thorup draw, but top-`kPerGroup` WITHIN each stratum —
     * weighted sampling without replacement per source/language/domain in

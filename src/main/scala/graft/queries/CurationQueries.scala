@@ -415,5 +415,43 @@ object CurationQueries {
              |SELECT doc_id, score, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
              |ORDER BY score DESC, doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Repeat-factor oversampling: q77's mixture quotas WITH replacement —
+    // when a source's quota exceeds its size, every document repeats
+    // (base copies + one extra for the hash-ranked remainder), the
+    // multilingual low-resource up-weighting. Quotas are pure integer
+    // math ((totalRows·w) div Σw); one output row per copy.
+    QueryDef(
+      "q99_repeat_oversample",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val wt = docs
+          .select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy(col("source")).agg(sum(col("nt")).as("wt"))
+        Sampling.repeatFactorOversample(
+            docs.join(broadcast(wt), Seq("source")),
+            "source", "doc_id", col("wt"), totalRows = 1000)
+          .select(col("doc_id"), col("source"), col("copies"), col("copy_idx"))
+          .orderBy(col("source"), col("doc_id"), col("copy_idx"))
+      },
+      Some("""WITH tok AS (SELECT source,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt
+             |  FROM documents),
+             |mass AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS wt FROM tok GROUP BY source),
+             |tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM mass),
+             |q AS (SELECT source, (1000 * wt) // tw AS quota FROM mass, tot),
+             |c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+             |r AS (SELECT d.doc_id, d.source, ROW_NUMBER() OVER (PARTITION BY d.source
+             |    ORDER BY ((d.doc_id % 2147483647) * 2654435761 % 2147483647) % 1000000, d.doc_id) AS rk
+             |  FROM documents d),
+             |cp AS (SELECT r.doc_id, r.source,
+             |    q.quota // c.n_docs + CASE WHEN r.rk <= q.quota % c.n_docs THEN 1 ELSE 0 END AS copies
+             |  FROM r JOIN q USING (source) JOIN c USING (source))
+             |SELECT doc_id, source, copies, unnest(generate_series(1, copies)) AS copy_idx
+             |FROM cp WHERE copies >= 1
+             |ORDER BY source, doc_id, copy_idx""".stripMargin),
+    ),
   )
 }

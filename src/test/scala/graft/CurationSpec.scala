@@ -244,6 +244,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1)._3 === math.rint(math.log(4) * 1e6) / 1e6)
   }
 
+  test("repeatFactorOversample: quota math exact, deterministic remainder docs") {
+    // s0: 4 docs, weight 3; s1: 4 docs, weight 1 ⇒ quotas of 40: 30 and 10.
+    val df = (0L until 8L).map(i => (i, s"s${i % 2}", if (i % 2 == 0) 3L else 1L))
+      .toDF("id", "src", "w")
+    val out = Sampling.repeatFactorOversample(df, "src", "id", col("w"), totalRows = 40)
+      .select("id", "src", "copies", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc === Map("s0" -> 30, "s1" -> 10))
+    // s0: base 30 div 4 = 7, remainder 2 ⇒ copies ∈ {7, 8}, two of each×…
+    val s0Copies = out.filter(_._2 == "s0").groupBy(_._1).view
+      .mapValues(_.map(_._4).sorted.toSeq).toMap
+    assert(s0Copies.values.map(_.size).toSeq.sorted === Seq(7, 7, 8, 8))
+    s0Copies.values.foreach(idxs => assert(idxs === (1L to idxs.size)))
+    // Deterministic: identical on re-run.
+    val again = Sampling.repeatFactorOversample(df.repartition(3), "src", "id",
+        col("w"), totalRows = 40)
+      .select("id", "src", "copies", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(t => (t._2, t._1, t._4)).toSeq ===
+      out.sortBy(t => (t._2, t._1, t._4)).toSeq)
+  }
+
   test("prioritySample rejects non-positive weights") {
     val df = Seq((1L, 0L)).toDF("doc_id", "w")
     val e = intercept[Exception] {

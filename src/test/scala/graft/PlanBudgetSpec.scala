@@ -151,6 +151,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // on source), the (source, candidate)-keyed recount agg, and the
     // output sort; candidate and totals tables broadcast.
     "q98_heavy_hitters_by_source" -> 4,
+    // q99: the token-mass agg for the broadcast weight join, the
+    // source-keyed ranking window, and the output sort. The
+    // |sources|-sized quota frame is CacheScope-cached (q80 precedent) —
+    // without it the quota→total→count subtree (a corpus aggregation)
+    // re-plans once per consumer branch (audited: 8 exchanges → 3).
+    "q99_repeat_oversample" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

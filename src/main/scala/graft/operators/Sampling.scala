@@ -175,8 +175,16 @@ object Sampling {
     val srcW = df.groupBy(col(sourceCol)).agg(max(weight).cast("long").as("wt"),
       count(lit(1)).as("n_docs"))
     val total = srcW.agg(sum(col("wt")).as("tw"))
+    // totalRows·wt must stay under 2^63 (ANSI would throw mid-job on the
+    // |sources|-sized frame anyway; this names the fix: rescale weights).
+    val wtOk = when(col("wt") <= lit(Long.MaxValue / math.max(totalRows, 1L)), col("wt"))
+      .otherwise(raise_error(concat(
+        lit(s"repeatFactorOversample: totalRows ($totalRows) * weight overflows int64 "
+          + "— rescale weights (quotas only need their ratios): weight="),
+        col("wt").cast("string"))).cast("long"))
     val quotas = scope.cached(srcW.crossJoin(broadcast(total))
       .withColumn("tr", lit(totalRows))
+      .withColumn("wt", wtOk)
       .withColumn("quota", expr("(tr * wt) div tw"))
       .select(col(sourceCol), col("quota"), col("n_docs")))
     val w = Window.partitionBy(col(sourceCol))

@@ -32,6 +32,36 @@ object MartQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Incremental-mart maintenance: two disjoint order-grain batches each
+    // build a q17 partial, and the merge must be BIT-IDENTICAL to the
+    // full recompute — which is exactly what the oracle computes (it is
+    // q17's full-mart SQL verbatim). The pattern a 100 TB mart needs:
+    // each cycle aggregates only its new orders; the standing mart folds
+    // in mart-sized partials instead of re-scanning fact history.
+    QueryDef(
+      "q100_incremental_mart",
+      (spark, dir) => {
+        val orders = Tables.orders(spark, dir)
+        val li = Tables.lineitem(spark, dir)
+        val batches = Seq(0, 1).map { b =>
+          Aggregations.dailySalesSummary(
+            orders.filter(pmod(col("o_orderkey"), lit(2)) === b),
+            li.filter(pmod(col("l_orderkey"), lit(2)) === b))
+        }
+        Aggregations.mergeDailySalesPartials(batches)
+          .orderBy(col("sale_date"), col("platform"))
+      },
+      Some("""SELECT CAST(o_orderdate AS DATE) AS sale_date,
+             |o_orderpriority AS platform,
+             |COUNT(DISTINCT o_orderkey) AS total_orders,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) / COUNT(DISTINCT o_orderkey) AS avg_order_value
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1, 2 ORDER BY sale_date, platform""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Window ranking (falls out free from Spark SQL — SURVEY §2.4 note):
     // top-3 orders per priority class by price, deterministic tie-break.
     QueryDef(

@@ -244,6 +244,31 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1)._3 === math.rint(math.log(4) * 1e6) / 1e6)
   }
 
+  test("mergeDailySalesPartials: order-grain batch merge == full recompute, bit-identical") {
+    import graft.operators.Aggregations
+    val orders = (1L to 60L).map { k =>
+      (k, java.sql.Timestamp.valueOf(s"2024-01-${k % 5 + 1} 00:00:00"), s"P${k % 3}")
+    }.toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = (1L to 180L).map { i =>
+      val k = i % 60 + 1
+      (k, (i % 7 + 1).toDouble, 100.0 + (i * 7 % 900) / 100.0, (i % 10) / 100.0)
+    }.toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val full = Aggregations.dailySalesSummary(orders, li)
+      .orderBy("sale_date", "platform").collect()
+    // Three batches split on the ORDER grain (the additivity contract).
+    val merged = Aggregations.mergeDailySalesPartials((0L to 2L).map { b =>
+      Aggregations.dailySalesSummary(
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === b),
+        li.filter(pmod(col("l_orderkey"), lit(3)) === b))
+    }).orderBy("sale_date", "platform").collect()
+    assert(merged.toSeq === full.toSeq) // bit-identical, incl. the doubles
+    // Merging a single partial is the identity.
+    val one = Aggregations.mergeDailySalesPartials(
+      Seq(Aggregations.dailySalesSummary(orders, li)))
+      .orderBy("sale_date", "platform").collect()
+    assert(one.toSeq === full.toSeq)
+  }
+
   test("repeatFactorOversample: quota math exact, deterministic remainder docs") {
     // s0: 4 docs, weight 3; s1: 4 docs, weight 1 ⇒ quotas of 40: 30 and 10.
     val df = (0L until 8L).map(i => (i, s"s${i % 2}", if (i % 2 == 0) 3L else 1L))

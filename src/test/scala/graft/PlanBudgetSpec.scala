@@ -157,6 +157,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // without it the quota→total→count subtree (a corpus aggregation)
     // re-plans once per consumer branch (audited: 8 exchanges → 3).
     "q99_repeat_oversample" -> 3,
+    // q100: two q17 partials (each: join + distinct-expand mart agg, one
+    // batch's fact slice apiece — together they scan what q17 scans once)
+    // + the mart-sized merge agg + the output sort.
+    "q100_incremental_mart" -> 7,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -161,6 +161,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // batch's fact slice apiece — together they scan what q17 scans once)
     // + the mart-sized merge agg + the output sort.
     "q100_incremental_mart" -> 7,
+    // q101: one window-keyed agg (the slide assignment is a Generate,
+    // not a shuffle; distinct-expand doubles nothing new) + output sort.
+    "q101_sliding_distinct" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

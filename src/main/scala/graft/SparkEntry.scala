@@ -13,7 +13,7 @@ object SparkEntry {
     RelationalQueries.defs ++ TransformQueries.defs ++ JoinQueries.defs ++
       OpsQueries.defs ++ MartQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ CurationQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++ TimeSeriesQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-series shapes a warehouse user expects for free: interval
+  * coalescing (gaps-and-islands), calendar gap-fill with forward fill,
+  * first-order state transitions, and per-group least-squares trend.
+  *
+  * The reference's analytics surface stops at daily marts
+  * (`sql/marts/create_daily_sales_summary.sql`); these complete the
+  * continuous-time family the same users reach for next. All four are
+  * window/aggregate compositions — one shuffle on the series key, no
+  * self-joins, no cross products — so each scales exactly like a keyed
+  * groupBy at 100 TB.
+  */
+object TimeSeries {
+
+  /** Merge overlapping-or-touching intervals per key (gaps-and-islands).
+    *
+    * Input columns are epoch-microsecond longs (exact arithmetic — double
+    * epoch math corrupts sub-second digits, and timestamp-interval
+    * arithmetic differs across engines at DST boundaries). An interval
+    * whose start equals a prior end MERGES (closed-interval semantics).
+    *
+    * Shape: one shuffle on `key`, one per-key sort shared by both window
+    * frames, one partial-aggregated groupBy — the running `max(end)` trick
+    * needs no self-join, so cost is O(n log n) per key regardless of how
+    * many intervals overlap. Per-key data (a user's events) is bounded, so
+    * the per-key sort never spills pathologically at scale.
+    *
+    * Output: key, island, start_us, end_us, n_rows (one row per merged
+    * interval).
+    */
+  def coalesceIntervals(df: DataFrame, key: String,
+      startUs: Column, endUs: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("_s"), col("_e"))
+    // Running max of PRIOR ends: an interval starts a new island iff it
+    // begins strictly after everything before it has closed.
+    val prevMaxEnd = max(col("_e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(key), startUs.as("_s"), endUs.as("_e"))
+      .withColumn("_new",
+        when(prevMaxEnd.isNull || col("_s") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("island"))
+      .agg(min(col("_s")).as("start_us"), max(col("_e")).as("end_us"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Densify a (group, day) daily series onto its per-group calendar spine
+    * and forward-fill the last active day.
+    *
+    * `daily` must have one row per (group, day) (the output of a daily
+    * groupBy); `day` is days-since-epoch as long. Missing days appear with
+    * `is_gap = true` and `last_active_day` pointing at the most recent
+    * observed day — the portable forward-fill: a running MAX over a
+    * monotone column equals "last non-null", with no reliance on
+    * IGNORE NULLS support. Joining `last_active_day` back to `daily`
+    * carries any metric forward (see q103).
+    *
+    * Shape: the spine is generated per group from its own [min, max] span
+    * (`sequence` + explode — rows materialize distributed, nothing on the
+    * driver), then one key-partitioned left join + window. Spine size is
+    * groups × span-days — calendar-bounded, orders of magnitude below row
+    * count at 100 TB.
+    */
+  def gapFillDaily(daily: DataFrame, group: String, day: String): DataFrame = {
+    val spine = daily.groupBy(col(group))
+      .agg(min(col(day)).as("_d0"), max(col(day)).as("_d1"))
+      .select(col(group), explode(sequence(col("_d0"), col("_d1"))).as(day))
+    val w = Window.partitionBy(col(group)).orderBy(col(day))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily.withColumn("_present", lit(1)), Seq(group, day), "left")
+      .withColumn("is_gap", col("_present").isNull)
+      .withColumn("last_active_day",
+        max(when(col("_present").isNotNull, col(day))).over(w))
+      .drop("_present")
+  }
+
+  /** First-order transition counts and probabilities of `state` along each
+    * key's ordered series: lag over (key, order), then a (prev, next)
+    * groupBy. `prob` is row-count / per-prev total — a single long/long
+    * division in IEEE double, bit-identical across engines.
+    *
+    * Shape: one shuffle on `key` for the lag, one on (prev, next) for the
+    * count (partial-aggregated), one tiny window over the |states|²-sized
+    * count frame. The transition matrix itself is vocabulary-sized, never
+    * data-sized.
+    */
+  def transitions(df: DataFrame, key: String, state: String,
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    val counts = df
+      .withColumn("prev_state", lag(col(state), 1).over(w))
+      .filter(col("prev_state").isNotNull)
+      .groupBy(col("prev_state"), col(state).as("next_state"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wp = Window.partitionBy(col("prev_state"))
+    counts.withColumn("prob",
+      col("n_transitions") / sum(col("n_transitions")).over(wp))
+  }
+
+  /** Per-group ordinary-least-squares fit of y over integer x via EXACT
+    * sufficient statistics: y is fixed-point micro-units (DECIMAL(18,6) →
+    * long), all five sums (n, Σx, Σy, Σxy, Σx²) accumulate in
+    * DECIMAL(38,0) integer space, and the slope/intercept formulas touch
+    * floating point only in the final scalar divisions — so the result is
+    * independent of partitioning/summation order, unlike builtin
+    * regr_slope (double accumulation). One partial-aggregated shuffle on
+    * `group`; the fit math runs on a groups-sized frame.
+    *
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n.
+    */
+  def olsByGroup(df: DataFrame, group: String, x: Column, y: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = df.select(col(group), x.cast(LongType).as("_x"),
+      (y.cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType).as("_yu"))
+    val stats = base.groupBy(col(group)).agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("_x").cast(d38)).as("sx"),
+      sum(col("_yu").cast(d38)).as("sy_units"),
+      sum((col("_x").cast(d38) * col("_yu").cast(d38))).as("sxy_units"),
+      sum((col("_x").cast(d38) * col("_x").cast(d38))).as("sxx"))
+    // Exact integer numerator/denominator; ONE double division each — both
+    // engines see identical operands, so the doubles match bit-for-bit.
+    val slopeRaw =
+      (col("n") * col("sxy_units") - col("sx") * col("sy_units")).cast(DoubleType) /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) /
+        lit(1000000.0)
+    stats
+      .withColumn("_slope_raw", slopeRaw)
+      .select(col(group), col("n").cast(LongType).as("n"),
+        round(col("_slope_raw"), 6).as("slope"),
+        round((col("sy_units").cast(DoubleType) / lit(1000000.0) -
+          col("_slope_raw") * col("sx").cast(DoubleType)) /
+          col("n").cast(DoubleType), 6).as("intercept"))
+  }
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.operators.TimeSeries
+
+/** Continuous-time analytics over the events stream: interval coalescing,
+  * calendar gap-fill with forward fill, Markov transitions, per-group
+  * OLS trend. See [[graft.operators.TimeSeries]] for the scale designs.
+  */
+object TimeSeriesQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    // Interval coalescing: each event opens a 30-minute activity
+    // interval; overlapping-or-touching intervals per user merge into
+    // activity islands (the interval-union twin of q42's gap
+    // sessionization — q42 counts islands of POINTS, this measures the
+    // union of RANGES: covered wall-clock time, which pairwise
+    // subtraction can't produce when intervals nest). Exact epoch-µs
+    // long arithmetic end to end.
+    QueryDef(
+      "q102_interval_coalesce",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("s"))
+        TimeSeries.coalesceIntervals(
+            ev, "user_id", col("s"), col("s") + lit(1800000000L))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("end_us") - col("start_us")).as("covered_us"),
+            max(col("end_us") - col("start_us")).as("longest_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e FROM events),
+             |o AS (SELECT user_id, s, e,
+             |  MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv),
+             |b AS (SELECT user_id, s, e,
+             |  CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS nw FROM o),
+             |i AS (SELECT user_id, s, e, SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM b),
+             |m AS (SELECT user_id, island, MIN(s) AS s, MAX(e) AS e FROM i GROUP BY user_id, island)
+             |SELECT user_id, COUNT(*) AS n_intervals,
+             |  CAST(SUM(e - s) AS BIGINT) AS covered_us,
+             |  CAST(MAX(e - s) AS BIGINT) AS longest_us
+             |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Calendar gap-fill + forward fill: daily high-value activity per
+    // event type densified onto each type's calendar span — missing days
+    // surface as is_gap rows carrying the last active day and its metric
+    // forward (the ≥300 filter makes the series genuinely sparse: 73 of
+    // 96 spine days are gaps at sf0.01). The forward fill is a running
+    // MAX over a monotone day column — portable to any engine, no
+    // IGNORE NULLS dependence.
+    QueryDef(
+      "q103_gap_fill",
+      (spark, dir) => {
+        val daily = Tables.events(spark, dir)
+          .filter(col("value") >= 300.0)
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast(LongType).as("day"))
+          .agg(count(lit(1)).as("n"),
+            graft.operators.Aggregations.dsum(col("value"), 18, 6).as("sum_value"))
+        TimeSeries.gapFillDaily(daily, "event_type", "day")
+          .withColumn("n_events", coalesce(col("n"), lit(0L)))
+          .join(daily.select(col("event_type"), col("day").as("last_active_day"),
+            col("sum_value").as("ffill_value")),
+            Seq("event_type", "last_active_day"), "left")
+          .select(col("event_type"), col("day"), col("n_events"), col("is_gap"),
+            col("last_active_day"), col("ffill_value"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             |    COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |  FROM events WHERE value >= 300.0 GROUP BY event_type, day),
+             |spine AS (
+             |  SELECT event_type, unnest(generate_series(MIN(day), MAX(day))) AS day
+             |  FROM daily GROUP BY event_type),
+             |f AS (
+             |  SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n_events, d.n IS NULL AS is_gap,
+             |    MAX(CASE WHEN d.n IS NOT NULL THEN s.day END) OVER (
+             |      PARTITION BY s.event_type ORDER BY s.day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_active_day
+             |  FROM spine s LEFT JOIN daily d USING (event_type, day))
+             |SELECT f.event_type, f.day, f.n_events, f.is_gap, f.last_active_day,
+             |  d2.sum_value AS ffill_value
+             |FROM f LEFT JOIN daily d2
+             |  ON f.event_type = d2.event_type AND f.last_active_day = d2.day
+             |ORDER BY f.event_type, f.day""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // First-order Markov transition matrix over each user's event
+    // sequence: P(next | prev) estimated from adjacent pairs. The
+    // probability is one long/long IEEE division — identical in both
+    // engines with no rounding discipline needed; round(6) only
+    // stabilizes the printed scale.
+    QueryDef(
+      "q104_markov_transitions",
+      (spark, dir) =>
+        TimeSeries.transitions(
+            Tables.events(spark, dir), "user_id", "event_type",
+            Seq(col("ts"), col("event_id")))
+          .select(col("prev_state"), col("next_state"), col("n_transitions"),
+            round(col("prob"), 6).as("prob"))
+          .orderBy(col("prev_state"), col("next_state")),
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+             |  FROM events),
+             |c AS (SELECT prev_state, event_type AS next_state, COUNT(*) AS n_transitions
+             |  FROM seq WHERE prev_state IS NOT NULL GROUP BY prev_state, event_type)
+             |SELECT prev_state, next_state, n_transitions,
+             |  ROUND(n_transitions / (SUM(n_transitions) OVER (PARTITION BY prev_state)), 6) AS prob
+             |FROM c ORDER BY prev_state, next_state""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Per-group OLS trend (value vs day) on EXACT fixed-point sufficient
+    // statistics — the deterministic alternative to regr_slope's
+    // order-dependent double accumulation. DuckDB's HUGEINT and Spark's
+    // DECIMAL(38,0) both carry the ~10²³ cross-moment exactly; floating
+    // point enters only in the final scalar divisions, shared by both
+    // sides.
+    QueryDef(
+      "q105_trend_ols",
+      (spark, dir) =>
+        TimeSeries.olsByGroup(
+            Tables.events(spark, dir), "event_type",
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")),
+            col("value"))
+          .orderBy(col("event_type")),
+      Some("""WITH base AS (
+             |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y_units
+             |  FROM events),
+             |stats AS (
+             |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             |    CAST(SUM(CAST(y_units AS HUGEINT)) AS HUGEINT) AS sy_units,
+             |    CAST(SUM(CAST(x AS HUGEINT) * y_units) AS HUGEINT) AS sxy_units,
+             |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+             |  FROM base GROUP BY event_type),
+             |fit AS (
+             |  SELECT event_type, n,
+             |    CAST(n * sxy_units - sx * sy_units AS DOUBLE)
+             |      / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0 AS slope_raw,
+             |    sx, sy_units
+             |  FROM stats)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  ROUND(slope_raw, 6) AS slope,
+             |  ROUND((CAST(sy_units AS DOUBLE) / 1000000.0 - slope_raw * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE), 6) AS intercept
+             |FROM fit ORDER BY event_type""".stripMargin),
+    ),
+  )
+}

@@ -164,6 +164,21 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q101: one window-keyed agg (the slide assignment is a Generate,
     // not a shuffle; distinct-expand doubles nothing new) + output sort.
     "q101_sliding_distinct" -> 3,
+    // q102: one user_id exchange shared by the island window AND the
+    // merged-interval/per-user aggs (HashPartitioning(user_id) satisfies
+    // the (user_id, island) clustering) + the output sort.
+    "q102_interval_coalesce" -> 2,
+    // q103: the (type, day) daily agg, the per-type span agg feeding the
+    // spine, the forward-fill window, and the output sort — all on
+    // calendar-sized frames; both daily joins broadcast.
+    "q103_gap_fill" -> 4,
+    // q104: the user_id lag window, the (prev, next) count agg, the
+    // per-prev probability window, and the output sort — everything after
+    // the lag is |states|²-sized.
+    "q104_markov_transitions" -> 4,
+    // q105: the sufficient-statistics agg (partial map-side) + the output
+    // sort; the fit math runs on the groups-sized frame.
+    "q105_trend_ols" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -451,24 +451,51 @@ object AnalyticsQueries {
     // overlapping-window twin of q19's tumbling agg — Spark's window()
     // assigns each event to its two covering windows, the oracle replays
     // the assignment as the two epoch-aligned 30-min buckets. Exact
-    // COUNT DISTINCT is the answer; the HLL sketch rides along q67-style
-    // (the 100 TB path for per-window uniques) gated within 5% of exact —
-    // deterministic: HLL register merges are order-insensitive. rsd 0.005
-    // (not the 0.02 default): per-window cardinalities sit far below the
-    // register count, keeping HLL++ in its near-exact small-range regime —
-    // at 0.02 the sparse-to-dense bias correction left ~2% of the 1441
-    // windows outside the 5% gate (measured, not hypothetical).
+    // COUNT DISTINCT is the answer; the sketch rides along q67-style (the
+    // 100 TB path for per-window uniques) gated within 5% of exact.
+    //
+    // The sketch side is the q74 pattern, not a per-window
+    // approx_count_distinct: ONE Datasketches HLL per 30-minute tumbling
+    // bucket, then each sliding window unions its two covering buckets
+    // (a bucket at B serves windows B and B−30 min, so the merge is a
+    // two-branch union + re-agg — sketches built once at the finest
+    // granularity answer EVERY coarser window, which is exactly how
+    // per-window uniques are served at 100 TB). Deterministic: register
+    // merges are order-insensitive. Measured 14× faster than the
+    // approx_count_distinct rider it replaces: HLL++ at the rsd needed to
+    // survive its sparse-to-dense bias correction (0.005 → 2^16 registers)
+    // allocated a 52 KB buffer per window per partition — 14.2 s vs 1.0 s
+    // at sf0.01, identical gate result (the bucket sketches stay in
+    // Datasketches' exact-storage regime at every SF; max_rel = 0).
     QueryDef(
       "q101_sliding_distinct",
-      (spark, dir) =>
-        Tables.events(spark, dir)
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val exact = ev
           .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-          .agg(countDistinct(col("user_id")).as("exact_users"),
-            approx_count_distinct(col("user_id"), 0.005).as("approx"))
-          .select(col("w.start").as("window_start"), col("exact_users"),
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .select(col("w.start").as("window_start"), col("exact_users"))
+        val buckets = ev
+          .select(window(col("ts"), "30 minutes").as("b"), col("user_id"))
+          .groupBy(col("b.start").as("bstart"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        // Explode, not a two-branch union: union would recompute the
+        // bucket aggregation once per branch (two scans, two exchanges).
+        val approx = buckets
+          .select(explode(array(col("bstart"),
+            col("bstart") - expr("INTERVAL 30 minutes"))).as("window_start"),
+            col("sk"))
+          .groupBy(col("window_start"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+        // Both covering buckets exist for every window the slide assigns
+        // (window starts ARE {bucket, bucket−30 min}), so inner join is
+        // lossless; the windows-sized approx frame broadcasts.
+        exact.join(broadcast(approx), Seq("window_start"))
+          .select(col("window_start"), col("exact_users"),
             (abs(col("approx") - col("exact_users")) <=
               col("exact_users") * 0.05).as("approx_ok"))
-          .orderBy(col("window_start")),
+          .orderBy(col("window_start"))
+      },
       Some("""WITH w AS (SELECT user_id,
              |    unnest([time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP),
              |            time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) - INTERVAL '30 minutes']) AS window_start

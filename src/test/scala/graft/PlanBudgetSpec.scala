@@ -161,9 +161,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // batch's fact slice apiece — together they scan what q17 scans once)
     // + the mart-sized merge agg + the output sort.
     "q100_incremental_mart" -> 7,
-    // q101: one window-keyed agg (the slide assignment is a Generate,
-    // not a shuffle; distinct-expand doubles nothing new) + output sort.
-    "q101_sliding_distinct" -> 3,
+    // q101: exact distinct is two exchanges ((w,user) partial-distinct,
+    // then w); the sketch rider adds the 30-min bucket agg + the
+    // union-merge re-agg (the covering-bucket fan-out is a Generate, the
+    // windows-sized approx frame broadcasts into the join) + output sort.
+    "q101_sliding_distinct" -> 5,
     // q102: one user_id exchange shared by the island window AND the
     // merged-interval/per-user aggs (HashPartitioning(user_id) satisfies
     // the (user_id, island) clustering) + the output sort.

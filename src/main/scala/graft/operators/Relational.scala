@@ -162,6 +162,48 @@ object Relational {
       .filter(!coalesce(isTombstone, lit(false)))
   }
 
+  /** SCD Type 2 dimension build: fold a keyed change log into versioned
+    * dimension rows with validity ranges — the warehouse-standard history
+    * layer one step past the reference's MERGE upsert (which keeps only
+    * the latest row per key, `run_historical_backfill.py:86-183`; SCD2
+    * keeps every distinct state with [valid_from, valid_to)).
+    *
+    * Consecutive rows whose tracked `attrs` are unchanged COLLAPSE into
+    * one version (the change log may restate the same state arbitrarily
+    * often); `ordering` must be a total order per key (ts + unique
+    * tie-break) or version boundaries are not well-defined. Comparison is
+    * null-safe per attribute (`<=>` on the attr struct), so a null→value
+    * transition opens a new version rather than vanishing.
+    *
+    * Shape: one shuffle on `key` shared by both window passes — the
+    * change-detection lag and the version-numbering/lead run over the
+    * same (key, ordering) sort, and the filter between them preserves
+    * sort and partitioning, so Catalyst plans a single Exchange+Sort.
+    * Output is change-rows-sized, never log-sized.
+    *
+    * Output: key, attrs..., version (1-based per key), valid_from (first
+    * ordering column's value at the change), valid_to (next version's
+    * valid_from, null for the open version), is_current.
+    */
+  def scd2(log: DataFrame, key: String, attrs: Seq[String],
+      ordering: Seq[Column]): DataFrame = {
+    require(attrs.nonEmpty && ordering.nonEmpty, "scd2 needs attrs and ordering")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(ordering: _*)
+    val attrStruct = struct(attrs.map(col): _*)
+    val validFrom = ordering.head
+    log
+      .withColumn("__attrs", attrStruct)
+      .withColumn("__prev", lag(col("__attrs"), 1).over(w))
+      .filter(!(col("__attrs") <=> col("__prev")))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", validFrom)
+      .withColumn("valid_to", lead(validFrom, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((col(key) +: attrs.map(col)) ++ Seq(col("version"),
+        col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
   /** Banded range join: match fact rows against a (small) set of
     * possibly-overlapping [lo, hi) bands WITHOUT a nested-loop join.
     *

@@ -258,5 +258,36 @@ object RelationalQueries {
              |SELECT user_id, ts, event_type, value FROM r
              |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // SCD Type 2 dimension build: each user's event_type stream folds
+    // into versioned "segment" rows with [valid_from, valid_to) ranges —
+    // consecutive restatements of the same type collapse, the open
+    // version carries valid_to NULL. The history-keeping complement of
+    // q12's latest-wins MERGE; both window passes share one user_id
+    // exchange+sort.
+    QueryDef(
+      "q106_scd2_dimension",
+      (spark, dir) =>
+        graft.operators.Relational.scd2(
+            Tables.events(spark, dir),
+            key = "user_id", attrs = Seq("event_type"),
+            ordering = Seq(col("ts"), col("event_id")))
+          .orderBy(col("user_id"), col("version")),
+      Some("""WITH v AS (SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |ch AS (SELECT user_id, ts, event_id, event_type FROM v
+             |  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type)
+             |SELECT user_id, event_type,
+             |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
+             |  ts AS valid_from,
+             |  lead(ts) OVER w AS valid_to,
+             |  lead(ts) OVER w IS NULL AS is_current
+             |FROM ch
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, version""".stripMargin),
+    ),
   )
 }

@@ -181,6 +181,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q105: the sufficient-statistics agg (partial map-side) + the output
     // sort; the fit math runs on the groups-sized frame.
     "q105_trend_ols" -> 2,
+    // q106: ONE user_id exchange shared by the change-detection lag and
+    // the version-numbering window (the filter between them preserves
+    // sort and partitioning) + the output sort.
+    "q106_scd2_dimension" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -114,6 +114,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(out === Array((7L, "b")))
   }
 
+  test("scd2: collapses restatements, versions changes, open version is current") {
+    val log = Seq(
+      // key 1: a a b a — restated 'a' collapses; three versions.
+      (1L, 100L, 1L, "a"), (2L, 200L, 1L, "a"),
+      (3L, 300L, 1L, "b"), (4L, 400L, 1L, "a"),
+      // key 2: null → "x" opens a NEW version (null-safe change detection).
+      (5L, 100L, 2L, null.asInstanceOf[String]), (6L, 200L, 2L, "x"),
+    ).toDF("event_id", "ts", "key", "attr")
+    val out = Relational.scd2(log, "key", Seq("attr"),
+        Seq(col("ts"), col("event_id")))
+      .orderBy("key", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+    assert(out === Array(
+      (1L, "a", 1, 100L, Some(300L), false),
+      (1L, "b", 2, 300L, Some(400L), false),
+      (1L, "a", 3, 400L, None, true),
+      (2L, null, 1, 100L, Some(200L), false),
+      (2L, "x", 2, 200L, None, true)))
+  }
+
   test("bloomPreFilter: no false negatives, misses mostly pruned") {
     val build = (0L until 500L).map(i => s"key$i").toDF("k")
     val probe = ((0L until 100L).map(i => s"key$i") ++   // present

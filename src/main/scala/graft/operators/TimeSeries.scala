@@ -80,6 +80,54 @@ object TimeSeries {
       .drop("_present")
   }
 
+  /** Interval-overlap join: all (left, right) pairs whose closed intervals
+    * intersect (`lStart <= rEnd && rStart <= lEnd` — touching counts, with
+    * `overlap_us = 0`), WITHOUT a nested-loop join.
+    *
+    * The naive range-predicate join plans as BroadcastNestedLoopJoin —
+    * every left interval scans every right interval. This discretizes
+    * time into `bucketUs`-sized buckets: each interval explodes to the
+    * buckets it spans, the join is an EQUI-join on bucket + the exact
+    * overlap predicate, so Spark shuffles both sides on the bucket key
+    * and AQE's skew handling applies to hot buckets. A pair sharing
+    * several buckets is emitted ONCE — only at the bucket containing
+    * `greatest(lStart, rStart)` (which both sides span whenever they
+    * overlap) — so no post-join distinct is needed.
+    *
+    * `bucketUs` is the caller's lever: ~ the typical interval length.
+    * Too small → wide explodes (span/bucketUs rows per interval); too
+    * large → buckets pair intervals that don't overlap and the exact
+    * predicate discards them post-shuffle.
+    *
+    * Column names of the two sides must be disjoint (pre-rename);
+    * outputs all left + right columns + `overlap_us`.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty, s"overlapJoin requires disjoint column names; both sides have: ${clash.mkString(", ")}")
+    // floor-div via (s − pmod(s, b)) / b, NOT floor(s / b): the bare
+    // double division misrounds when s sits exactly on a bucket boundary
+    // (quotient k can round to k−ε → floor k−1 → interval lands in the
+    // wrong bucket and a boundary pair is silently missed). Subtracting
+    // the mod makes the dividend an exact multiple, so the division is
+    // exact for |k·b| < 2^53 — far above any epoch-µs timeline.
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketUs))) / bucketUs).cast(LongType)
+    def bucketed(df: DataFrame, s: String, e: String) = df.withColumn("__bucket",
+      explode(sequence(bucketOf(col(s)), bucketOf(col(e)))))
+    val l = bucketed(left, lStart, lEnd)
+    val r = bucketed(right, rStart, rEnd).withColumnRenamed("__bucket", "__rbucket")
+    l.join(r, col("__bucket") === col("__rbucket") &&
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bucket") === bucketOf(greatest(col(lStart), col(rStart))))
+      .drop("__bucket", "__rbucket")
+      .withColumn("overlap_us",
+        least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
+  }
+
   /** First-order transition counts and probabilities of `state` along each
     * key's ordered series: lag over (key, order), then a (prev, next)
     * groupBy. `prob` is row-count / per-prev total — a single long/long

@@ -97,6 +97,60 @@ object TimeSeriesQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Interval-overlap join: each user's activity islands (q102's merged
+    // intervals) joined against global error-storm periods (error events'
+    // 30-min intervals, coalesced) — "how much of each user's active time
+    // fell inside an error storm". The join is a bucketized EQUI-join on
+    // 6 h time buckets with the exact overlap predicate on top (never a
+    // BroadcastNestedLoopJoin), deduped by emitting each pair only at the
+    // bucket of greatest(start, start); the oracle replays the same pairs
+    // with a plain inequality join.
+    QueryDef(
+      "q107_overlap_join",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val islands = TimeSeries.coalesceIntervals(
+            ev.select(col("user_id"), unix_micros(col("ts")).as("s")),
+            "user_id", col("s"), col("s") + lit(1800000000L))
+          .select(col("user_id"), col("start_us").as("a_start"),
+            col("end_us").as("a_end"))
+        val periods = TimeSeries.coalesceIntervals(
+            ev.filter(col("event_type") === "error" && col("value") >= 300.0)
+              .select(lit("error").as("etype"), unix_micros(col("ts")).as("s")),
+            "etype", col("s"), col("s") + lit(1800000000L))
+          .select(col("island").as("period_id"), col("start_us").as("p_start"),
+            col("end_us").as("p_end"))
+        TimeSeries.overlapJoin(islands, periods,
+            "a_start", "a_end", "p_start", "p_end", bucketUs = 21600000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_overlaps"),
+            countDistinct(col("period_id")).as("n_periods"),
+            sum(col("overlap_us")).as("overlap_total_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e FROM events),
+             |o AS (SELECT user_id, s, e,
+             |  MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv),
+             |i AS (SELECT user_id, s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+             |  OVER (PARTITION BY user_id ORDER BY s, e
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM o),
+             |a AS (SELECT user_id, MIN(s) AS a_start, MAX(e) AS a_end FROM i GROUP BY user_id, island),
+             |pv AS (SELECT epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e FROM events
+             |  WHERE event_type = 'error' AND value >= 300.0),
+             |po AS (SELECT s, e,
+             |  MAX(e) OVER (ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM pv),
+             |pi AS (SELECT s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+             |  OVER (ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM po),
+             |p AS (SELECT island AS period_id, MIN(s) AS p_start, MAX(e) AS p_end FROM pi GROUP BY island)
+             |SELECT a.user_id, COUNT(*) AS n_overlaps,
+             |  COUNT(DISTINCT p.period_id) AS n_periods,
+             |  CAST(SUM(LEAST(a.a_end, p.p_end) - GREATEST(a.a_start, p.p_start)) AS BIGINT) AS overlap_total_us
+             |FROM a JOIN p ON a.a_start <= p.p_end AND p.p_start <= a.a_end
+             |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // First-order Markov transition matrix over each user's event
     // sequence: P(next | prev) estimated from adjacent pairs. The
     // probability is one long/long IEEE division — identical in both

@@ -185,6 +185,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the version-numbering window (the filter between them preserves
     // sort and partitioning) + the output sort.
     "q106_scd2_dimension" -> 2,
+    // q107: one exchange per island build (user_id / single-key); the
+    // bucketized join BROADCASTS the storm-periods side, so the final
+    // per-user agg (distinct included) reuses the islands' user_id
+    // partitioning with no further exchange + the output sort.
+    "q107_overlap_join" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

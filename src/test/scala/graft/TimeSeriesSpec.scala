@@ -53,6 +53,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(probSums.forall(p => math.abs(p - 1.0) < 1e-12))
   }
 
+  test("overlapJoin emits each overlapping pair exactly once, touch counts as 0") {
+    // bucketUs = 10. Left interval [5, 35] spans buckets 0..3; right
+    // [28, 40] shares buckets 2 and 3 with it — must appear ONCE.
+    // [35, 50] touches left's end exactly → overlap 0. [36, 50] misses.
+    val left = Seq((1L, 5L, 35L)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 28L, 40L), (20L, 35L, 50L), (30L, 36L, 50L))
+      .toDF("rid", "rs", "re")
+    val out = TimeSeries.overlapJoin(left, right, "ls", "le", "rs", "re", 10L)
+      .orderBy("rid").select("lid", "rid", "overlap_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L, 7L), (1L, 20L, 0L)))
+  }
+
+  test("overlapJoin is exact at bucket boundaries and rejects clashing names") {
+    // Both intervals start exactly on a bucket boundary (s = k·bucketUs):
+    // the floor-div must not misround k to k−1 (double-division trap).
+    val b = 21600000000L // 6 h in µs
+    val left = Seq((1L, 4L * b, 4L * b + 100L)).toDF("lid", "ls", "le")
+    val right = Seq((9L, 4L * b, 4L * b + 50L)).toDF("rid", "rs", "re")
+    val out = TimeSeries.overlapJoin(left, right, "ls", "le", "rs", "re", b)
+      .select("lid", "rid", "overlap_us").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 9L, 50L)))
+    val clash = intercept[IllegalArgumentException] {
+      TimeSeries.overlapJoin(left.withColumnRenamed("lid", "id"),
+        right.withColumnRenamed("rid", "id"), "ls", "le", "rs", "re", b)
+    }
+    assert(clash.getMessage.contains("disjoint"))
+  }
+
   test("olsByGroup recovers an exact line and is partitioning-invariant") {
     // y = 2.5x + 1 exactly, in micro-unit-representable values.
     val pts = (0L to 100L).map(x => ("g", x, 2.5 * x + 1.0))

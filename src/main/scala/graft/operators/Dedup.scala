@@ -544,8 +544,9 @@ object Dedup {
     *    fraction of even a 100 TB corpus) and run union-find on the
     *    driver. One job instead of ~3 jobs × diameter iterations; the
     *    per-iteration scheduling overhead dominated end-to-end latency.
-    *  - larger: distributed iterative min-label propagation until
-    *    fixpoint, `maxIters`-bounded, lineage severed per iteration.
+    *  - larger: distributed large-star/small-star contraction (O(log n)
+    *    rounds, NOT diameter-bounded), `maxIters`-bounded, lineage
+    *    severed per round.
     * Both paths produce identical labels (min id per component), over
     * exactly the `ids` membership: pairs touching ids OUTSIDE `ids` are
     * dropped first, so clustering a filtered subset never merges two kept
@@ -578,13 +579,12 @@ object Dedup {
             org.apache.spark.sql.Row(id, r) }, 1),
           StructType(Seq(StructField("id", idType), StructField("root", idType))))
       } else {
-        // Cache the edge set: without it every iteration (plus the
-        // fixpoint counts) re-executes the pair-generation plan.
-        val edges = memberPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .union(memberPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-          .cache()
-        try distributedMinLabel(edges, maxIters)
-        finally edges.unpersist()
+        // No symmetrize/cache needed: the star contraction canonicalizes
+        // to (hi, lo) pairs and localCheckpoints them immediately, so the
+        // pair-generation plan executes exactly once.
+        distributedConnectedComponents(
+          memberPairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          maxIters)
       }
     // On the union-find path labels is ≤ driverMaxEdges·2 rows by
     // construction — broadcast the anti-join membership probe instead of
@@ -630,42 +630,87 @@ object Dedup {
     parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
-  /** Distributed min-label propagation (the > driverMaxEdges path): each
-    * iteration joins labels across the edge set and takes the neighbor
-    * minimum; iterate to fixpoint. Only nodes that appear in an edge
-    * participate — everyone else is trivially their own root.
+  /** Distributed connected components (the > driverMaxEdges path):
+    * alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm). Each round rewires edges toward per-neighborhood minima;
+    * the edge set converges to a STAR FOREST whose centers are the
+    * component minima in O(log n) rounds — unlike one-hop min-label
+    * propagation, whose round count is the component DIAMETER (a 10k-long
+    * near-dup chain, common in templated web corpora, needs 10k rounds of
+    * propagation but ~14 star rounds).
+    *
+    * Edges are canonicalized (hi > lo); each round is two groupBy+join
+    * passes over the (shrinking) edge set, localCheckpoint-severed so
+    * planning time stays constant. Convergence = edge-set fixpoint
+    * (count match + anti-join emptiness), then the star-forest shape is
+    * VERIFIED (one distinct lo per hi, no lo also a hi) before labels are
+    * emitted — a silently-unconverged forest cannot mis-label.
     */
-  private def distributedMinLabel(edges: DataFrame, maxIters: Int): DataFrame = {
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("root"))
+  private def distributedConnectedComponents(edges: DataFrame, maxIters: Int): DataFrame = {
+    // Canonical undirected edge (hi, lo), self-loops dropped; input
+    // orientation is irrelevant (greatest/least canonicalize either way).
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
       .localCheckpoint(true)
+
+    // large-star: every neighbor v > u re-points to m = min(N(u) ∪ {u}).
+    // Output (v, m) is already canonical: v > u >= m.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    // small-star: each node's SMALLER neighbors (the lo side of canonical
+    // edges keyed at hi) plus hi itself re-point to their minimum.
+    def smallStar(cur: DataFrame): DataFrame = {
+      val mins = cur.groupBy("hi").agg(min(col("lo")).as("m"))
+      val relinked = cur.join(mins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      relinked.union(mins.select(col("hi"), col("m").as("lo"))).distinct()
+    }
+
     var converged = false
     var iter = 0
+    var count = e.count()
     while (!converged && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("root")).as("nbr_root"))
-      // Carry the previous root alongside the new one so convergence is a
-      // filter on THIS frame — no extra join against the old labels.
-      // localCheckpoint (not cache): severs lineage, so the logical plan —
-      // and with it per-iteration planning time — stays constant instead
-      // of growing by one join+agg layer every iteration.
-      val updated = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("root").as("prev_root"),
-          least(col("root"), coalesce(col("nbr_root"), col("root"))).as("root"))
-        .localCheckpoint(true)
-      converged =
-        updated.filter(col("root") =!= col("prev_root")).limit(1).count() == 0
-      labels = updated.select(col("id"), col("root"))
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextCount = next.count()
+      // Fixpoint test on DISTINCT sets: equal size + no edge of `next`
+      // outside `e` ⟺ set equality. The anti-join runs on the contracted
+      // (star-forest-sized) frame, not the raw pair set.
+      converged = nextCount == count &&
+        next.join(e, Seq("hi", "lo"), "left_anti").limit(1).count() == 0
+      e = next
+      count = nextCount
       iter += 1
     }
-    // Unconverged labels would silently mis-cluster deep chains (the min
-    // label moves one hop per iteration) — fail loudly instead.
     if (!converged) throw new IllegalStateException(
-      s"duplicateClusters did not converge within $maxIters iterations — " +
-        "raise maxIters (cluster diameter exceeds it)")
-    labels
+      s"duplicateClusters did not converge within $maxIters star rounds — " +
+        "raise maxIters")
+    // Defense in depth: star-forest shape check. Violations mean a bug in
+    // the contraction (or a non-total id ordering), which must fail loudly
+    // rather than emit plausible-but-wrong cluster labels.
+    val multiRoot = e.groupBy("hi").agg(countDistinct(col("lo")).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    val loAlsoHi = e.select(col("lo")).distinct()
+      .join(e.select(col("hi")).distinct(), col("lo") === col("hi"), "left_semi")
+      .limit(1).count()
+    require(multiRoot == 0 && loAlsoHi == 0,
+      "star-forest invariant violated after convergence")
+    e.select(col("hi").as("id"), col("lo").as("root"))
+      .unionByName(e.select(col("lo").as("id"), col("lo").as("root")).distinct())
   }
 
   // ------------------------------------------- embedding near-duplicates

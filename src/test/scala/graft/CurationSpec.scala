@@ -35,11 +35,30 @@ class CurationSpec extends AnyFunSuite {
       Seq((10L, 11L), (11L, 12L), (15L, 16L))).toDF("id_a", "id_b")
     val fast = Dedup.duplicateClusters(ids, "doc_id", pairs)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    // driverMaxEdges = 0 forces the distributed min-label loop
+    // driverMaxEdges = 0 forces the distributed star-contraction path
     val dist = Dedup.duplicateClusters(ids, "doc_id", pairs, driverMaxEdges = 0)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(fast === dist)
     assert(fast.filter(_._2 == 1L).length === 5)
+  }
+
+  test("duplicateClusters star contraction matches union-find on random graphs") {
+    // Seeded random graphs stress shapes a hand-picked chain can't:
+    // multi-branch trees, cycles, dense clumps, many singletons.
+    for (seed <- Seq(7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val ids = (1L to n.toLong).toDF("doc_id")
+      val pairs = Seq.fill(90)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val fast = Dedup.duplicateClusters(ids, "doc_id", pairs)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val dist = Dedup.duplicateClusters(ids, "doc_id", pairs, driverMaxEdges = 0)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(fast === dist, s"seed=$seed")
+    }
   }
 
   test("duplicateClusters ignores pairs touching ids outside the id set") {

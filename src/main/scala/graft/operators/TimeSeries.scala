@@ -162,28 +162,49 @@ object TimeSeries {
     *
     * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n.
     */
-  def olsByGroup(df: DataFrame, group: String, x: Column, y: Column): DataFrame = {
+  def olsByGroup(df: DataFrame, group: String, x: Column, y: Column): DataFrame =
+    olsFromUnits(df.select(col(group), x.cast(LongType).as("_xu"),
+      (y.cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType).as("_yu")),
+      group, unitsPerX = 1L, unitsPerY = 1000000L)
+
+  /** [[olsByGroup]] for CONTINUOUS x (e.g. log-log fits): both x and y are
+    * quantized to fixed-point micro-units, so the sufficient statistics
+    * stay exact-integer and the fit stays partitioning-order-independent.
+    * Quantization granularity (1e-6) is the fit's resolution floor.
+    */
+  def olsByGroupXY(df: DataFrame, group: String, x: Column, y: Column): DataFrame =
+    olsFromUnits(df.select(col(group),
+      (x.cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType).as("_xu"),
+      (y.cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType).as("_yu")),
+      group, unitsPerX = 1000000L, unitsPerY = 1000000L)
+
+  /** Shared OLS core over fixed-point inputs: `_xu = x·unitsPerX`,
+    * `_yu = y·unitsPerY` as longs. All five sums in DECIMAL(38,0) integer
+    * space; floating point only in the final scalar steps, whose exact
+    * operation ORDER (divide, then ·unitsPerX, then /unitsPerY) is part of
+    * the cross-engine contract — oracles must replay it verbatim.
+    */
+  private def olsFromUnits(base: DataFrame, group: String,
+      unitsPerX: Long, unitsPerY: Long): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val base = df.select(col(group), x.cast(LongType).as("_x"),
-      (y.cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType).as("_yu"))
     val stats = base.groupBy(col(group)).agg(
       count(lit(1)).cast(d38).as("n"),
-      sum(col("_x").cast(d38)).as("sx"),
+      sum(col("_xu").cast(d38)).as("sx"),
       sum(col("_yu").cast(d38)).as("sy_units"),
-      sum((col("_x").cast(d38) * col("_yu").cast(d38))).as("sxy_units"),
-      sum((col("_x").cast(d38) * col("_x").cast(d38))).as("sxx"))
-    // Exact integer numerator/denominator; ONE double division each — both
-    // engines see identical operands, so the doubles match bit-for-bit.
+      sum((col("_xu").cast(d38) * col("_yu").cast(d38))).as("sxy_units"),
+      sum((col("_xu").cast(d38) * col("_xu").cast(d38))).as("sxx"))
+    // Exact integer numerator/denominator; the double steps see identical
+    // operands in both engines, so the results match bit-for-bit.
     val slopeRaw =
       (col("n") * col("sxy_units") - col("sx") * col("sy_units")).cast(DoubleType) /
-        (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) /
-        lit(1000000.0)
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+        lit(unitsPerX.toDouble) / lit(unitsPerY.toDouble)
     stats
       .withColumn("_slope_raw", slopeRaw)
       .select(col(group), col("n").cast(LongType).as("n"),
         round(col("_slope_raw"), 6).as("slope"),
-        round((col("sy_units").cast(DoubleType) / lit(1000000.0) -
-          col("_slope_raw") * col("sx").cast(DoubleType)) /
+        round((col("sy_units").cast(DoubleType) / lit(unitsPerY.toDouble) -
+          col("_slope_raw") * (col("sx").cast(DoubleType) / lit(unitsPerX.toDouble))) /
           col("n").cast(DoubleType), 6).as("intercept"))
   }
 }

@@ -450,5 +450,87 @@ object TextQueries {
              |WHERE f.freq * 50 > tot.n_total
              |ORDER BY source, freq DESC, token""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Per-document character-level Shannon entropy (bits/char) — the
+    // classic cheap randomness signal: gibberish and base64 blobs score
+    // near log2(alphabet), template boilerplate scores low. Determinism
+    // is the q68 discipline: each cnt·ln(cnt) term is quantized to
+    // DECIMAL(28,12) before the EXACT decimal sum (order-independent),
+    // and the remaining double steps (ln(n), two divisions by the
+    // hard-coded double ln 2) see identical operands in both engines.
+    QueryDef(
+      "q108_char_entropy",
+      (spark, dir) => {
+        val counts = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+          .filter(length(col("c")) > 0)
+          .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+        counts.groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_chars"),
+            count(lit(1)).as("n_distinct_chars"),
+            sum((col("cnt") * log(col("cnt"))).cast(DecimalType(28, 12))).as("s"))
+          .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+            round((log(col("n_chars")) - col("s").cast(DoubleType) / col("n_chars")) /
+              lit(0.6931471805599453), 6).as("entropy_bits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+             |cnt AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch WHERE len(c) > 0 GROUP BY doc_id, c),
+             |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars, COUNT(*) AS n_distinct_chars,
+             |    SUM(CAST(cnt * ln(cnt) AS DECIMAL(28,12))) AS s
+             |  FROM cnt GROUP BY doc_id)
+             |SELECT doc_id, n_chars, n_distinct_chars,
+             |  ROUND((ln(n_chars) - CAST(s AS DOUBLE) / n_chars) / 0.6931471805599453, 6) AS entropy_bits
+             |FROM agg ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Zipf exponent per language: OLS slope of ln(freq) over ln(rank)
+    // for each language's top-100 terms — the standard corpus-health
+    // fingerprint (natural text ≈ −1; templated/boilerplate corpora
+    // flatten, spam steepens). Composes the exact-sufficient-statistics
+    // OLS core (olsByGroupXY: both axes quantized to micro-units, sums
+    // in DECIMAL(38,0) / HUGEINT), so the fit is partitioning-invariant
+    // and replayed bit-for-bit by the oracle.
+    QueryDef(
+      "q109_zipf_slope",
+      (spark, dir) => {
+        val tf = Tables.documents(spark, dir)
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("freq"))
+        val ranked = tf.withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang"))
+              .orderBy(col("freq").desc, col("tok"))))
+          .filter(col("rank") <= 100)
+        graft.operators.TimeSeries.olsByGroupXY(
+            ranked, "lang", log(col("rank")), log(col("freq")))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+             |c AS (SELECT lang, tok, COUNT(*) AS freq FROM toks WHERE len(tok) > 0 GROUP BY lang, tok),
+             |r AS (SELECT lang, freq,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, tok) AS rank FROM c),
+             |base AS (SELECT lang,
+             |    CAST(CAST(ln(rank) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xu,
+             |    CAST(CAST(ln(freq) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS yu
+             |  FROM r WHERE rank <= 100),
+             |stats AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(CAST(xu AS HUGEINT)) AS HUGEINT) AS sx,
+             |    CAST(SUM(CAST(yu AS HUGEINT)) AS HUGEINT) AS sy,
+             |    CAST(SUM(CAST(xu AS HUGEINT) * yu) AS HUGEINT) AS sxy,
+             |    CAST(SUM(CAST(xu AS HUGEINT) * xu) AS HUGEINT) AS sxx
+             |  FROM base GROUP BY lang),
+             |fit AS (SELECT lang, n,
+             |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             |      * 1000000.0 / 1000000.0 AS slope_raw,
+             |    sx, sy FROM stats)
+             |SELECT lang, CAST(n AS BIGINT) AS n, ROUND(slope_raw, 6) AS slope,
+             |  ROUND((CAST(sy AS DOUBLE) / 1000000.0 - slope_raw * (CAST(sx AS DOUBLE) / 1000000.0))
+             |    / CAST(n AS DOUBLE), 6) AS intercept
+             |FROM fit ORDER BY lang""".stripMargin),
+    ),
   )
 }

@@ -190,6 +190,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // per-user agg (distinct included) reuses the islands' user_id
     // partitioning with no further exchange + the output sort.
     "q107_overlap_join" -> 3,
+    // q108: the (doc, char) count agg (map-side-combined over the char
+    // stream), the per-doc entropy agg (hash(doc,char) does NOT co-locate
+    // a doc, so it re-shuffles the counts frame) + the output sort.
+    "q108_char_entropy" -> 3,
+    // q109: (lang, tok) frequency agg, the lang rank window, the OLS
+    // stats agg on the ≤100-rows-per-lang frame + the output sort.
+    "q109_zipf_slope" -> 4,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -82,6 +82,15 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("disjoint"))
   }
 
+  test("olsByGroupXY (continuous x) recovers an exact line") {
+    // x in micro-representable halves, y = -1.5x + 2 exactly.
+    val pts = (0 to 40).map(i => ("g", i * 0.5, -1.5 * (i * 0.5) + 2.0))
+    val row = TimeSeries.olsByGroupXY(pts.toDF("g", "x", "y"), "g",
+        col("x"), col("y"))
+      .select("n", "slope", "intercept").as[(Long, Double, Double)].head()
+    assert(row === ((41L, -1.5, 2.0)))
+  }
+
   test("olsByGroup recovers an exact line and is partitioning-invariant") {
     // y = 2.5x + 1 exactly, in micro-unit-representable values.
     val pts = (0L to 100L).map(x => ("g", x, 2.5 * x + 1.0))

@@ -204,6 +204,77 @@ object Relational {
         col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** Incremental SCD2 maintenance: fold a NEW batch of change events into
+    * an existing [[scd2]] dimension without rebuilding history — the
+    * incremental-mart discipline (q100) applied to versioned dimensions.
+    * Output is bit-identical to `scd2(full history)`: that equivalence IS
+    * the correctness gate (see q110, whose oracle is q106's full-rebuild
+    * SQL).
+    *
+    * Contract: batch events are strictly AFTER the open version's
+    * valid_from for their key (the standard CDC watermark contract;
+    * `ordering` as in [[scd2]], with `ordering.head` the event time).
+    * A batch that restates the open version's attrs collapses into it —
+    * boundary restatements must not open spurious versions.
+    *
+    * Shape — O(batch), never O(dimension): only keys PRESENT in the batch
+    * are re-derived (their open version becomes the seed row of a
+    * batch-sized [[scd2]]-style window pass, version numbers continuing
+    * from the seed's); closed versions and untouched keys pass through
+    * with no shuffle beyond the key semi-join. At 100 TB the dimension
+    * side should be key-bucketed storage so the semi-join and the
+    * pass-through union are scan+filter, not shuffles.
+    *
+    * `ordering` here is column NAMES (head = the event-time column that
+    * becomes valid_from; tail = tie-breaks): seed rows re-enter the
+    * window pass carrying typed nulls for the tie columns, which an
+    * arbitrary Column expression could not represent.
+    */
+  def scd2Apply(dim: DataFrame, batch: DataFrame, key: String,
+      attrs: Seq[String], ordering: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty && ordering.nonEmpty, "scd2Apply needs attrs and ordering")
+    val batchKeys = batch.select(col(key)).distinct()
+    val touchedOpen = dim.filter(col("is_current"))
+      .join(batchKeys, Seq(key), "left_semi")
+    // Seed rows re-enter the window pass as version __v0 with __src = 0:
+    // at an equal event time the seed sorts first (tie columns are null,
+    // nulls-first), and the batch contract (strictly-later events) makes
+    // even that tie unreachable.
+    val seed = touchedOpen.select(
+      (col(key) +: attrs.map(col)) ++ Seq(
+        col("valid_from").as(ordering.head), lit(0).as("__src"),
+        col("version").as("__v0")) ++
+        ordering.tail.map(t =>
+          lit(null).cast(batch.schema(t).dataType).as(t)): _*)
+    val b = batch.select(
+      (col(key) +: attrs.map(col)) ++ Seq(
+        col(ordering.head), lit(1).as("__src"),
+        lit(null).cast("int").as("__v0")) ++ ordering.tail.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+      .orderBy(col(ordering.head) +: col("__src") +: ordering.tail.map(col): _*)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val attrStruct = struct(attrs.map(col): _*)
+    val rebuilt = seed.unionByName(b)
+      .withColumn("__attrs", attrStruct)
+      .withColumn("__prev", lag(col("__attrs"), 1).over(w))
+      // Propagate the seed's version base to every row of its key; keys
+      // new in the batch have no seed → base 1 (max of all-null is null).
+      .withColumn("__base", max(col("__v0")).over(wKey))
+      .filter(!(col("__attrs") <=> col("__prev")))
+      .withColumn("version",
+        coalesce(col("__base"), lit(1)) + row_number().over(w) - lit(1))
+      .withColumn("valid_from", col(ordering.head))
+      .withColumn("valid_to", lead(col(ordering.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((col(key) +: attrs.map(col)) ++ Seq(col("version"),
+        col("valid_from"), col("valid_to"), col("is_current")): _*)
+    val untouched = dim
+      .join(batchKeys, Seq(key), "left_anti")
+    val closed = dim.filter(!col("is_current"))
+      .join(batchKeys, Seq(key), "left_semi")
+    untouched.unionByName(closed).unionByName(rebuilt)
+  }
+
   /** Banded range join: match fact rows against a (small) set of
     * possibly-overlapping [lo, hi) bands WITHOUT a nested-loop join.
     *

@@ -289,5 +289,46 @@ object RelationalQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY user_id, version""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Incremental SCD2 maintenance: build the dimension from the first
+    // half of the month, fold the second half in with scd2Apply — and the
+    // ORACLE IS q106's full-rebuild SQL: the incremental path must
+    // reproduce the full history bit-for-bit (boundary restatements
+    // collapse across the cut, versions continue from the seed, untouched
+    // keys pass through). The q100 incremental-mart discipline applied to
+    // versioned dimensions; work is O(batch), never O(dimension).
+    QueryDef(
+      "q110_scd2_incremental",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        // The dimension is consumed three times by scd2Apply (seed /
+        // closed / untouched branches); materialize it once — in real use
+        // it IS a stored table, so the checkpoint mirrors deployment
+        // rather than papering over a plan flaw.
+        val dim = graft.operators.Relational.scd2(
+          ev.filter(col("ts") < cut), "user_id", Seq("event_type"),
+          Seq(col("ts"), col("event_id"))).localCheckpoint(true)
+        graft.operators.Relational.scd2Apply(
+            dim, ev.filter(col("ts") >= cut), "user_id", Seq("event_type"),
+            Seq("ts", "event_id"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |ch AS (SELECT user_id, ts, event_id, event_type FROM v
+             |  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type)
+             |SELECT user_id, event_type,
+             |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
+             |  ts AS valid_from,
+             |  lead(ts) OVER w AS valid_to,
+             |  lead(ts) OVER w IS NULL AS is_current
+             |FROM ch
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, version""".stripMargin),
+    ),
   )
 }

@@ -197,6 +197,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q109: (lang, tok) frequency agg, the lang rank window, the OLS
     // stats agg on the ≤100-rows-per-lang frame + the output sort.
     "q109_zipf_slope" -> 4,
+    // q110: the dim side is checkpoint-materialized (it IS a stored table
+    // in deployment); the batch-keys distinct agg appears 3× in the
+    // static plan (AQE exchange reuse dedupes at runtime), + the rebuild
+    // window exchange + the output sort. All joins broadcast.
+    "q110_scd2_incremental" -> 5,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -136,6 +136,46 @@ class RelationalSpec extends AnyFunSuite {
       (2L, "x", 2, 200L, None, true)))
   }
 
+  test("scd2Apply(batch) equals scd2(full history) exactly") {
+    // Seeded random history over 8 keys / 3 attr values, split at a time
+    // boundary. The incremental path must reproduce the full rebuild —
+    // including keys absent from the batch, keys new in the batch, and
+    // boundary restatements.
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 300).map { i =>
+      (i.toLong, (100 + i).toLong, rnd.nextInt(8).toLong + 1,
+        s"v${rnd.nextInt(3)}")
+    }
+    // keys 9, 10 exist only in one half each
+    val all = (events :+ ((301L, 150L, 9L, "v0")) :+ ((302L, 350L, 10L, "v1")))
+      .toDF("event_id", "ts", "key", "attr")
+    val first = all.filter(col("ts") <= 250)
+    val second = all.filter(col("ts") > 250)
+    val full = Relational.scd2(all, "key", Seq("attr"),
+        Seq(col("ts"), col("event_id")))
+      .orderBy("key", "version").collect()
+    val inc = Relational.scd2Apply(
+        Relational.scd2(first, "key", Seq("attr"), Seq(col("ts"), col("event_id"))),
+        second, "key", Seq("attr"), Seq("ts", "event_id"))
+      .orderBy("key", "version").collect()
+    assert(inc === full)
+  }
+
+  test("scd2Apply: batch restating the open version's attrs opens no new version") {
+    val dim = Relational.scd2(
+      Seq((1L, 100L, 1L, "a")).toDF("event_id", "ts", "key", "attr"),
+      "key", Seq("attr"), Seq(col("ts"), col("event_id")))
+    val batch = Seq((2L, 200L, 1L, "a"), (3L, 300L, 1L, "b"))
+      .toDF("event_id", "ts", "key", "attr")
+    val out = Relational.scd2Apply(dim, batch, "key", Seq("attr"), Seq("ts", "event_id"))
+      .orderBy("version")
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+    // 'a' at ts=200 collapses into the open v1; 'b' opens v2 at ts=300.
+    assert(out === Array(("a", 1, 100L, Some(300L), false),
+      ("b", 2, 300L, None, true)))
+  }
+
   test("bloomPreFilter: no false negatives, misses mostly pruned") {
     val build = (0L until 500L).map(i => s"key$i").toDF("k")
     val probe = ((0L until 100L).map(i => s"key$i") ++   // present

@@ -191,6 +191,103 @@ object OpsQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Group-wise winsorization: clip each group's metric to its own
+    // [p05, p95] (exact interpolated percentiles, the q56 pairing) and
+    // report the clipped-mass profile — outlier control before a metric
+    // feeds training or an average. The percentile frame is groups-sized
+    // and broadcasts back onto the fact stream; clip boundaries are
+    // STRICT (a value equal to the fence is untouched), and the clipped
+    // mean goes through the DECIMAL(18,6) sum discipline.
+    QueryDef(
+      "q111_winsorize",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val fences = ev.groupBy(col("event_type")).agg(
+          expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+        ev.join(broadcast(fences), Seq("event_type"))
+          .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+            sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+            round((sum(col("clipped").cast(DecimalType(18, 6)))).cast(DoubleType) /
+              count(lit(1)), 6).as("winsorized_mean"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH fences AS (SELECT event_type,
+             |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+             |  FROM events GROUP BY event_type),
+             |c AS (SELECT e.event_type, e.value,
+             |    LEAST(GREATEST(e.value, f.lo), f.hi) AS clipped, f.lo, f.hi
+             |  FROM events e JOIN fences f USING (event_type))
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+             |  CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+             |  ROUND(CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Deterministic distribution profile: per-group mean / population
+    // stddev / population skewness from EXACT integer sufficient
+    // statistics — Spark's builtin skewness/kurtosis accumulate doubles
+    // in partition order and drift run-to-run; here values quantize to
+    // fixed-point milli-units, the power sums Σmu/Σmu²/Σmu³ and the
+    // central-moment numerators (n·s2−s1², n²·s3−3n·s1·s2+2·s1³) stay in
+    // DECIMAL(38,0)/HUGEINT integer space (sized to sf10: mu ≤ 4.9e5 →
+    // n²·s3 ≈ 1e36 < 38 digits), and the only double steps are the final
+    // divisions and one sqrt, identical-operand in both engines. The
+    // milli-unit scale cancels exactly in skewness (×10³ᵏ top and
+    // bottom).
+    QueryDef(
+      "q112_moments",
+      (spark, dir) => {
+        val d38 = DecimalType(38, 0)
+        val mu = (col("value").cast(DecimalType(18, 3)) * lit(1000))
+          .cast(org.apache.spark.sql.types.LongType)
+        val stats = Tables.events(spark, dir)
+          .select(col("event_type"), mu.as("mu"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast(d38).as("n"),
+            sum(col("mu").cast(d38)).as("s1"),
+            sum((col("mu").cast(d38) * col("mu").cast(d38))).as("s2"),
+            sum((col("mu").cast(d38) * col("mu").cast(d38) * col("mu").cast(d38))).as("s3"))
+        stats
+          .withColumn("m2num", col("n") * col("s2") - col("s1") * col("s1"))
+          .withColumn("m3num", col("n") * col("n") * col("s3") -
+            lit(3) * col("n") * col("s1") * col("s2") +
+            lit(2) * col("s1") * col("s1") * col("s1"))
+          .select(col("event_type"), col("n").cast("long").as("n"),
+            round(col("s1").cast(DoubleType) / col("n").cast(DoubleType) / lit(1000.0), 6)
+              .as("mean"),
+            round(sqrt(col("m2num").cast(DoubleType)) / col("n").cast(DoubleType) / lit(1000.0), 6)
+              .as("stddev_pop"),
+            round(col("m3num").cast(DoubleType) /
+              (col("m2num").cast(DoubleType) * sqrt(col("m2num").cast(DoubleType))), 6)
+              .as("skewness"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH base AS (SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS mu FROM events),
+             |stats AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(CAST(mu AS HUGEINT)) AS HUGEINT) AS s1,
+             |    CAST(SUM(CAST(mu AS HUGEINT) * mu) AS HUGEINT) AS s2,
+             |    CAST(SUM(CAST(mu AS HUGEINT) * mu * mu) AS HUGEINT) AS s3
+             |  FROM base GROUP BY event_type),
+             |m AS (SELECT event_type, n,
+             |    n * s2 - s1 * s1 AS m2num,
+             |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3num,
+             |    s1 FROM stats)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) AS mean,
+             |  ROUND(sqrt(CAST(m2num AS DOUBLE)) / CAST(n AS DOUBLE) / 1000.0, 6) AS stddev_pop,
+             |  ROUND(CAST(m3num AS DOUBLE)
+             |    / (CAST(m2num AS DOUBLE) * sqrt(CAST(m2num AS DOUBLE))), 6) AS skewness
+             |FROM m ORDER BY event_type""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Z-order (Morton) clustering key — the data-layout primitive behind
     // ZOrder.writeZOrdered's multi-dimensional file skipping. The oracle
     // replays the bit interleave as plain integer div/mod arithmetic.

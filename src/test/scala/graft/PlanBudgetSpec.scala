@@ -202,6 +202,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // static plan (AQE exchange reuse dedupes at runtime), + the rebuild
     // window exchange + the output sort. All joins broadcast.
     "q110_scd2_incremental" -> 5,
+    // q111: the fences percentile agg + the clipped re-agg (the
+    // groups-sized fence frame broadcasts back onto the fact stream) +
+    // the output sort.
+    "q111_winsorize" -> 3,
+    // q112: ONE map-side-combined power-sums agg + the output sort; the
+    // moment math runs on the groups-sized frame.
+    "q112_moments" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

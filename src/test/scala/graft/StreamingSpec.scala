@@ -38,6 +38,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding-window distinct users in-stream (streaming twin of q101)") {
+    val src = Files.createTempDirectory("graft-sw-src").toString
+    // users 1,2 in 10:05–10:35; user 3 only after 11:00. Sliding 1h/30m
+    // windows overlap: the 10:30 window sees users from both half-hours.
+    val fixture = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L),
+      (2L, Timestamp.valueOf("2024-01-01 10:35:00"), 2L),
+      (3L, Timestamp.valueOf("2024-01-01 10:40:00"), 1L), // dup user in-window
+      (4L, Timestamp.valueOf("2024-01-01 11:05:00"), 3L),
+    ).toDF("event_id", "ts", "user_id")
+    fixture.write.mode("overwrite").parquet(src)
+
+    val stream = EventStream.parquetStream(spark, src, fixture.schema)
+    val q = EventStream.slidingDistinctUsers(stream)
+      .writeStream.format("memory").queryName("sliding_distinct_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sliding_distinct_test")
+        .orderBy("window_start").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      // At these cardinalities the sketch is exact (q101's measurement).
+      assert(out === Array(
+        ("2024-01-01 09:30:00.0", 1L), // [09:30,10:30): e1 → {1}
+        ("2024-01-01 10:00:00.0", 2L), // [10:00,11:00): e1,e2,e3 → {1,2}
+        ("2024-01-01 10:30:00.0", 3L), // [10:30,11:30): e2,e3,e4 → {1,2,3}
+        ("2024-01-01 11:00:00.0", 1L), // [11:00,12:00): e4 → {3}
+      ))
+    } finally q.stop()
+  }
+
   test("AvailableNow backfill run writes checkpointed parquet then stops") {
     val src = Files.createTempDirectory("graft-an-src").toString
     val out = Files.createTempDirectory("graft-an-out").resolve("data").toString

@@ -415,6 +415,45 @@ object AnalyticsQueries {
     ),
 
     // ----------------------------------------------------------------
+    // MERGEABLE quantile rollup (the q74 discipline for quantiles): one
+    // Datasketches KLL sketch per (event_type, day), merge-aggregated up
+    // to per-type quantiles — the 100 TB serving pattern where daily
+    // sketches are stored ONCE and any date-range quantile is answered
+    // by merging its days, never re-scanning facts (q79's
+    // approx_percentile cannot do this: its summary isn't exposed for
+    // re-aggregation). k=800 → ~0.5% rank error, far inside the 5%
+    // value gate; the oracle pins exact quantiles and merge_ok=TRUE.
+    QueryDef(
+      "q113_kll_mergeable_quantiles",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val daily = ev
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(expr("kll_sketch_agg_double(value, 800)").as("sk"))
+        val merged = daily.groupBy(col("event_type"))
+          .agg(expr("kll_merge_agg_double(sk, 800)").as("msk"))
+          .select(col("event_type"),
+            expr("kll_sketch_get_quantile_double(msk, 0.5)").as("k50"),
+            expr("kll_sketch_get_quantile_double(msk, 0.9)").as("k90"))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.9)"), 6).as("p90"))
+          .join(broadcast(merged), Seq("event_type"))
+          .select(col("event_type"), col("n"), col("p50"), col("p90"),
+            (abs(col("k50") - col("p50")) <= greatest(abs(col("p50")) * 0.05, lit(0.05)) &&
+              abs(col("k90") - col("p90")) <= greatest(abs(col("p90")) * 0.05, lit(0.05)))
+              .as("merge_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |ROUND(quantile_cont(value, 0.5), 6) AS p50,
+             |ROUND(quantile_cont(value, 0.9), 6) AS p90,
+             |TRUE AS merge_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Cohort retention matrix: users grouped by first-seen week, counted
     // in each later week they return — the standard product-analytics
     // retention triangle. Two user_id-keyed aggregations (first-seen +

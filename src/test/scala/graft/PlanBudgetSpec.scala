@@ -209,6 +209,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q112: ONE map-side-combined power-sums agg + the output sort; the
     // moment math runs on the groups-sized frame.
     "q112_moments" -> 2,
+    // q113: the (type, day) sketch agg, the per-type merge agg, the exact
+    // percentile agg (the gate's truth side — absent in production, where
+    // the stored daily sketches ARE the source) + the output sort; the
+    // merged frame broadcasts into the join.
+    "q113_kll_mergeable_quantiles" -> 4,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

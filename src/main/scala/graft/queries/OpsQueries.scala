@@ -288,6 +288,120 @@ object OpsQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Referential-integrity audit: for each FK relationship, orphaned
+    // child rows (anti-join child→parent) and unreferenced parent rows
+    // (anti-join parent→child-keys) — the structural extension of the
+    // reference's count-reconciliation validation
+    // (`validate_staging_tables.py`-style row counting tells you SIZES
+    // match; this tells you the KEYS actually join). Each relationship
+    // is two anti-join counts; the distinct child-key frame is the only
+    // shuffle that matters and at 100 TB the parent side broadcasts or
+    // bloom-prefilters (q81).
+    QueryDef(
+      "q114_ri_audit",
+      (spark, dir) => {
+        def rel(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+            parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          val orphans = child.join(parent.select(col(pk).as(ck)), Seq(ck), "left_anti")
+          val unref = parent.join(child.select(col(ck).as(pk)).distinct(), Seq(pk), "left_anti")
+          child.agg(count(lit(1)).as("n_child")).crossJoin(
+              orphans.agg(count(lit(1)).as("n_orphan_child")))
+            .crossJoin(parent.agg(count(lit(1)).as("n_parent")))
+            .crossJoin(unref.agg(count(lit(1)).as("n_parent_unreferenced")))
+            .select(lit(name).as("relationship"), col("n_child"),
+              col("n_orphan_child"), col("n_parent"), col("n_parent_unreferenced"))
+        }
+        rel("lineitem.l_partkey->part", Tables.lineitem(spark, dir), "l_partkey",
+            Tables.part(spark, dir), "p_partkey")
+          .unionByName(rel("lineitem.l_suppkey->supplier", Tables.lineitem(spark, dir),
+            "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"))
+          .unionByName(rel("orders.o_custkey->customer", Tables.orders(spark, dir),
+            "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+          .orderBy(col("relationship"))
+      },
+      Some("""WITH r1 AS (SELECT 'lineitem.l_partkey->part' AS relationship,
+             |  (SELECT COUNT(*) FROM lineitem) AS n_child,
+             |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS n_orphan_child,
+             |  (SELECT COUNT(*) FROM part) AS n_parent,
+             |  (SELECT COUNT(*) FROM part p WHERE NOT EXISTS
+             |    (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)) AS n_parent_unreferenced),
+             |r2 AS (SELECT 'lineitem.l_suppkey->supplier',
+             |  (SELECT COUNT(*) FROM lineitem),
+             |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+             |  (SELECT COUNT(*) FROM supplier),
+             |  (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+             |    (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))),
+             |r3 AS (SELECT 'orders.o_custkey->customer',
+             |  (SELECT COUNT(*) FROM orders),
+             |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             |  (SELECT COUNT(*) FROM customer),
+             |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+             |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)))
+             |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+             |ORDER BY relationship""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Chi-square independence test: event_type × fixed value band
+    // (<100 / 100–300 / ≥300) contingency table, χ² from exact observed
+    // counts with expected = row·col/n. Each cell's (obs−exp)²/exp term
+    // quantizes to DECIMAL(28,12) before the exact decimal sum — the
+    // q68 discipline — because a bare double Σ over cells would depend
+    // on each engine's summation order. The contingency table is
+    // |types|×|bands|-sized; one count agg over the facts is the only
+    // data-sized operation.
+    QueryDef(
+      "q115_chi_square",
+      (spark, dir) => {
+        val banded = Tables.events(spark, dir)
+          .select(col("event_type"),
+            when(col("value") < 100.0, "lo")
+              .when(col("value") < 300.0, "mid").otherwise("hi").as("band"))
+        val cells = banded.groupBy(col("event_type"), col("band"))
+          .agg(count(lit(1)).as("obs"))
+        val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
+        val wn = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)) // cells-sized frame: the single partition is fine
+        cells
+          .withColumn("rt", sum(col("obs")).over(wr))
+          .withColumn("ct", sum(col("obs")).over(wc))
+          .withColumn("n", sum(col("obs")).over(wn))
+          .withColumn("exp",
+            col("rt").cast(DoubleType) * col("ct").cast(DoubleType) / col("n").cast(DoubleType))
+          .withColumn("term",
+            ((col("obs").cast(DoubleType) - col("exp")) * (col("obs").cast(DoubleType) - col("exp")) /
+              col("exp")).cast(DecimalType(28, 12)))
+          .groupBy(col("n"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(col("term")).cast(DoubleType), 6).as("chi2"))
+          .select(col("n"), col("n_cells"), col("chi2"),
+            lit(8L).as("dof")) // (5 types − 1) × (3 bands − 1)
+      },
+      Some("""WITH banded AS (SELECT event_type,
+             |    CASE WHEN value < 100.0 THEN 'lo' WHEN value < 300.0 THEN 'mid' ELSE 'hi' END AS band
+             |  FROM events),
+             |cells AS (SELECT event_type, band, COUNT(*) AS obs FROM banded GROUP BY event_type, band),
+             |x AS (SELECT obs,
+             |    SUM(obs) OVER (PARTITION BY event_type) AS rt,
+             |    SUM(obs) OVER (PARTITION BY band) AS ct,
+             |    SUM(obs) OVER () AS n
+             |  FROM cells),
+             |t AS (SELECT n, CAST(
+             |    (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             |    AS DECIMAL(28,12)) AS term
+             |  FROM x)
+             |SELECT CAST(n AS BIGINT) AS n, COUNT(*) AS n_cells,
+             |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2, CAST(8 AS BIGINT) AS dof
+             |FROM t GROUP BY n""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Z-order (Morton) clustering key — the data-layout primitive behind
     // ZOrder.writeZOrdered's multi-dimensional file skipping. The oracle
     // replays the bit interleave as plain integer div/mod arithmetic.

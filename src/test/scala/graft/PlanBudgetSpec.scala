@@ -214,6 +214,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the stored daily sketches ARE the source) + the output sort; the
     // merged frame broadcasts into the join.
     "q113_kll_mergeable_quantiles" -> 4,
+    // q114: 3 relationships × 5 count/distinct aggregations (child count,
+    // broadcast-anti orphan count, parent count, distinct-child-key agg,
+    // unref count) — 4 of the 5 are one-row SinglePartition exchanges;
+    // the data-sized work is the three child-side scans.
+    "q114_ri_audit" -> 15,
+    // q115: the (type, band) cells agg; everything after (windows, final
+    // agg) runs on the 15-row contingency frame in one more exchange.
+    "q115_chi_square" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

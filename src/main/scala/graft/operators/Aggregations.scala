@@ -58,10 +58,17 @@ object Aggregations {
     * revenue/quantity and average order value. `platform` is the grouping
     * dimension column; revenue is computed at line grain.
     */
-  def dailySalesSummary(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val joined = lineitem.join(orders,
-      lineitem("l_orderkey") === orders("o_orderkey"), "inner")
-    joined
+  def dailySalesSummary(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    dailySalesSummaryLines(lineitem.join(orders,
+      lineitem("l_orderkey") === orders("o_orderkey"), "inner"))
+
+  /** [[dailySalesSummary]] over an already line-grain frame (each row one
+    * line item carrying its order's o_orderkey/o_orderdate/
+    * o_orderpriority) — the shape a streaming sales feed arrives in (see
+    * [[graft.streaming.EventStream.incrementalMartStream]]).
+    */
+  def dailySalesSummaryLines(lines: DataFrame): DataFrame =
+    lines
       .groupBy(to_date(col("o_orderdate")).as("sale_date"),
         col("o_orderpriority").as("platform"))
       .agg(
@@ -71,7 +78,6 @@ object Aggregations {
           .cast(DoubleType).as("total_revenue"),
         dsum(col("l_quantity")).as("total_quantity"))
       .withColumn("avg_order_value", col("total_revenue") / col("total_orders"))
-  }
 
   /** Incremental-mart maintenance: merge per-batch [[dailySalesSummary]]
     * partials into the mart a full recompute would produce — the

@@ -181,6 +181,41 @@ object RelationalQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Unpivot/melt — q49's inverse: the wide per-type metrics frame
+    // relayed into (event_type, metric, value) long form via Spark's
+    // native unpivot (a Generate/Expand, no shuffle beyond the source
+    // agg). Metrics are cast to a common double before melting, the mean
+    // through the DECIMAL discipline; the oracle replays as UNION ALL,
+    // the portable statement of the same reshape.
+    QueryDef(
+      "q116_unpivot",
+      (spark, dir) => {
+        val wide = Tables.events(spark, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast(DoubleType).as("n_events"),
+            countDistinct(col("user_id")).cast(DoubleType).as("n_users"),
+            (graft.operators.Aggregations.dsum(col("value"), 18, 6) /
+              count(col("value"))).as("mean_value"))
+        wide.unpivot(
+            Array(col("event_type")),
+            Array(col("n_events"), col("n_users"), col("mean_value")),
+            "metric", "value")
+          .select(col("event_type"), col("metric"), round(col("value"), 6).as("value"))
+          .orderBy(col("event_type"), col("metric"))
+      },
+      Some("""WITH wide AS (SELECT event_type,
+             |    CAST(COUNT(*) AS DOUBLE) AS n_events,
+             |    CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS mean_value
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, metric, ROUND(value, 6) AS value FROM (
+             |  SELECT event_type, 'n_events' AS metric, n_events AS value FROM wide
+             |  UNION ALL SELECT event_type, 'n_users', n_users FROM wide
+             |  UNION ALL SELECT event_type, 'mean_value', mean_value FROM wide)
+             |ORDER BY event_type, metric""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // CDC snapshot diff: inserted/deleted/updated/unchanged between two
     // snapshots (synthesized deterministically from customer: %7 keys
     // absent from old, %11 keys absent from new, %5 balances doubled).

@@ -181,4 +181,71 @@ object EventStream {
   def parquetStream(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(srcDir)
+
+  // --------------------------------------------- incremental mart in-stream
+
+  /** Streaming incremental-mart maintenance — the reference's actual
+    * production loop (a 10–15 min micro-batch cycle that aggregates ONLY
+    * the new rows and folds them into the standing mart,
+    * `dags/tiktok_shop_orders_etl_dag.py`-style) as a foreachBatch stream.
+    *
+    * Each micro-batch computes its line-grain partial
+    * ([[graft.operators.Aggregations.dailySalesSummaryLines]]) and merges
+    * it with the previous snapshot
+    * ([[graft.operators.Aggregations.mergeDailySalesPartials]] —
+    * bit-identical to a full recompute under the order-grain batch
+    * contract: an order's lines arrive in one batch).
+    *
+    * Exactly-once discipline: the mart is VERSIONED SNAPSHOTS, one
+    * `batch=<id>` directory per micro-batch, because a merge-and-
+    * overwrite-in-place would DOUBLE-COUNT when foreachBatch replays a
+    * failed batch. Writing snapshot `id` from snapshot `id−1` is a pure
+    * function of (previous snapshot, batch) — a replay overwrites
+    * `batch=<id>` with identical bytes. [[latestMart]] serves the newest
+    * _SUCCESS-committed snapshot, so readers never see a torn write; the
+    * snapshot is mart-sized (days × platforms), so rewriting it per cycle
+    * is the cheap part of the job at any scale.
+    */
+  def incrementalMartStream(salesLines: DataFrame, martRoot: String,
+      checkpointDir: String): StreamingQuery =
+    salesLines.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val partial = graft.operators.Aggregations.dailySalesSummaryLines(batch)
+        val parts = latestMart(spark, martRoot, maxBatchExclusive = id) match {
+          case Some((_, prev)) => Seq(prev, partial)
+          case None            => Seq(partial)
+        }
+        graft.operators.Aggregations.mergeDailySalesPartials(parts)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$martRoot/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+
+  /** Newest _SUCCESS-committed mart snapshot under `martRoot`, optionally
+    * restricted to batch ids below `maxBatchExclusive` (a replaying batch
+    * must rebuild from its PREDECESSOR, never from its own torn write).
+    */
+  def latestMart(spark: SparkSession, martRoot: String,
+      maxBatchExclusive: Long = Long.MaxValue): Option[(Long, DataFrame)] = {
+    val root = new org.apache.hadoop.fs.Path(martRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val committed = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=")) scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+        else None
+      }
+      .filter(id => id < maxBatchExclusive &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$martRoot/batch=$id/_SUCCESS")))
+    if (committed.isEmpty) None
+    else {
+      val id = committed.max
+      Some((id, spark.read.parquet(s"$martRoot/batch=$id")))
+    }
+  }
 }

@@ -222,6 +222,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q115: the (type, band) cells agg; everything after (windows, final
     // agg) runs on the 15-row contingency frame in one more exchange.
     "q115_chi_square" -> 2,
+    // q116: the wide metrics agg (distinct-expand inside) + the output
+    // sort; the unpivot itself is an Expand, not a shuffle.
+    "q116_unpivot" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -211,6 +211,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental mart stream: snapshots converge to the full recompute") {
+    import graft.operators.Aggregations
+    val src = Files.createTempDirectory("graft-mart-src").toString
+    val mart = Files.createTempDirectory("graft-mart-out").resolve("mart").toString
+    val chk = Files.createTempDirectory("graft-mart-chk").toString
+    // Three single-file batches, each holding WHOLE orders (the order-grain
+    // contract). Two dates × two platforms.
+    def lines(rows: Seq[(Long, String, String, Double, Double, Long)]) =
+      rows.toDF("o_orderkey", "o_orderdate", "o_orderpriority",
+          "l_extendedprice", "l_discount", "l_quantity")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val b1 = lines(Seq(
+      (1L, "2024-01-01", "1-URGENT", 100.0, 0.10, 2L),
+      (1L, "2024-01-01", "1-URGENT", 50.0, 0.00, 1L),
+      (2L, "2024-01-01", "2-HIGH", 200.0, 0.05, 3L)))
+    val b2 = lines(Seq(
+      (3L, "2024-01-02", "1-URGENT", 300.0, 0.20, 4L)))
+    val b3 = lines(Seq(
+      (4L, "2024-01-01", "1-URGENT", 80.0, 0.00, 1L),
+      (5L, "2024-01-02", "2-HIGH", 120.0, 0.50, 2L)))
+    b1.repartition(1).write.parquet(src + "/f1")
+    b2.repartition(1).write.parquet(src + "/f2")
+    b3.repartition(1).write.parquet(src + "/f3")
+    // Flatten each mini-dir's data file into src root as one file per batch.
+    val all = b1.unionByName(b2).unionByName(b3)
+
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src + "/f*")
+    val q = EventStream.incrementalMartStream(stream, mart, chk)
+    q.awaitTermination(120000)
+
+    val Some((lastId, latest)) = EventStream.latestMart(spark, mart)
+    val expected = Aggregations.mergeDailySalesPartials(
+      Seq(Aggregations.dailySalesSummaryLines(all)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("sale_date", "platform")
+        .collect().map(r => (r.getDate(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(canon(latest) === canon(expected))
+
+    // A torn snapshot (no _SUCCESS) must be invisible to readers.
+    val torn = new java.io.File(s"$mart/batch=${lastId + 7}")
+    assert(torn.mkdirs())
+    val Some((stillId, _)) = EventStream.latestMart(spark, mart)
+    assert(stillId === lastId)
+  }
+
   test("stream dedup drops duplicate business keys (L4 streaming analogue)") {
     val src = Files.createTempDirectory("graft-dd-src").toString
     val dup = eventsFixture.union(eventsFixture.limit(2))

@@ -259,4 +259,68 @@ class PropertySpec extends AnyFunSuite {
       assert(got === expected, s"budget=$budget bw=$bw")
     }
   }
+
+  // ----------------------------------------------------- interval operators
+
+  private val intervalsGen: Gen[Seq[(Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 25)
+    iv <- Gen.listOfN(n, for {
+      key <- Gen.choose(1L, 3L)
+      s <- Gen.choose(0L, 100L)
+      len <- Gen.choose(0L, 30L)
+    } yield (key, s, s + len))
+  } yield iv
+
+  /** Reference merge: per key, sweep sorted intervals accumulating islands. */
+  private def bruteCoalesce(iv: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    iv.groupBy(_._1).flatMap { case (k, g) =>
+      val sorted = g.map(t => (t._2, t._3)).sortBy(identity)
+      val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+      for ((s, e) <- sorted) {
+        if (out.nonEmpty && s <= out.last._2)
+          out(out.size - 1) = (out.last._1, math.max(out.last._2, e))
+        else out += ((s, e))
+      }
+      out.map { case (s, e) => (k, s, e) }
+    }.toSet
+
+  test("coalesceIntervals matches a sweep-line reference on random interval sets") {
+    forAll(intervalsGen, n = 10) { iv =>
+      val got = graft.operators.TimeSeries.coalesceIntervals(
+          iv.toDF("k", "s", "e"), "k", col("s"), col("e"))
+        .select("k", "start_us", "end_us")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === bruteCoalesce(iv), s"intervals=$iv")
+    }
+  }
+
+  private val overlapGen: Gen[(Seq[(Long, Long, Long)], Seq[(Long, Long, Long)], Long)] = for {
+    nl <- Gen.choose(1, 12)
+    nr <- Gen.choose(1, 12)
+    left <- Gen.listOfN(nl, for {
+      id <- Gen.choose(1L, 100L); s <- Gen.choose(0L, 80L); len <- Gen.choose(0L, 40L)
+    } yield (id, s, s + len))
+    right <- Gen.listOfN(nr, for {
+      id <- Gen.choose(1L, 100L); s <- Gen.choose(0L, 80L); len <- Gen.choose(0L, 40L)
+    } yield (id, s, s + len))
+    bucket <- Gen.oneOf(1L, 7L, 10L, 64L)
+  } yield (left, right, bucket)
+
+  test("overlapJoin matches the naive cross filter for every bucket width") {
+    forAll(overlapGen, n = 10) { case (left, right, bucket) =>
+      // Distinct synthetic row ids so multiset pair counts are comparable.
+      val l = left.zipWithIndex.map { case ((_, s, e), i) => (i.toLong, s, e) }
+      val r = right.zipWithIndex.map { case ((_, s, e), i) => (i.toLong, s, e) }
+      val got = graft.operators.TimeSeries.overlapJoin(
+          l.toDF("lid", "ls", "le"), r.toDF("rid", "rs", "re"),
+          "ls", "le", "rs", "re", bucket)
+        .select("lid", "rid", "overlap_us")
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = (for {
+        (li, ls, le) <- l; (ri, rs, re) <- r
+        if ls <= re && rs <= le
+      } yield (li, ri, math.min(le, re) - math.max(ls, rs))).toSet
+      assert(got === expected, s"bucket=$bucket left=$l right=$r")
+    }
+  }
 }

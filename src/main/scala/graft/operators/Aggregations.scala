@@ -109,4 +109,46 @@ object Aggregations {
         dsum(col("total_quantity")).as("total_quantity"))
       .withColumn("avg_order_value", col("total_revenue") / col("total_orders"))
   }
+
+  /** Schema-generic column profiler: ONE pass over the table produces a
+    * long-format profile row per column — (column, dtype, n_rows,
+    * n_nulls, n_distinct, min_str, max_str) — the q44 events profile
+    * generalized to any schema, driven off `df.schema` instead of
+    * hand-written per column. All columns' statistics run in a single
+    * aggregation (the scan is the cost at 100 TB; a per-column loop would
+    * scan once per column), then `stack` melts the wide row.
+    *
+    * min/max are string-rendered; fractional types are excluded from
+    * min/max (engine double-formatting differs — exactly the kind of
+    * false mismatch the DECIMAL discipline exists to avoid) and surface
+    * NULL instead.
+    */
+  def profileColumns(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    val renderMinMax: StructField => Boolean = f => f.dataType match {
+      case DoubleType | FloatType => false
+      case _: DecimalType => false
+      case _ => true
+    }
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__distinct"),
+        (if (renderMinMax(f)) min(c).cast(StringType) else lit(null).cast(StringType))
+          .as(s"${f.name}__min"),
+        (if (renderMinMax(f)) max(c).cast(StringType) else lit(null).cast(StringType))
+          .as(s"${f.name}__max"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = fields.map { f =>
+      s"'${f.name}', '${f.dataType.catalogString}', `${f.name}__nulls`, " +
+        s"`${f.name}__distinct`, `${f.name}__min`, `${f.name}__max`"
+    }.mkString(", ")
+    wide.select(col("__n").as("n_rows"), expr(
+        s"stack(${fields.length}, $stackArgs) AS " +
+          "(column_name, dtype, n_nulls, n_distinct, min_str, max_str)"))
+      .select(col("column_name"), col("dtype"), col("n_rows"),
+        col("n_nulls"), col("n_distinct"), col("min_str"), col("max_str"))
+  }
 }

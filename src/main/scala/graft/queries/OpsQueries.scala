@@ -288,6 +288,41 @@ object OpsQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Schema-generic column profiling: q44's hand-written events profile
+    // generalized — Aggregations.profileColumns derives the statistics
+    // from df.schema and computes EVERY column's nulls/distincts/min/max
+    // in one aggregation pass (one scan total; a per-column loop scans
+    // once per column), melted to long form via stack. Fractional
+    // columns surface NULL min/max (double formatting is engine-specific;
+    // the numeric profile belongs to q44's DECIMAL-disciplined path).
+    QueryDef(
+      "q117_profile_any",
+      (spark, dir) =>
+        graft.operators.Aggregations.profileColumns(Tables.documents(spark, dir))
+          .orderBy(col("column_name")),
+      Some("""SELECT * FROM (
+             |  SELECT 'doc_id' AS column_name, 'bigint' AS dtype, COUNT(*) AS n_rows,
+             |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |    COUNT(DISTINCT doc_id) AS n_distinct,
+             |    CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str
+             |  FROM documents
+             |  UNION ALL SELECT 'text', 'string', COUNT(*),
+             |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(DISTINCT text), MIN(text), MAX(text) FROM documents
+             |  UNION ALL SELECT 'lang', 'string', COUNT(*),
+             |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+             |  UNION ALL SELECT 'source', 'string', COUNT(*),
+             |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+             |  UNION ALL SELECT 'n_chars', 'bigint', COUNT(*),
+             |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(DISTINCT n_chars),
+             |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+             |) ORDER BY column_name""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Referential-integrity audit: for each FK relationship, orphaned
     // child rows (anti-join child→parent) and unreferenced parent rows
     // (anti-join parent→child-keys) — the structural extension of the

@@ -225,6 +225,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q116: the wide metrics agg (distinct-expand inside) + the output
     // sort; the unpivot itself is an Expand, not a shuffle.
     "q116_unpivot" -> 3,
+    // q117: ONE aggregation pass computes every column's statistics (the
+    // 5-way countDistinct expand shuffles (grouping-set, value) partials,
+    // then the single-row final agg) + the stack melt (no shuffle) + the
+    // output sort on the 5-row frame.
+    "q117_profile_any" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -128,6 +128,73 @@ object TimeSeries {
         least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
   }
 
+  /** Generalized as-of join (pandas merge_asof parity): for each probe
+    * row, the nearest quote row per key at-or-before (`backward`),
+    * at-or-after (`forward`), or closest-either-side (`nearest`, ties →
+    * backward, pandas' rule) within `toleranceUs`.
+    *
+    * Same design as q41's backward composition: union both sides, ONE
+    * key shuffle, window passes over the shared (ts, side) sort — never
+    * a range self-join. Equal-timestamp ties are inclusive: the side
+    * order in the sort puts quotes before probes for backward/nearest
+    * (an equal-ts quote is "at-or-before") and after probes for forward.
+    *
+    * Output: every probe row (null-match rows kept) + `asof_ts`,
+    * `asof_val` (the quote's `quoteVal`), `asof_dist_us` (unsigned).
+    * Probe/quote ts are epoch-µs longs, exact arithmetic end to end.
+    */
+  def asofJoin(probe: DataFrame, quote: DataFrame, key: String,
+      probeTs: String, quoteTs: String, quoteVal: String,
+      direction: String = "backward",
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    val qType = new StructType()
+      .add("ts", quote.schema(quoteTs).dataType)
+      .add("v", quote.schema(quoteVal).dataType)
+    val pType = StructType(probe.schema.fields)
+    val pSide = probe.select(col(key).as("__k"), col(probeTs).as("__ts"),
+      lit(0).as("__isq"), lit(null).cast(qType).as("__q"),
+      struct(probe.columns.map(col): _*).as("__row"))
+    val qSide = quote.filter(col(quoteTs).isNotNull)
+      .select(col(key).as("__k"), col(quoteTs).as("__ts"),
+        lit(1).as("__isq"),
+        struct(col(quoteTs).as("ts"), col(quoteVal).as("v")).as("__q"),
+        lit(null).cast(pType).as("__row"))
+    // Tie order: quotes first for backward/nearest, probes first for
+    // forward — makes the equal-ts quote land in the matching frame.
+    val tie = if (direction == "forward") col("__isq").asc else col("__isq").desc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__ts").asc, tie, col("__q.v").asc_nulls_first)
+    val back = last(col("__q"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val fwd = first(col("__q"), ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    val withCand = direction match {
+      case "backward" => pSide.unionByName(qSide).withColumn("__b", back)
+        .withColumn("__f", lit(null).cast(pSide.schema("__q").dataType))
+      case "forward" => pSide.unionByName(qSide)
+        .withColumn("__b", lit(null).cast(pSide.schema("__q").dataType))
+        .withColumn("__f", fwd)
+      case "nearest" => pSide.unionByName(qSide)
+        .withColumn("__b", back).withColumn("__f", fwd)
+    }
+    val bDist = col("__ts") - col("__b.ts")
+    val fDist = col("__f.ts") - col("__ts")
+    val pick = when(col("__b").isNotNull && col("__f").isNotNull,
+        when(bDist <= fDist, col("__b")).otherwise(col("__f")))
+      .otherwise(coalesce(col("__b"), col("__f")))
+    withCand.filter(col("__isq") === 0)
+      .withColumn("__m", pick)
+      .withColumn("__m", when(
+        col("__m").isNotNull &&
+          abs(col("__ts") - col("__m.ts")) <= toleranceUs, col("__m")))
+      .select(col("__row.*"), col("__m.ts").as("asof_ts"),
+        col("__m.v").as("asof_val"),
+        abs(col("__ts") - col("__m.ts")).as("asof_dist_us"))
+  }
+
   /** First-order transition counts and probabilities of `state` along each
     * key's ordered series: lag over (key, order), then a (prev, next)
     * groupBy. `prob` is row-count / per-prev total — a single long/long

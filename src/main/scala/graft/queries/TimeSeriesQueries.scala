@@ -176,6 +176,64 @@ object TimeSeriesQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Generalized as-of join, NEAREST direction with tolerance (pandas
+    // merge_asof parity; q41 is the backward special case): each purchase
+    // matched to the user's closest click within 2 h, either side,
+    // equidistant ties resolved backward. The oracle replays the exact
+    // union + two-window construction — including the tie ordering — in
+    // SQL; all distances are epoch-µs integers, and sums over them and
+    // over matched click ids pin the MATCHING itself, not just counts.
+    QueryDef(
+      "q118_asof_nearest",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        def side(t: String) = ev.filter(col("event_type") === t)
+          .select(col("user_id"), unix_micros(col("ts")).as("uts"), col("event_id"))
+        TimeSeries.asofJoin(side("purchase"), side("click"),
+            "user_id", "uts", "uts", "event_id",
+            direction = "nearest", toleranceUs = 7200000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("asof_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+            sum(col("asof_dist_us")).as("sum_dist_us"),
+            sum(col("asof_val")).as("sum_matched_click_ids"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS uts, event_id FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, epoch_us(ts) AS uts, event_id FROM events WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, uts, 0 AS isq, CAST(NULL AS BIGINT) AS qts, CAST(NULL AS BIGINT) AS qid FROM p
+             |  UNION ALL SELECT user_id, uts, 1, uts, event_id FROM c),
+             |w AS (SELECT user_id, uts, isq,
+             |    last_value(qts IGNORE NULLS) OVER wb AS bts,
+             |    last_value(qid IGNORE NULLS) OVER wb AS bid,
+             |    first_value(qts IGNORE NULLS) OVER wf AS fts,
+             |    first_value(qid IGNORE NULLS) OVER wf AS fid
+             |  FROM u
+             |  WINDOW wb AS (PARTITION BY user_id ORDER BY uts ASC, isq DESC, qid ASC NULLS FIRST
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |  wf AS (PARTITION BY user_id ORDER BY uts ASC, isq DESC, qid ASC NULLS FIRST
+             |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+             |m AS (SELECT user_id, uts,
+             |    CASE WHEN bts IS NOT NULL AND fts IS NOT NULL THEN
+             |      CASE WHEN uts - bts <= fts - uts THEN bts ELSE fts END
+             |    ELSE COALESCE(bts, fts) END AS mts,
+             |    CASE WHEN bts IS NOT NULL AND fts IS NOT NULL THEN
+             |      CASE WHEN uts - bts <= fts - uts THEN bid ELSE fid END
+             |    ELSE COALESCE(bid, fid) END AS mid
+             |  FROM w WHERE isq = 0),
+             |t AS (SELECT user_id,
+             |    CASE WHEN mts IS NOT NULL AND abs(uts - mts) <= 7200000000 THEN mts END AS mts,
+             |    CASE WHEN mts IS NOT NULL AND abs(uts - mts) <= 7200000000 THEN mid END AS mid,
+             |    uts FROM m)
+             |SELECT user_id, COUNT(*) AS n_purchases,
+             |  CAST(SUM(CASE WHEN mts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             |  CAST(SUM(abs(uts - mts)) AS BIGINT) AS sum_dist_us,
+             |  CAST(SUM(mid) AS BIGINT) AS sum_matched_click_ids
+             |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Per-group OLS trend (value vs day) on EXACT fixed-point sufficient
     // statistics — the deterministic alternative to regr_slope's
     // order-dependent double accumulation. DuckDB's HUGEINT and Spark's

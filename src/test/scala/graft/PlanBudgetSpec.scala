@@ -230,6 +230,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // then the single-row final agg) + the stack melt (no shuffle) + the
     // output sort on the 5-row frame.
     "q117_profile_any" -> 3,
+    // q118: ONE user_id exchange shared by both as-of windows (the union
+    // sides read the same cached scan), the per-user agg reusing that
+    // partitioning would still need its own exchange post-filter + the
+    // output sort.
+    "q118_asof_nearest" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -82,6 +82,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("disjoint"))
   }
 
+  test("asofJoin: backward/forward/nearest directions, inclusive ties, tolerance") {
+    val quotes = Seq((1L, 10L, 100L), (1L, 30L, 101L)).toDF("k", "qts", "qv")
+    def probes(ts: Long*) = ts.zipWithIndex
+      .map { case (t, i) => (1L, t, i.toLong) }.toDF("k", "pts", "pid")
+    def run(p: org.apache.spark.sql.DataFrame, dir: String,
+        tol: Long = Long.MaxValue) =
+      TimeSeries.asofJoin(p, quotes, "k", "pts", "qts", "qv", dir, tol)
+        .orderBy("pts")
+        .select("pts", "asof_ts", "asof_val")
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+
+    assert(run(probes(5, 10, 22, 40), "backward") === Seq(
+      (5L, None, None), (10L, Some(10L), Some(100L)),   // equal ts inclusive
+      (22L, Some(10L), Some(100L)), (40L, Some(30L), Some(101L))))
+    assert(run(probes(5, 10, 22, 40), "forward") === Seq(
+      (5L, Some(10L), Some(100L)), (10L, Some(10L), Some(100L)),
+      (22L, Some(30L), Some(101L)), (40L, None, None)))
+    assert(run(probes(5, 20, 22), "nearest") === Seq(
+      (5L, Some(10L), Some(100L)),
+      (20L, Some(10L), Some(100L)),  // equidistant → backward (pandas rule)
+      (22L, Some(30L), Some(101L)))) // 8 forward beats 12 backward
+    assert(run(probes(22), "backward", tol = 10L) === Seq((22L, None, None)))
+  }
+
   test("olsByGroupXY (continuous x) recovers an exact line") {
     // x in micro-representable halves, y = -1.5x + 2 exactly.
     val pts = (0 to 40).map(i => ("g", i * 0.5, -1.5 * (i * 0.5) + 2.0))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HmacSha256, MinHashSignature, MisraGries, SimHash64}
+import graft.functions.{DotProduct, HmacSha256, JaroWinklerSim, MinHashSignature, MisraGries, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * as SQL functions at session build time —
@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit SimHash over pre-hashed array<bigint>"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (DuckDB-compatible semantics)"),
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),
       info("misra_gries",

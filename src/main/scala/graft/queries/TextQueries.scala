@@ -532,5 +532,40 @@ object TextQueries {
              |    / CAST(n AS DOUBLE), 6) AS intercept
              |FROM fit ORDER BY lang""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Blocked fuzzy entity matching with the native jaro_winkler
+    // expression (record-linkage scoring Spark lacks; codegen'd static
+    // call, no CodegenFallback in the pair-scoring hot path): part names
+    // block on their first token (an equi-join, never name × name), JW
+    // scores within blocks, high-similarity pairs ranked. The oracle IS
+    // DuckDB's own jaro_winkler_similarity — the expression was built to
+    // its verified semantics (FunctionsSpec pins the classic Winkler
+    // fixtures digit-for-digit).
+    QueryDef(
+      "q119_fuzzy_block_match",
+      (spark, dir) => {
+        val p = Tables.part(spark, dir)
+          .select(col("p_partkey").as("id"), col("p_name").as("name"))
+          .withColumn("blk", split(col("name"), " ").getItem(0))
+        val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
+        val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
+        a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("jw", round(graft.functions.JaroWinklerSim
+            .jaro_winkler(col("name_a"), col("name_b")), 6))
+          .filter(col("jw") >= 0.8)
+          .select(col("id_a"), col("id_b"), col("jw"))
+          .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+          .limit(100)
+      },
+      Some("""WITH p AS (SELECT p_partkey AS id, p_name AS name,
+             |    string_split(p_name, ' ')[1] AS blk FROM part),
+             |j AS (SELECT a.id AS id_a, b.id AS id_b,
+             |    ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+             |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
+             |SELECT id_a, id_b, jw FROM j WHERE jw >= 0.8
+             |ORDER BY jw DESC, id_a, id_b LIMIT 100""".stripMargin),
+    ),
   )
 }

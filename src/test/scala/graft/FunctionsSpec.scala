@@ -39,6 +39,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sig1.length === 64)
   }
 
+  test("jaro_winkler matches the DuckDB-pinned fixtures (incl. classic Winkler cases)") {
+    // Values verified against DuckDB jaro_winkler_similarity verbatim.
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("a", "b", 0.0),
+      ("ab", "ba", 0.0),         // window 0: no cross-position matches
+      ("CRANE", "ACRE", 0.7833333333333333)) // j > 0.7 but prefix ℓ = 0
+    for ((a, b, expect) <- cases) {
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.JaroWinklerSim.jaro_winkler(col("a"), col("b")))
+        .head().getDouble(0)
+      assert(got === expect, s"jw($a, $b)")
+    }
+    // SQL registration + null safety.
+    graft.functions.JaroWinklerSim.register(spark)
+    assert(spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS s")
+      .head().getDouble(0) === 0.9611111111111111)
+    assert(Seq((null.asInstanceOf[String], "x")).toDF("a", "b")
+      .select(graft.functions.JaroWinklerSim.jaro_winkler(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("cosine: orthogonal → 0, identical → 1") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),

@@ -235,6 +235,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // partitioning would still need its own exchange post-filter + the
     // output sort.
     "q118_asof_nearest" -> 3,
+    // q119: the block equi-join (the small side broadcasts at these SFs;
+    // shuffles on blk at scale) + the global top-100 sort; JW scoring is
+    // a codegen'd projection, not a shuffle.
+    "q119_fuzzy_block_match" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -16,9 +16,11 @@ import graft.functions.{DotProduct, HmacSha256, JaroWinklerSim, MinHashSignature
   * `minhash_signature(hashes, k)`, `simhash64(hashes)` work everywhere a
   * session does (SQL files, thrift server, notebooks) without imperative
   * registration. This is the (c)-tier extension mechanism from the build
-  * guide used at the lightest justified level: function injection only —
-  * no custom rules or strategies are needed because every operator is
-  * expressible in stock Catalyst.
+  * guide used at the lightest justified level: function injection, plus
+  * ONE optimizer rule ([[graft.plans.JaroWinklerLengthPruning]]) whose
+  * rewrite is provably implied by the filter it strengthens — no custom
+  * strategies or physical plans, because every operator is expressible
+  * in stock Catalyst.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -80,5 +82,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // The analyzer wraps a bare AggregateFunction in AggregateExpression.
         MisraGries(exprs(0), k)
       }))
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPruning)
   }
 }

@@ -38,6 +38,36 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT misra_gries(k, 2) AS c FROM VALUES ('a'),('a'),('a'),('b') t(k)"""
       ).head().getSeq[String](0)
       assert(mg.contains("a"), s"sketch lost the majority key: $mg")
+      // Optimizer-rule injection: a jaro_winkler threshold filter above
+      // the 0.8 floor gains the provably-implied length-ratio conjunct...
+      import s.implicits._
+      // A file source, not a LocalRelation: ConvertToLocalRelation would
+      // constant-fold the filter away before the plan can be inspected.
+      val pairsPath = java.nio.file.Files
+        .createTempDirectory("graft-jw").resolve("pairs").toString
+      Seq(
+        ("MARTHA", "MARHTA"),      // jw 0.9611 — survives
+        ("abcdefghij", "ab"),      // ratio 0.2 — length-pruned AND jw-low
+        ("DWAYNE", "DUANE"))       // jw 0.84 < 0.95 — filtered either way
+        .toDF("a", "b").write.parquet(pairsPath)
+      val pairs = s.read.parquet(pairsPath)
+      val q = pairs.filter(org.apache.spark.sql.functions.expr(
+        "jaro_winkler(a, b) >= 0.95"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("length("),
+        s"length-pruning conjunct missing from plan:\n$optimized")
+      assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+        Seq(("MARTHA", "MARHTA")))
+      // ...and the rewrite must not fire at vacuous thresholds (t <= 0.8).
+      val low = pairs.filter(org.apache.spark.sql.functions.expr(
+        "jaro_winkler(a, b) >= 0.5"))
+      assert(!low.queryExecution.optimizedPlan.toString.contains("length("),
+        "rule fired below its vacuous-bound floor")
+      assert(low.collect().length === 3)
+      // Fixed point: re-optimizing an already-rewritten plan adds nothing.
+      val once = q.queryExecution.optimizedPlan
+      val twice = graft.plans.JaroWinklerLengthPruning(once)
+      assert(twice.toString === once.toString, "rule is not fixed-point stable")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

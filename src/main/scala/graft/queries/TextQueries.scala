@@ -548,7 +548,11 @@ object TextQueries {
         val p = Tables.part(spark, dir)
           .select(col("p_partkey").as("id"), col("p_name").as("name"))
           .withColumn("blk", split(col("name"), " ").getItem(0))
-        val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
+        // Spread the probe side: the dim scan is one split, and under a
+        // broadcast join that one split would score ALL pairs serially
+        // (the q50 lesson — 23s → ~2s at sf0.1 on local[32]).
+        val a = QueryDef.spreadIfNarrow(
+          p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a")))
         val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
         a.join(b, Seq("blk"))
           .filter(col("id_a") < col("id_b"))

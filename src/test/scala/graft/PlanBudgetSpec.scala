@@ -235,10 +235,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // partitioning would still need its own exchange post-filter + the
     // output sort.
     "q118_asof_nearest" -> 3,
-    // q119: the block equi-join (the small side broadcasts at these SFs;
-    // shuffles on blk at scale) + the global top-100 sort; JW scoring is
-    // a codegen'd projection, not a shuffle.
-    "q119_fuzzy_block_match" -> 2,
+    // q119: the probe-side compute spread (the q50 lesson: one dim-scan
+    // split under a broadcast join scores all pairs serially — 23s → 1.7s
+    // at sf0.1), the block equi-join (small side broadcasts; shuffles on
+    // blk at scale) + the global top-100 sort.
+    "q119_fuzzy_block_match" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -306,6 +306,57 @@ class PropertySpec extends AnyFunSuite {
     bucket <- Gen.oneOf(1L, 7L, 10L, 64L)
   } yield (left, right, bucket)
 
+  private val asofGen: Gen[(Seq[(Long, Long, Long)], Seq[(Long, Long, Long)], Long)] = for {
+    np <- Gen.choose(1, 15)
+    nq <- Gen.choose(1, 15)
+    probes <- Gen.listOfN(np, for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 60L)
+    } yield (k, t, 0L))
+    quotes <- Gen.listOfN(nq, for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 60L)
+    } yield (k, t, 0L))
+    tol <- Gen.oneOf(5L, 20L, Long.MaxValue)
+  } yield (probes, quotes, tol)
+
+  test("asofJoin matches a brute-force reference in all three directions") {
+    forAll(asofGen, n = 8) { case (pRaw, qRaw, tol) =>
+      // Unique values per quote so the deterministic same-ts tie (min v
+      // forward / max v backward) is checkable.
+      val probes = pRaw.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val quotes = qRaw.zipWithIndex.map { case ((k, t, _), i) => (k, t, 1000L + i) }
+      def brute(dir: String): Map[(Long, Long, Long), Option[(Long, Long)]] =
+        probes.map { case (k, pt, pid) =>
+          val cands = quotes.filter(_._1 == k)
+          val eligible = dir match {
+            case "backward" => cands.filter(_._2 <= pt)
+            case "forward"  => cands.filter(_._2 >= pt)
+            case "nearest"  => cands
+          }
+          val best = eligible
+            .filter(q => math.abs(q._2 - pt) <= tol)
+            .sortBy { q =>
+              val d = math.abs(q._2 - pt)
+              // nearest ties → backward; same-ts/side ties → the window's
+              // deterministic pick: max v backward side, min v forward.
+              val sidePref = if (q._2 <= pt) 0 else 1
+              val vOrder = if (q._2 <= pt) -q._3 else q._3
+              (d, sidePref.toLong, vOrder)
+            }.headOption
+          ((k, pt, pid), best.map(q => (q._2, q._3)))
+        }.toMap
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val got = graft.operators.TimeSeries.asofJoin(
+            probes.toDF("k", "pts", "pid"), quotes.toDF("k", "qts", "qv"),
+            "k", "pts", "qts", "qv", dir, tol)
+          .select("k", "pts", "pid", "asof_ts", "asof_val")
+          .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+            Option(r.get(3)).map(_ =>
+              (r.getLong(3), r.getLong(4))))).toMap
+        assert(got === brute(dir), s"dir=$dir tol=$tol p=$probes q=$quotes")
+      }
+    }
+  }
+
   test("overlapJoin matches the naive cross filter for every bucket width") {
     forAll(overlapGen, n = 10) { case (left, right, bucket) =>
       // Distinct synthetic row ids so multiset pair counts are comparable.

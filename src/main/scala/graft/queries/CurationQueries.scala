@@ -453,5 +453,63 @@ object CurationQueries {
              |FROM cp WHERE copies >= 1
              |ORDER BY source, doc_id, copy_idx""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Triangle statistics of the SUPPORT-FILTERED co-purchase graph
+    // (part pairs appearing together in ≥ 2 orders — the standard
+    // market-basket min-support cut that separates signal from one-off
+    // co-occurrence; it shrinks the sf0.1 graph from 1.2M random-ish
+    // edges to 3.9k repeated ones). Triangles via the degree-ordered
+    // node-iterator (Suri-Vassilvitskii): orient edges along the
+    // (degree, id) total order, wedge at each vertex over OUT-neighbors
+    // only, close against the oriented edge set — every triangle counts
+    // once and hub wedge fan-out is bounded by out-degree (O(√|E|)), so
+    // a hot part never explodes into deg² wedges. All counts exact
+    // integers; the oracle replays the identical construction.
+    QueryDef(
+      "q120_triangle_stats",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.select(col("l_orderkey"), col("l_partkey").as("id_a"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("id_b")),
+            Seq("l_orderkey"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select(col("id_a"), col("id_b"))
+          // The operator consumes the edge set from several branches;
+          // materialize the support-filtered graph ONCE (3.9k rows at
+          // sf0.1 — the support aggregation over 1.2M raw pairs is the
+          // data-sized cost and must not replay per branch).
+          .localCheckpoint(true)
+        graft.operators.Graphs.triangleStats(pairs)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+             |  FROM lineitem l1 JOIN lineitem l2
+             |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+             |  GROUP BY u, v HAVING COUNT(*) >= 2),
+             |deg AS (SELECT id, COUNT(*) AS deg FROM (
+             |    SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs)
+             |  GROUP BY id),
+             |o AS (SELECT
+             |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.u < p.v) THEN p.u ELSE p.v END AS src,
+             |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.u < p.v) THEN p.v ELSE p.u END AS dst,
+             |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.u < p.v) THEN db.deg ELSE da.deg END AS ddst
+             |  FROM pairs p JOIN deg da ON p.u = da.id JOIN deg db ON p.v = db.id),
+             |tri AS (SELECT COUNT(*) AS n_triangles
+             |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+             |    AND (o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst))
+             |  WHERE EXISTS (SELECT 1 FROM o oc WHERE oc.src = o1.dst AND oc.dst = o2.dst))
+             |SELECT
+             |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+             |  (SELECT COUNT(*) FROM pairs) AS n_edges,
+             |  (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+             |  (SELECT n_triangles FROM tri) AS n_triangles,
+             |  ROUND(3.0 * (SELECT n_triangles FROM tri)
+             |    / (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6) AS clustering""".stripMargin),
+    ),
   )
 }

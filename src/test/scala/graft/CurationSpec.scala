@@ -61,6 +61,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleStats: K4, path, triangle-with-pendant, dup/reversed edges") {
+    import graft.operators.Graphs
+    def stats(pairs: Seq[(Long, Long)]) =
+      Graphs.triangleStats(pairs.toDF("id_a", "id_b"))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+        .as[(Long, Long, Long, Long)].head()
+    // K4: 6 edges, 4 triangles, 12 wedges (4 vertices × C(3,2)).
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(stats(k4) === ((4L, 6L, 12L, 4L)))
+    // Path 1-2-3: one wedge, no triangle.
+    assert(stats(Seq((1L, 2L), (2L, 3L))) === ((3L, 2L, 1L, 0L)))
+    // Triangle + pendant, with duplicate and reversed restatements of
+    // the same edges — canonicalization must collapse them.
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 1L), (3L, 4L))
+    assert(stats(tri) === ((4L, 4L, 5L, 1L))) // wedges: 1+1+C(3,2)+0 = 5
+  }
+
   test("duplicateClusters ignores pairs touching ids outside the id set") {
     // pairs (1,9),(9,2) chain through ghost node 9, which is NOT in ids:
     // 1 and 2 must stay separate clusters and 9 must not appear at all.

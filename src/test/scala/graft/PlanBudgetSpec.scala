@@ -240,6 +240,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // at sf0.1), the block equi-join (small side broadcasts; shuffles on
     // blk at scale) + the global top-100 sort.
     "q119_fuzzy_block_match" -> 3,
+    // q120: the ONE data-sized exchange (the 1.2M-raw-pair support agg)
+    // runs before the query's localCheckpoint; every exchange after it
+    // operates on the 3.9k-row materialized graph, whose subtree the
+    // static plan repeats per consuming branch (runtime exchange reuse
+    // collapses the identical copies — measured 4.0s steady-state at
+    // sf0.1). The count is bookkeeping of tiny frames, not data motion.
+    "q120_triangle_stats" -> 38,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -251,12 +258,18 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q62_bucketed_join", // the POINT: co-located SMJ with no exchanges
     "q80_kmeans_refine", // full-outer n_init⋈n_refined: codebook-sized both
                          // sides (full outer cannot broadcast)
-    "q88_delta_neardup"  // batch grams ⋈ corpus gram postings: the postings
+    "q88_delta_neardup", // batch grams ⋈ corpus gram postings: the postings
                          // side scales with the corpus and the batch-gram
                          // side with batch size × doc length — a hash-
                          // dispatch join on the gram key is the intended
                          // 100 TB shape (AQE still broadcasts small batches
                          // at runtime)
+    "q120_triangle_stats" // graph self-joins (degree attach, wedge build,
+                         // closing semi): every side is the edge set itself
+                         // — keyed merge joins ARE the scale strategy, and
+                         // the checkpointed edge frame carries no size
+                         // stats pre-AQE; at runtime AQE broadcasts the
+                         // support-filtered graph when it is small
   )
 
   test("every declared query stays within its audited plan budget") {

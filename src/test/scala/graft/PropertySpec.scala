@@ -357,6 +357,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val graphGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(0, 40)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L)
+    } yield (a, b))
+  } yield edges
+
+  test("triangleStats matches brute-force enumeration on random graphs") {
+    forAll(graphGen, n = 8) { raw =>
+      val edges = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      if (edges.nonEmpty) {
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        val bruteTri = (for {
+          Seq(x, y, z) <- nodes.combinations(3)
+          if edges((x, y)) && edges((x, z)) && edges((y, z))
+        } yield 1).size.toLong
+        val deg = nodes.map(v => v -> edges.count(e => e._1 == v || e._2 == v)).toMap
+        val bruteWedge = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+        val got = graft.operators.Graphs.triangleStats(
+            raw.toDF("id_a", "id_b"))
+          .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+          .as[(Long, Long, Long, Long)].head()
+        assert(got === ((nodes.size.toLong, edges.size.toLong, bruteWedge, bruteTri)),
+          s"edges=$edges")
+      }
+    }
+  }
+
   test("overlapJoin matches the naive cross filter for every bucket width") {
     forAll(overlapGen, n = 10) { case (left, right, bucket) =>
       // Distinct synthetic row ids so multiset pair counts are comparable.

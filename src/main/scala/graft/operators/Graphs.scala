@@ -35,12 +35,17 @@ object Graphs {
     * the inherent cost: Σ out-deg² wedge rows (~40M on the sf0.1
     * co-purchase graph).
     */
-  def triangleStats(pairs: DataFrame): DataFrame = {
-    val e = pairs
+  /** Canonical undirected edge set from a pair relation: (u < v), self
+    * loops dropped, duplicates and orientation collapsed. */
+  private def canonicalEdges(pairs: DataFrame): DataFrame =
+    pairs
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -74,5 +79,117 @@ object Graphs {
       when(col("n_wedges") > 0,
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
         .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** PageRank over an undirected pair relation, in EXACT fixed-point
+    * integer arithmetic (damping 0.85, uniform init of `scale` per node):
+    *
+    *   rank⁰(v)   = scale                       (1.0 in fixed point)
+    *   rankⁱ⁺¹(v) = (15·scale) div 100
+    *              + Σ_{u ∈ N(v)} ((rankⁱ(u) div 100) · 85) div deg(u)
+    *
+    * Every step is 64-bit integer div/mul — no floating point anywhere —
+    * so the result is bit-identical regardless of partitioning, executor
+    * count, or engine: a SQL oracle replays the identical recurrence and
+    * hash-matches. (Floating-point PageRank sums per-node contributions
+    * in partition order; its low bits are nondeterministic by design.)
+    * The damping multiply is applied per EDGE after a div-100 downshift,
+    * which caps every intermediate at 85·rank/100 ≈ rank: total mass is
+    * n·scale, so the default scale 1e9 holds ~10⁹ nodes inside int64
+    * even if mass concentrates on one hub. The downshift costs 2 decimal
+    * digits of the 9 carried — quantization error ~1e-7 per node per
+    * iteration, far below anything a ranking consumes.
+    *
+    * Scale shape: one keyed join + one keyed aggregation per iteration
+    * (contributions shuffle on dst — the standard distributed-PageRank
+    * step). The adjacency frame and each iteration's node-sized rank
+    * frame are materialized via localCheckpoint so iteration i+1 never
+    * replays iteration i's lineage (on a cluster, swap for a reliable
+    * checkpoint / table round-trip; frontier frames are |V|-sized, the
+    * cheap side of the graph).
+    *
+    * Dangling nodes cannot arise: the graph is undirected and restricted
+    * to edge endpoints, so every node has deg ≥ 1 and at least one
+    * in-contribution.
+    */
+  def pageRank(pairs: DataFrame, iterations: Int = 3,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(scale >= 100, "scale must carry at least the div-100 downshift")
+    val e = canonicalEdges(pairs)
+    val bidir = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = bidir.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    // (src, dst, deg(src)) — the per-edge share denominator travels with
+    // the edge so iterations never re-join the degree table.
+    val adj = bidir
+      .join(deg.select(col("id").as("src"), col("deg")), Seq("src"))
+      .localCheckpoint(true)
+    val nodes = deg.localCheckpoint(true)
+    val base = 15L * scale / 100L
+    var ranks = nodes.select(col("id"), lit(scale).as("rank"))
+    for (_ <- 1 to iterations) {
+      val shares = adj
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("id"),
+          expr("((rank div 100) * 85) div deg").as("share"))
+        .groupBy(col("id")).agg(sum(col("share")).as("in_sum"))
+      ranks = nodes
+        .join(shares, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.join(nodes, Seq("id")).select(col("id"), col("deg"), col("rank"))
+  }
+
+  /** Adamic–Adar link prediction: for every NON-adjacent pair (x, y)
+    * sharing at least one neighbor, score = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z)
+    * — the classic common-neighbor index that discounts promiscuous hubs
+    * (Adamic & Adar 2003, public). "Parts that should co-sell but don't
+    * yet" on a co-purchase graph; candidate-pair generation for entity
+    * resolution on a duplicate graph.
+    *
+    * Determinism: each center's weight is quantized to integer
+    * MICRO-units — floor(1e6/ln(deg)) — BEFORE the per-pair sum, so the
+    * aggregation is exact integer math, order-independent, and a SQL
+    * oracle replays it. (deg(z) ≥ 2 always: z neighbors both x and y,
+    * so ln(deg) > 0.) ln over small-integer operands is the one libm
+    * call, identical-operand in both engines — the q108 entropy
+    * discipline.
+    *
+    * Scale: wedge generation at a center z fans out C(deg z, 2) pairs —
+    * inherently Σ deg² work, and unlike triangle counting no orientation
+    * trick can bound it (the pairs ARE the output). The standard lever
+    * is `maxCenterDeg`: hubs above the cap are excluded as centers —
+    * exactly the pairs a hub generates are the ones AA itself discounts
+    * toward zero (weight 1/ln(deg)), so the cap removes the quadratic
+    * blowup with bounded score loss. 0 = exact/no cap. Everything else
+    * is keyed joins; the existing-edge exclusion is a left_anti on the
+    * canonical edge set.
+    */
+  def adamicAdar(pairs: DataFrame, maxCenterDeg: Int = 0): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val bidir = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = bidir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val centers0 = deg.filter(col("deg") >= 2)
+    val centers = if (maxCenterDeg > 0)
+      centers0.filter(col("deg") <= maxCenterDeg) else centers0
+    // (z, neighbor, w_micros(z)): quantized hub discount rides the edge.
+    val adj = bidir.join(centers, Seq("src"))
+      .select(col("src"), col("dst"),
+        floor(lit(1000000.0) / log(col("deg").cast("double"))).as("w"))
+    val wedges = adj.select(col("src"), col("dst").as("x"), col("w"))
+      .join(adj.select(col("src"), col("dst").as("y")), Seq("src"))
+      .filter(col("x") < col("y"))
+    wedges
+      .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
+        "left_anti")
+      .groupBy(col("x"), col("y"))
+      .agg(sum(col("w")).as("aa_micros"), count(lit(1)).as("common_neighbors"))
+      .select(col("x"), col("y"), col("common_neighbors"), col("aa_micros"),
+        round(col("aa_micros").cast("double") / 1000000.0, 6).as("aa_score"))
   }
 }

@@ -511,5 +511,108 @@ object CurationQueries {
              |  ROUND(3.0 * (SELECT n_triangles FROM tri)
              |    / (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6) AS clustering""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // PageRank (3 iterations, damping 0.85) over the same support-
+    // filtered co-purchase graph as q120 — "which parts anchor the
+    // co-purchase network". The whole recurrence runs in fixed-point
+    // INTEGER arithmetic (scale 1e9; per-edge share =
+    // ((rank div 100)·85) div deg), so the result is bit-identical
+    // under any partitioning and the oracle replays the identical
+    // integer recurrence iteration by iteration. One keyed join + one
+    // keyed aggregation per iteration; node-sized rank frames are
+    // checkpointed between iterations.
+    QueryDef(
+      "q121_pagerank",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.select(col("l_orderkey"), col("l_partkey").as("id_a"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("id_b")),
+            Seq("l_orderkey"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        graft.operators.Graphs.pageRank(pairs, iterations = 3)
+          .orderBy(col("rank").desc, col("id"))
+          .limit(20)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+             |  FROM lineitem l1 JOIN lineitem l2
+             |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+             |  GROUP BY u, v HAVING COUNT(*) >= 2),
+             |bidir AS (SELECT u AS src, v AS dst FROM pairs
+             |  UNION ALL SELECT v, u FROM pairs),
+             |deg AS (SELECT src AS id, COUNT(*) AS deg FROM bidir GROUP BY src),
+             |adj AS (SELECT b.src, b.dst, d.deg FROM bidir b JOIN deg d ON b.src = d.id),
+             |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM deg),
+             |r1 AS (SELECT d.id, CAST(150000000 + COALESCE(s.m, 0) AS BIGINT) AS rank
+             |  FROM deg d LEFT JOIN (
+             |    SELECT a.dst AS id, SUM(((r.rank // 100) * 85) // a.deg) AS m
+             |    FROM adj a JOIN r0 r ON a.src = r.id GROUP BY a.dst) s ON d.id = s.id),
+             |r2 AS (SELECT d.id, CAST(150000000 + COALESCE(s.m, 0) AS BIGINT) AS rank
+             |  FROM deg d LEFT JOIN (
+             |    SELECT a.dst AS id, SUM(((r.rank // 100) * 85) // a.deg) AS m
+             |    FROM adj a JOIN r1 r ON a.src = r.id GROUP BY a.dst) s ON d.id = s.id),
+             |r3 AS (SELECT d.id, CAST(150000000 + COALESCE(s.m, 0) AS BIGINT) AS rank
+             |  FROM deg d LEFT JOIN (
+             |    SELECT a.dst AS id, SUM(((r.rank // 100) * 85) // a.deg) AS m
+             |    FROM adj a JOIN r2 r ON a.src = r.id GROUP BY a.dst) s ON d.id = s.id)
+             |SELECT r.id, d.deg, r.rank
+             |FROM r3 r JOIN deg d ON r.id = d.id
+             |ORDER BY r.rank DESC, r.id LIMIT 20""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Adamic–Adar link prediction on the support-filtered co-purchase
+    // graph: top NON-adjacent part pairs by Σ 1/ln(deg z) over common
+    // neighbors z — "parts that should co-sell but don't yet"; the same
+    // operator generates candidate pairs for entity resolution. Each
+    // center's hub discount is quantized to integer micro-units BEFORE
+    // the pair sum (exact, order-independent); the oracle replays the
+    // identical wedge → anti-join → integer-sum construction.
+    QueryDef(
+      "q123_adamic_adar",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.select(col("l_orderkey"), col("l_partkey").as("id_a"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("id_b")),
+            Seq("l_orderkey"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        graft.operators.Graphs.adamicAdar(pairs)
+          .orderBy(col("aa_micros").desc, col("x"), col("y"))
+          .limit(50)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+             |  FROM lineitem l1 JOIN lineitem l2
+             |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+             |  GROUP BY u, v HAVING COUNT(*) >= 2),
+             |bidir AS (SELECT u AS src, v AS dst FROM pairs
+             |  UNION ALL SELECT v, u FROM pairs),
+             |deg AS (SELECT src AS id, COUNT(*) AS deg FROM bidir GROUP BY src),
+             |adj AS (SELECT b.src, b.dst,
+             |    CAST(FLOOR(1000000.0 / LN(d.deg)) AS BIGINT) AS w
+             |  FROM bidir b JOIN deg d ON b.src = d.id WHERE d.deg >= 2),
+             |wedges AS (SELECT a1.dst AS x, a2.dst AS y, a1.w
+             |  FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+             |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+             |    WHERE p.u = a1.dst AND p.v = a2.dst))
+             |SELECT x, y, COUNT(*) AS common_neighbors,
+             |  CAST(SUM(w) AS BIGINT) AS aa_micros,
+             |  ROUND(SUM(w) / 1000000.0, 6) AS aa_score
+             |FROM wedges GROUP BY x, y
+             |ORDER BY aa_micros DESC, x, y LIMIT 50""".stripMargin),
+    ),
   )
 }

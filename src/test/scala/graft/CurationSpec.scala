@@ -78,6 +78,55 @@ class CurationSpec extends AnyFunSuite {
     assert(stats(tri) === ((4L, 4L, 5L, 1L))) // wedges: 1+1+C(3,2)+0 = 5
   }
 
+  test("pageRank: hand-computed path values, symmetry, hub dominance, partition invariance") {
+    import graft.operators.Graphs
+    // Path 1-2-3, one iteration, scale 1e9: share(u) = ((1e9 div 100)·85) div deg(u)
+    //   → endpoints contribute 850000000, the middle 425000000 per edge;
+    //   r1 = 150000000 + Σ shares, exactly.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r1 = Graphs.pageRank(path, iterations = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(r1 === Array((1L, 575000000L), (2L, 1850000000L), (3L, 575000000L)))
+    // K4 is vertex-transitive: all ranks identical after any iterations.
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("id_a", "id_b")
+    assert(Graphs.pageRank(k4, 3).select("rank").distinct().count() === 1L)
+    // Star: the center outranks every leaf, leaves tie.
+    val star = (2L to 6L).map(i => (1L, i)).toDF("id_a", "id_b")
+    val sr = Graphs.pageRank(star, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((2L to 6L).forall(i => sr(1L) > sr(i)))
+    assert((3L to 6L).forall(i => sr(i) === sr(2L)))
+    // Bit-identical under repartitioning — the integer-arithmetic claim.
+    val rnd = new scala.util.Random(11)
+    val rand = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val a = Graphs.pageRank(rand, 3).orderBy("id").collect().toSeq
+    val b = Graphs.pageRank(rand.repartition(7), 3).orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("adamicAdar: path, cycle diagonals, triangle exclusion, hub cap") {
+    import graft.operators.Graphs
+    def aa(pairs: Seq[(Long, Long)], cap: Int = 0) =
+      Graphs.adamicAdar(pairs.toDF("id_a", "id_b"), cap)
+        .orderBy("x", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Path 1-2-3: (1,3) share center 2 with deg 2 → floor(1e6/ln 2).
+    val w2 = math.floor(1000000.0 / math.log(2.0)).toLong
+    assert(aa(Seq((1L, 2L), (2L, 3L))) === Array((1L, 3L, 1L, w2)))
+    // C4 cycle: both diagonals score 2·w2; adjacent pairs are excluded.
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(aa(c4) === Array((1L, 3L, 2L, 2 * w2), (2L, 4L, 2L, 2 * w2)))
+    // Triangle: every co-neighbored pair is already an edge → empty.
+    assert(aa(Seq((1L, 2L), (2L, 3L), (3L, 1L))).isEmpty)
+    // Star with a deg-4 center: capping centers at deg ≤ 3 removes all
+    // wedges; uncapped, each leaf pair scores floor(1e6/ln 4).
+    val star = (2L to 5L).map(i => (1L, i))
+    val w4 = math.floor(1000000.0 / math.log(4.0)).toLong
+    assert(aa(star).forall(t => t._3 === 1L && t._4 === w4) && aa(star).length === 6)
+    assert(aa(star, cap = 3).isEmpty)
+  }
+
   test("duplicateClusters ignores pairs touching ids outside the id set") {
     // pairs (1,9),(9,2) chain through ghost node 9, which is NOT in ids:
     // 1 and 2 must stay separate clusters and 9 must not appear at all.

@@ -542,5 +542,42 @@ object AnalyticsQueries {
              |SELECT window_start, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
              |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Two-sample Kolmogorov–Smirnov distribution-drift gate: D =
+    // sup|F_A − F_R| over the extended-price distributions of returned
+    // vs accepted line items. The numerator at every pooled value is the
+    // EXACT integer |ca·n_b − cb·n_a| (cumulative counts via the
+    // two-phase banded prefix sum — never a global single-partition
+    // window); d and the α=0.05 Smirnov decision are identical-operand
+    // IEEE steps off those integers. Catches shape drift the mean/
+    // variance gates (q55, q112) can't see.
+    QueryDef(
+      "q122_ks_drift",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        graft.operators.Stats.ksTwoSample(li, col("l_extendedprice"),
+          col("l_returnflag"), "A", "R", bandWidth = 1000)
+      },
+      Some("""WITH s AS (SELECT l_extendedprice AS v, l_returnflag AS f
+             |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+             |n AS (SELECT CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |             CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM s),
+             |c AS (SELECT v, SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS da,
+             |             SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS db
+             |  FROM s GROUP BY v),
+             |cum AS (SELECT
+             |    SUM(da) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             |    SUM(db) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+             |  FROM c),
+             |d AS (SELECT MAX(ABS(CAST(ca AS HUGEINT) * n_b
+             |                   - CAST(cb AS HUGEINT) * n_a)) AS d_num FROM cum, n)
+             |SELECT n_a, n_b, CAST(d_num AS DECIMAL(38,0)) AS d_num,
+             |  ROUND(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d,
+             |  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) >
+             |    1.3581 * sqrt(CAST(n_a + n_b AS DOUBLE)
+             |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS reject_05
+             |FROM d, n""".stripMargin),
+    ),
   )
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Stats
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def ks(a: Seq[Int], b: Seq[Int], bandWidth: Int = 1) = {
+    val df = (a.map(v => (v, "A")) ++ b.map(v => (v, "B"))).toDF("v", "s")
+    Stats.ksTwoSample(df, col("v"), col("s"), "A", "B", bandWidth)
+      .select(col("n_a"), col("n_b"), col("d_num").cast("long"),
+        col("d"), col("reject_05"))
+      .as[(Long, Long, Long, Double, Boolean)].head()
+  }
+
+  test("ksTwoSample: hand-computed D on overlapping samples") {
+    // A={1,2,3}, B={2,3,4}: at v∈{1,2,3} |ca·3−cb·3| = 3, at v=4 it is 0
+    // → d_num=3, d=3/9; far under the α=.05 critical value.
+    assert(ks(Seq(1, 2, 3), Seq(2, 3, 4)) === ((3L, 3L, 3L, 0.333333, false)))
+  }
+
+  test("ksTwoSample: disjoint supports give D=1 and reject") {
+    val out = ks(1 to 10, 101 to 110)
+    assert(out === ((10L, 10L, 100L, 1.0, true)))
+  }
+
+  test("ksTwoSample: identical samples give D=0") {
+    assert(ks(Seq(5, 6, 7, 8), Seq(5, 6, 7, 8)) === ((4L, 4L, 0L, 0.0, false)))
+  }
+
+  test("ksTwoSample: result is bandWidth-invariant (two-phase prefix sum is exact)") {
+    val a = (1 to 200).map(i => (i * 7) % 97)
+    val b = (1 to 150).map(i => (i * 13) % 89 + 5)
+    for (w <- Seq(1, 8, 1000)) {
+      assert(ks(a, b, w) === ks(a, b, 1), s"bandWidth=$w")
+    }
+  }
+
+  test("ksTwoSample: ignores rows from other sides and duplicates count multiply") {
+    val df = Seq((1, "A"), (1, "A"), (2, "B"), (9, "C")).toDF("v", "s")
+    val out = Stats.ksTwoSample(df, col("v"), col("s"), "A", "B", 10)
+      .select(col("n_a"), col("n_b"), col("d_num").cast("long"))
+      .as[(Long, Long, Long)].head()
+    // at v=1: |2·1 − 0·2| = 2; side C never enters the pooled set.
+    assert(out === ((2L, 1L, 2L)))
+  }
+}

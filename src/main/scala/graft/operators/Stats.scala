@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Exact distributional statistics for data-quality gates. The family
   * discipline (shared with the moment/OLS/chi-square queries): every
@@ -79,5 +80,52 @@ object Stats {
           lit(1.3581) * sqrt((col("n_a") + col("n_b")).cast("double") /
             (col("n_a").cast("double") * col("n_b").cast("double"))))
           .as("reject_05"))
+  }
+
+  /** Pairwise Pearson correlation matrix over fixed-point variables, in
+    * ONE aggregation pass (feature-redundancy scan before training /
+    * mart design). `vars` maps output names to already-quantized
+    * integer-valued columns (e.g. a 2-decimal money column × 100); the
+    * fixed-point scales cancel exactly in r, so the choice of scale
+    * only bounds magnitudes.
+    *
+    * All sufficient statistics — n, Σx, Σx², Σxy for every pair — are
+    * exact DECIMAL(38,0) sums computed in a single scan (k vars → one
+    * row of 1 + 2k + C(k,2) aggregates; the melt to pair rows happens on
+    * that one-row frame, never on data). r's final steps are identical-
+    * operand IEEE double ops: the two variance numerators take separate
+    * sqrt's before multiplying, keeping every intermediate inside both
+    * double range and DECIMAL(38,0) (their direct product n²·σ²ₓσ²ᵧ
+    * would overflow 38 digits at scale). Zero-variance columns yield
+    * NULL r rather than a 0/0.
+    *
+    * Magnitude bound: n·Σx² must fit 38 digits — e.g. values ≤ 1e7
+    * micro-units allow ~1e10 rows; pick the quantization accordingly.
+    */
+  def corrMatrix(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
+    require(vars.size >= 2, "corrMatrix needs at least two variables")
+    val d38 = DecimalType(38, 0)
+    val names = vars.map(_._1)
+    val proj = df.select(vars.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val pairs = for (i <- names.indices; j <- (i + 1) until names.size)
+      yield (names(i), names(j))
+    val aggs =
+      names.map(n => sum(col(n).cast(d38)).as(s"s_$n")) ++
+      names.map(n => sum(col(n).cast(d38) * col(n).cast(d38)).as(s"ss_$n")) ++
+      pairs.map { case (a, b) =>
+        sum(col(a).cast(d38) * col(b).cast(d38)).as(s"sp_${a}_$b") }
+    val one = proj.agg(count(lit(1)).cast(d38).as("n"), aggs: _*)
+    def varNum(x: String) =
+      (col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")).cast("double")
+    val pairStructs = pairs.map { case (a, b) =>
+      val covNum = (col("n") * col(s"sp_${a}_$b") -
+        col(s"s_$a") * col(s"s_$b")).cast("double")
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        when(varNum(a) > 0 && varNum(b) > 0,
+          round(covNum / (sqrt(varNum(a)) * sqrt(varNum(b))), 6)).as("corr"))
+    }
+    one.select(col("n").cast("long").as("n"),
+        explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.var_a"), col("p.var_b"), col("n"), col("p.corr"))
   }
 }

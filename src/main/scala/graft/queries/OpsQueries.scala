@@ -288,6 +288,61 @@ object OpsQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Pearson correlation matrix over the lineitem measures in ONE
+    // aggregation pass — the feature-redundancy scan run before model
+    // training or mart design. All sufficient statistics (n, Σx, Σx²,
+    // Σxy per pair) are exact DECIMAL(38,0)/HUGEINT sums of cent-
+    // quantized values (the q112 discipline: fixed-point scales cancel
+    // in r); doubles appear only in the final identical-operand
+    // division, with separate sqrt's per variance so nothing overflows
+    // 38 digits. The melt to 6 pair rows happens on the one-row stats
+    // frame, never on data.
+    QueryDef(
+      "q124_corr_matrix",
+      (spark, dir) => {
+        def cents(c: String) =
+          (col(c).cast(DecimalType(18, 2)) * lit(100)).cast("long")
+        graft.operators.Stats.corrMatrix(Tables.lineitem(spark, dir), Seq(
+            "quantity" -> cents("l_quantity"),
+            "extendedprice" -> cents("l_extendedprice"),
+            "discount" -> cents("l_discount"),
+            "tax" -> cents("l_tax")))
+          .orderBy(col("var_a"), col("var_b"))
+      },
+      Some("""WITH base AS (SELECT
+             |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+             |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+             |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+             |  FROM lineitem),
+             |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             |    SUM(CAST(q AS HUGEINT)) AS s_q, SUM(CAST(p AS HUGEINT)) AS s_p,
+             |    SUM(CAST(d AS HUGEINT)) AS s_d, SUM(CAST(t AS HUGEINT)) AS s_t,
+             |    SUM(CAST(q AS HUGEINT) * q) AS ss_q, SUM(CAST(p AS HUGEINT) * p) AS ss_p,
+             |    SUM(CAST(d AS HUGEINT) * d) AS ss_d, SUM(CAST(t AS HUGEINT) * t) AS ss_t,
+             |    SUM(CAST(q AS HUGEINT) * p) AS sp_qp, SUM(CAST(q AS HUGEINT) * d) AS sp_qd,
+             |    SUM(CAST(q AS HUGEINT) * t) AS sp_qt, SUM(CAST(p AS HUGEINT) * d) AS sp_pd,
+             |    SUM(CAST(p AS HUGEINT) * t) AS sp_pt, SUM(CAST(d AS HUGEINT) * t) AS sp_dt
+             |  FROM base),
+             |r AS (SELECT var_a, var_b, CAST(n AS BIGINT) AS n,
+             |    ROUND(CAST(cov AS DOUBLE) / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE))), 6) AS corr
+             |  FROM (
+             |    SELECT 'quantity' AS var_a, 'extendedprice' AS var_b, n,
+             |      n*sp_qp - s_q*s_p AS cov, n*ss_q - s_q*s_q AS va, n*ss_p - s_p*s_p AS vb FROM s
+             |    UNION ALL SELECT 'quantity', 'discount', n,
+             |      n*sp_qd - s_q*s_d, n*ss_q - s_q*s_q, n*ss_d - s_d*s_d FROM s
+             |    UNION ALL SELECT 'quantity', 'tax', n,
+             |      n*sp_qt - s_q*s_t, n*ss_q - s_q*s_q, n*ss_t - s_t*s_t FROM s
+             |    UNION ALL SELECT 'extendedprice', 'discount', n,
+             |      n*sp_pd - s_p*s_d, n*ss_p - s_p*s_p, n*ss_d - s_d*s_d FROM s
+             |    UNION ALL SELECT 'extendedprice', 'tax', n,
+             |      n*sp_pt - s_p*s_t, n*ss_p - s_p*s_p, n*ss_t - s_t*s_t FROM s
+             |    UNION ALL SELECT 'discount', 'tax', n,
+             |      n*sp_dt - s_d*s_t, n*ss_d - s_d*s_d, n*ss_t - s_t*s_t FROM s))
+             |SELECT var_a, var_b, n, corr FROM r ORDER BY var_a, var_b""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Schema-generic column profiling: q44's hand-written events profile
     // generalized — Aggregations.profileColumns derives the statistics
     // from df.schema and computes EVERY column's nulls/distincts/min/max

@@ -47,4 +47,30 @@ class StatsSpec extends AnyFunSuite {
     // at v=1: |2·1 − 0·2| = 2; side C never enters the pooled set.
     assert(out === ((2L, 1L, 2L)))
   }
+
+  test("corrMatrix: perfect, inverse, hand-computed, and zero-variance pairs") {
+    val df = Seq((1L, 2L, 9L, 5L), (2L, 4L, 8L, 5L), (3L, 6L, 7L, 5L),
+      (4L, 8L, 1L, 5L)).toDF("x", "y2", "yneg", "c")
+    val out = Stats.corrMatrix(df, Seq("x" -> col("x"), "y2" -> col("y2"),
+        "yneg" -> col("yneg"), "c" -> col("c")))
+      .orderBy("var_a", "var_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    val m = out.map(t => (t._1, t._2) -> t._4).toMap
+    assert(out.forall(_._3 === 4L) && out.length === 6)
+    assert(m(("x", "y2")) === 1.0)          // y2 = 2x exactly
+    assert(m(("x", "c")) === null)          // zero variance → NULL, not 0/0
+    assert(m(("y2", "c")) === null && m(("yneg", "c")) === null)
+    // x vs yneg: hand stats n=4 Σx=10 Σy=25 Σxy=50 Σx²=30 Σy²=195
+    // → r = (200−250)/(sqrt(20)·sqrt(155)) = −0.898027…
+    assert(m(("x", "yneg")) === -0.898027)
+    // invariant to the fixed-point scale choice
+    val scaled = Stats.corrMatrix(df, Seq("x" -> (col("x") * 100),
+        "y2" -> (col("y2") * 1000), "yneg" -> (col("yneg") * 10),
+        "c" -> (col("c") * 7)))
+      .orderBy("var_a", "var_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(scaled === out)
+  }
 }

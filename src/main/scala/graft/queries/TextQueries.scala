@@ -571,5 +571,80 @@ object TextQueries {
              |SELECT id_a, id_b, jw FROM j WHERE jw >= 0.8
              |ORDER BY jw DESC, id_a, id_b LIMIT 100""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Bigram language-model scoring with Stupid Backoff (Brants et al.
+    // 2007 — the web-scale LM smoothing that needs no discounting):
+    // eval documents (doc_id % 10 = 0) scored under the TRAIN corpus's
+    // bigram table; a bigram unseen in training backs off to
+    // 0.4 · (c(w₂)+1)/(N+V) (add-one so unseen unigrams stay finite).
+    // Upgrades q68's unigram signal with left-context — word salad with
+    // plausible unigrams scores low here. Train tables are two
+    // aggregations (vocab- and bigram-keyed, never doc×doc); eval
+    // bigrams join them by key. Per-doc Σ log S routes through
+    // DECIMAL(28,12) (exact in any summation order); S itself is
+    // identical-operand IEEE division. Only eval docs with ≥ 1 bigram
+    // appear (a 1-token doc has no bigram events to score).
+    QueryDef(
+      "q125_bigram_backoff",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        val uni = train.select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        val tot = uni.agg(sum(col("cw")).cast("long").as("n"),
+          count(lit(1)).as("v"))
+        val bi = train.select(explode(
+            graft.operators.Dedup.gramsFromTokens(col("toks"), 2)).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("cbi"))
+        // Eval bigrams ride the same staged-gram machinery as q54;
+        // tokens are whitespace-split, so the gram splits back
+        // unambiguously into (w1, w2).
+        val ev = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), explode(
+            graft.operators.Dedup.gramsFromTokens(col("toks"), 2)).as("g"))
+          .withColumn("w1", substring_index(col("g"), " ", 1))
+          .withColumn("w2", substring_index(col("g"), " ", -1))
+        val s = ev
+          .join(bi, Seq("g"), "left")
+          .join(uni.select(col("w").as("w1"), col("cw").as("cw1")), Seq("w1"), "left")
+          .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("score",
+            when(col("cbi").isNotNull, col("cbi") / col("cw1"))
+              .otherwise(lit(0.4) *
+                ((coalesce(col("cw2"), lit(0L)) + 1).cast(DoubleType) /
+                  (col("n") + col("v")).cast(DoubleType))))
+        s.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(log(col("score")).cast(DecimalType(28, 12)))
+              .cast(DoubleType) / count(lit(1)), 6).as("avg_logp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+             |  FROM documents),
+             |tr AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+             |uni AS (SELECT w, COUNT(*) AS cw FROM (SELECT unnest(l) AS w FROM tr) GROUP BY w),
+             |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+             |bi AS (SELECT g, COUNT(*) AS cbi FROM (
+             |    SELECT unnest(CASE WHEN len(l) < 2 THEN []
+             |      ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) END) AS g
+             |    FROM tr) GROUP BY g),
+             |ev AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+             |  FROM d WHERE doc_id % 10 = 0 AND len(l) >= 2),
+             |s AS (SELECT ev.doc_id,
+             |    CASE WHEN bi.cbi IS NOT NULL THEN bi.cbi / u1.cw
+             |    ELSE 0.4 * (CAST(COALESCE(u2.cw, 0) + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE))
+             |    END AS score
+             |  FROM ev
+             |  LEFT JOIN bi ON bi.g = ev.w1 || ' ' || ev.w2
+             |  LEFT JOIN uni u1 ON u1.w = ev.w1
+             |  LEFT JOIN uni u2 ON u2.w = ev.w2
+             |  CROSS JOIN tot)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  ROUND(CAST(SUM(CAST(ln(score) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

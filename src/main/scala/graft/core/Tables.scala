@@ -33,17 +33,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and convert to microsecond
-    * timestamps. Integer `DIV` is mandatory: epoch-nanos (~1.7e18) exceed
-    * double's 53-bit mantissa, so `/ 1000` through double would corrupt
-    * low-order digits.
+  /** The `ts` column's physical type has varied across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects — read nanos as long, integer-DIV to micros; epoch-nanos
+    * ~1.7e18 exceed double's 53-bit mantissa so `/ 1000` through double
+    * would corrupt low-order digits) vs plain TIMESTAMP(MICROS) without
+    * timezone (reads as TIMESTAMP_NTZ). Normalize both to session-local
+    * TimestampType — the session timezone is pinned to UTC everywhere, so
+    * the NTZ→LTZ cast is instant-preserving and matches how the DuckDB
+    * oracle reads the same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -24,9 +24,10 @@ object Stats {
     * Exactness: at every distinct pooled value, D's numerator is the
     * integer |ca·n_b − cb·n_a| (ca, cb = cumulative counts ≤ x), so
     * `d_num` is exact and max() is order-independent. The reported
-    * `d` = d_num/(n_a·n_b) and the α=0.05 decision (critical value
-    * c = 1.3581, the large-sample Smirnov approximation) are computed
-    * from exact integers by identical-operand IEEE double ops.
+    * `d_ppm` = ⌊10⁶·d_num/(n_a·n_b)⌋ is an exact integral DECIMAL
+    * division (no float ever crosses the output); the α=0.05 decision
+    * (critical value c = 1.3581, the large-sample Smirnov approximation)
+    * is computed from exact integers by identical-operand IEEE double ops.
     *
     * Scale: counts-per-distinct-value is one keyed aggregation. The
     * cumulative counts are a prefix sum in VALUE order — run as the
@@ -72,9 +73,15 @@ object Stats {
       .agg(max(abs(expr(dec.format("ca") + " * " + dec.format("n_b")) -
         expr(dec.format("cb") + " * " + dec.format("n_a")))).as("d_num"),
         first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      // d is reported as exact integer parts-per-million (integral DECIMAL
+      // division) — a float d would be bit-identical across engines in
+      // VALUE yet still hash-sensitive to the checker's serialization of
+      // doubles; an integer crosses any hash unambiguously. The α=0.05
+      // decision stays IEEE (identical operands both sides — deterministic).
       .select(col("n_a"), col("n_b"), col("d_num"),
-        round(col("d_num").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("d"),
+        expr("(d_num * 1000000) div " +
+          "(cast(n_a as decimal(38,0)) * cast(n_b as decimal(38,0)))")
+          .as("d_ppm"),
         (col("d_num").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")) >
           lit(1.3581) * sqrt((col("n_a") + col("n_b")).cast("double") /

@@ -214,8 +214,17 @@ object TimeSeries {
       .groupBy(col("prev_state"), col(state).as("next_state"))
       .agg(count(lit(1)).as("n_transitions"))
     val wp = Window.partitionBy(col("prev_state"))
-    counts.withColumn("prob",
-      col("n_transitions") / sum(col("n_transitions")).over(wp))
+    // prob is the convenient double; prob_ppm is the exact integral
+    // fixed-point twin (⌊10⁶·n/total⌋ in DECIMAL(38,0) space) — emit the
+    // latter when the result crosses an engine-comparison hash, so no
+    // floating-point bit pattern is part of the contract.
+    counts
+      .withColumn("_total", sum(col("n_transitions")).over(wp))
+      .withColumn("prob", col("n_transitions") / col("_total"))
+      .withColumn("prob_ppm",
+        expr("(cast(n_transitions as decimal(38,0)) * 1000000) div " +
+          "cast(_total as decimal(38,0))"))
+      .drop("_total")
   }
 
   /** Per-group ordinary-least-squares fit of y over integer x via EXACT

@@ -573,7 +573,7 @@ object AnalyticsQueries {
              |d AS (SELECT MAX(ABS(CAST(ca AS HUGEINT) * n_b
              |                   - CAST(cb AS HUGEINT) * n_a)) AS d_num FROM cum, n)
              |SELECT n_a, n_b, CAST(d_num AS DECIMAL(38,0)) AS d_num,
-             |  ROUND(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d,
+             |  CAST((d_num * 1000000) // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)) AS BIGINT) AS d_ppm,
              |  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) >
              |    1.3581 * sqrt(CAST(n_a + n_b AS DOUBLE)
              |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS reject_05

@@ -212,7 +212,7 @@ object OpsQueries {
             sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
             sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
             round((sum(col("clipped").cast(DecimalType(18, 6)))).cast(DoubleType) /
-              count(lit(1)), 6).as("winsorized_mean"))
+              count(lit(1)), 6).cast(DecimalType(18, 6)).as("winsorized_mean"))
           .orderBy(col("event_type"))
       },
       Some("""WITH fences AS (SELECT event_type,
@@ -224,7 +224,7 @@ object OpsQueries {
              |SELECT event_type, COUNT(*) AS n,
              |  CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
              |  CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
-             |  ROUND(CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+             |  CAST(ROUND(CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS winsorized_mean
              |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
 
@@ -467,7 +467,8 @@ object OpsQueries {
               col("exp")).cast(DecimalType(28, 12)))
           .groupBy(col("n"))
           .agg(count(lit(1)).as("n_cells"),
-            round(sum(col("term")).cast(DoubleType), 6).as("chi2"))
+            round(sum(col("term")).cast(DoubleType), 6)
+              .cast(DecimalType(18, 6)).as("chi2"))
           .select(col("n"), col("n_cells"), col("chi2"),
             lit(8L).as("dof")) // (5 types − 1) × (3 bands − 1)
       },
@@ -487,7 +488,7 @@ object OpsQueries {
              |    AS DECIMAL(28,12)) AS term
              |  FROM x)
              |SELECT CAST(n AS BIGINT) AS n, COUNT(*) AS n_cells,
-             |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2, CAST(8 AS BIGINT) AS dof
+             |  CAST(ROUND(CAST(SUM(term) AS DOUBLE), 6) AS DECIMAL(18,6)) AS chi2, CAST(8 AS BIGINT) AS dof
              |FROM t GROUP BY n""".stripMargin),
     ),
 

@@ -153,9 +153,9 @@ object TimeSeriesQueries {
     // ----------------------------------------------------------------
     // First-order Markov transition matrix over each user's event
     // sequence: P(next | prev) estimated from adjacent pairs. The
-    // probability is one long/long IEEE division — identical in both
-    // engines with no rounding discipline needed; round(6) only
-    // stabilizes the printed scale.
+    // probability crosses the oracle hash as exact integer parts-per-
+    // million (integral DECIMAL division) — no floating-point bit
+    // pattern is part of the comparison contract (the q122 lesson).
     QueryDef(
       "q104_markov_transitions",
       (spark, dir) =>
@@ -163,7 +163,7 @@ object TimeSeriesQueries {
             Tables.events(spark, dir), "user_id", "event_type",
             Seq(col("ts"), col("event_id")))
           .select(col("prev_state"), col("next_state"), col("n_transitions"),
-            round(col("prob"), 6).as("prob"))
+            col("prob_ppm"))
           .orderBy(col("prev_state"), col("next_state")),
       Some("""WITH seq AS (SELECT user_id, event_type,
              |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
@@ -171,7 +171,7 @@ object TimeSeriesQueries {
              |c AS (SELECT prev_state, event_type AS next_state, COUNT(*) AS n_transitions
              |  FROM seq WHERE prev_state IS NOT NULL GROUP BY prev_state, event_type)
              |SELECT prev_state, next_state, n_transitions,
-             |  ROUND(n_transitions / (SUM(n_transitions) OVER (PARTITION BY prev_state)), 6) AS prob
+             |  CAST((n_transitions * 1000000) // SUM(n_transitions) OVER (PARTITION BY prev_state) AS BIGINT) AS prob_ppm
              |FROM c ORDER BY prev_state, next_state""".stripMargin),
     ),
 

@@ -247,6 +247,40 @@ class PlanBudgetSpec extends AnyFunSuite {
     // collapses the identical copies — measured 4.0s steady-state at
     // sf0.1). The count is bookkeeping of tiny frames, not data motion.
     "q120_triangle_stats" -> 38,
+    // q121: the data-sized support-pair build and every per-iteration
+    // rank frame materialize EAGERLY (localCheckpoint(true)) during
+    // query construction, so the audited plan is only the final
+    // rank⋈deg join over the two checkpointed node-sized frames (one
+    // exchange each side). At real scale swap the localCheckpoints for
+    // reliable checkpointing / parquet handoff (Graphs.pageRank doc).
+    "q121_pagerank" -> 2,
+    // q122: the two-phase banded prefix sum (per-value agg, band-local
+    // cumsum window, band-totals agg + bounded offset window), the
+    // one-row n_a/n_b agg and final max agg each collapsing to a
+    // single-partition exchange; the offsets and counts frames
+    // broadcast.
+    "q122_ks_drift" -> 7,
+    // q123: wedge generation over the checkpointed support graph —
+    // degree agg, center-filtered adjacency join, the wedge self-join,
+    // the anti-join against the edge set, the (x, y) pair agg, and the
+    // output TakeOrdered; the checkpointed frames carry no stats so the
+    // static plan repeats subtrees per branch (runtime exchange reuse
+    // collapses them, the q120 pattern).
+    "q123_adamic_adar" -> 14,
+    // q124: ONE map-side-combined sufficient-statistics agg (single-
+    // partition: the output is one row); the pair melt is an Expand on
+    // that one-row frame.
+    "q124_corr_matrix" -> 1,
+    // q125: unigram agg, bigram agg, the one-row totals agg, the eval-
+    // gram joins (train tables broadcast at this SF; at scale the
+    // bigram join shuffles on the gram key), the per-doc score agg and
+    // the output sort.
+    "q125_bigram_backoff" -> 7,
+    // q126: training runs driver-iteratively during query construction
+    // (each merge = one vocabulary-keyed pair agg + one token agg over
+    // the cached word-type table); the audited plan is only the 10-row
+    // driver-built merge table's output sort.
+    "q126_bpe_vocab" -> 1,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -264,12 +298,17 @@ class PlanBudgetSpec extends AnyFunSuite {
                          // dispatch join on the gram key is the intended
                          // 100 TB shape (AQE still broadcasts small batches
                          // at runtime)
-    "q120_triangle_stats" // graph self-joins (degree attach, wedge build,
+    "q120_triangle_stats", // graph self-joins (degree attach, wedge build,
                          // closing semi): every side is the edge set itself
                          // — keyed merge joins ARE the scale strategy, and
                          // the checkpointed edge frame carries no size
                          // stats pre-AQE; at runtime AQE broadcasts the
                          // support-filtered graph when it is small
+    "q121_pagerank",     // rank⋈deg over two checkpointed node frames:
+                         // both |V|-sized, no stats pre-AQE (AQE
+                         // broadcasts at runtime when small)
+    "q123_adamic_adar"   // wedge self-join + edge anti-join on the
+                         // checkpointed support graph — the q120 shape
   )
 
   test("every declared query stays within its audited plan budget") {

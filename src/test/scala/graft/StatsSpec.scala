@@ -12,23 +12,23 @@ class StatsSpec extends AnyFunSuite {
     val df = (a.map(v => (v, "A")) ++ b.map(v => (v, "B"))).toDF("v", "s")
     Stats.ksTwoSample(df, col("v"), col("s"), "A", "B", bandWidth)
       .select(col("n_a"), col("n_b"), col("d_num").cast("long"),
-        col("d"), col("reject_05"))
-      .as[(Long, Long, Long, Double, Boolean)].head()
+        col("d_ppm"), col("reject_05"))
+      .as[(Long, Long, Long, Long, Boolean)].head()
   }
 
   test("ksTwoSample: hand-computed D on overlapping samples") {
     // A={1,2,3}, B={2,3,4}: at v∈{1,2,3} |ca·3−cb·3| = 3, at v=4 it is 0
-    // → d_num=3, d=3/9; far under the α=.05 critical value.
-    assert(ks(Seq(1, 2, 3), Seq(2, 3, 4)) === ((3L, 3L, 3L, 0.333333, false)))
+    // → d_num=3, d_ppm=⌊3·10⁶/9⌋; far under the α=.05 critical value.
+    assert(ks(Seq(1, 2, 3), Seq(2, 3, 4)) === ((3L, 3L, 3L, 333333L, false)))
   }
 
   test("ksTwoSample: disjoint supports give D=1 and reject") {
     val out = ks(1 to 10, 101 to 110)
-    assert(out === ((10L, 10L, 100L, 1.0, true)))
+    assert(out === ((10L, 10L, 100L, 1000000L, true)))
   }
 
   test("ksTwoSample: identical samples give D=0") {
-    assert(ks(Seq(5, 6, 7, 8), Seq(5, 6, 7, 8)) === ((4L, 4L, 0L, 0.0, false)))
+    assert(ks(Seq(5, 6, 7, 8), Seq(5, 6, 7, 8)) === ((4L, 4L, 0L, 0L, false)))
   }
 
   test("ksTwoSample: result is bandWidth-invariant (two-phase prefix sum is exact)") {

@@ -13,6 +13,7 @@ Prints PASS/FAIL per query. Exit code 1 if any FAIL.
 import glob
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -36,6 +37,20 @@ def canon(v):
 def rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def with_bits(t):
+    """Render a canon tuple with IEEE bit patterns beside every float —
+    so a hash mismatch that is invisible at print precision (or caused
+    by double serialization) is diagnosable from this output alone."""
+    def one(v):
+        if isinstance(v, tuple) and len(v) == 2 and v[0] == "f":
+            bits = struct.pack(">d", float(v[1])).hex()
+            return ("f", v[1], f"bits={bits}")
+        if isinstance(v, tuple) and v and v[0] == "l":
+            return ("l", tuple(one(x) for x in v[1]))
+        return v
+    return tuple(one(v) for v in t)
 
 
 def main():
@@ -129,9 +144,9 @@ def main():
             diff_a = [r for r in a if r not in set(map(tuple, b))][:3]
             diff_b = [r for r in b if r not in set(map(tuple, a))][:3]
             for r in diff_a:
-                print(f"      spark-only : {r}")
+                print(f"      spark-only : {with_bits(r)}")
             for r in diff_b:
-                print(f"      oracle-only: {r}")
+                print(f"      oracle-only: {with_bits(r)}")
     # In subset mode, only subset members can be "missing" — reporting
     # every unselected query as a failure buried the subset's real result.
     missing = set(oracles) - set(names)

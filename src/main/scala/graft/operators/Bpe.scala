@@ -83,7 +83,11 @@ object Bpe {
   }
 
   /** Train `numMerges` BPE merges over the corpus. Returns the learned
-    * merge table (rank, left, right, pair_cnt) in learning order.
+    * merge table (rank, left, right, pair_cnt, tokens_after) in learning
+    * order — `tokens_after` is the total weighted corpus token count
+    * once that merge applies everywhere (the tokenizer learning curve;
+    * strictly decreasing, with per-merge drop ≤ pair_cnt because greedy
+    * application collapses overlapping occurrences).
     *
     * Argmax tie-break is deterministic: highest count, then
     * lexicographic (left, right) — engine-order-independent, so two runs
@@ -94,17 +98,20 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
 
-    var words = wordCounts(df, textCol)
-      .select(initialSymbols(col("word")).as("symbols"), col("cnt"))
-    var prev: Option[DataFrame] = None
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // One cached word-type generation is live at a time. ORDER MATTERS:
+    // each new generation is materialized (by an action on it) BEFORE the
+    // previous one is unpersisted — the new cache is built by reading the
+    // previous generation's blocks, so dropping those first would force a
+    // full-lineage recompute (the corpus-sized wordCounts pass plus every
+    // prior applyMerge) on every iteration.
+    var cached = scope.cached(wordCounts(df, textCol)
+      .select(initialSymbols(col("word")).as("symbols"), col("cnt")))
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
 
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
-      val cached = scope.cached(words)
-      prev.foreach(_.unpersist())
-      prev = Some(cached)
+      // This collect materializes `cached` on its first iteration use.
       val top = pairCounts(cached)
         .orderBy(col("pair_cnt").desc, col("left"), col("right"))
         .limit(1)
@@ -112,25 +119,114 @@ object Bpe {
         .collect()
       top.headOption match {
         case Some((l, r, c)) =>
-          merges += ((rank, l, r, c))
-          words = cached.select(applyMerge(col("symbols"), l, r).as("symbols"),
-            col("cnt"))
+          val next = scope.cached(cached.select(
+            applyMerge(col("symbols"), l, r).as("symbols"), col("cnt")))
+          // Per-merge corpus effect, one extra vocabulary-sized
+          // aggregation (the word-type table is orders of magnitude
+          // under the corpus): total weighted token count after this
+          // merge applies everywhere. Strictly decreasing — the spec's
+          // invariant — and the learning-curve statistic a tokenizer-
+          // training report wants. Greedy overlap means the drop is
+          // ≤ pair_cnt ("a a a" counts 2 pairs, merges once). This
+          // action also materializes `next`, making it safe to drop the
+          // previous generation below.
+          val tokensAfter = next
+            .agg(sum(col("cnt") * size(col("symbols"))).cast("long"))
+            .as[Long].head()
+          cached.unpersist()
+          cached = next
+          merges += ((rank, l, r, c, tokensAfter))
           rank += 1
         case None => exhausted = true
       }
     }
+    // The last generation is not part of the output (the merge table is
+    // driver-built) — drop it or it leaks in the cache for the session.
+    cached.unpersist()
 
-    merges.result().toDF("rank", "left", "right", "pair_cnt")
+    merges.result().toDF("rank", "left", "right", "pair_cnt", "tokens_after")
   }
 
-  /** Encode a text column with a learned merge list (applied in rank
-    * order to each word). Returns the tokenized array column. Merges are
-    * literals folded into the plan — the merge table is vocabulary-sized
-    * and lives on the driver by construction, the natural "broadcast".
+  /** Hard ceiling for [[encode]]'s expression form: each merge nests one
+    * `aggregate` higher-order function, so analyzer recursion and Janino
+    * method size grow linearly with merge count — fine for a bounded
+    * list, a stack overflow waiting to happen for a real vocabulary.
+    * Production-size merge lists go through [[encodeTable]].
+    */
+  val MaxExpressionMerges = 64
+
+  /** Encode a text column with a SMALL learned merge list (applied in
+    * rank order to each word). Returns the tokenized array column.
+    * Merges are literals folded into the plan — fully codegen'd, no
+    * serde boundary — which is exactly why the list must stay small: the
+    * expression tree is `merges.size` aggregates deep (enforced ≤
+    * [[MaxExpressionMerges]]). For trained-tokenizer-sized lists
+    * (thousands of merges) use [[encodeTable]].
     */
   def encode(textCol: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.size <= MaxExpressionMerges,
+      s"encode() nests one aggregate() per merge (${merges.size} > " +
+        s"$MaxExpressionMerges): analyzer/codegen depth is linear in the " +
+        "merge count — use encodeTable() for large merge lists")
     val words = split(trim(lower(textCol)), "\\s+")
     flatten(transform(words, w =>
       merges.foldLeft(initialSymbols(w))((acc, m) => applyMerge(acc, m._1, m._2))))
+  }
+
+  /** Encode at production vocabulary size: adds `outCol` (array<string>
+    * tokens) to `df` by running the greedy merge loop as plain JVM code
+    * over a broadcast merge list — one imperative function, ONE pass over
+    * the data, plan depth O(1) regardless of merge count.
+    *
+    * This is the repo's one deliberate scalar-function-as-UDF: the
+    * per-word loop is `merges.size` sequential passes whose intermediate
+    * is a variable-length array — inexpressible as a bounded-depth
+    * Catalyst expression (the fold form above grows one nested aggregate
+    * per merge), and a custom Expression would still pay the same
+    * per-row loop without codegen fusing anything across merges. The
+    * merge list rides an explicit sparkContext.broadcast (vocabulary-
+    * sized, shipped once per executor, not once per task closure).
+    * Token semantics are pinned to [[encode]]'s by BpeSpec (identical
+    * output on the same merge list).
+    */
+  def encodeTable(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], outCol: String = "tokens"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(merges.toArray)
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val ms = bc.value
+        text.trim.toLowerCase.split("\\s+").iterator
+          .filter(_.nonEmpty)
+          .flatMap { w =>
+            var syms = (w.split("").filter(_.nonEmpty) :+ EndOfWord).toSeq
+            var i = 0
+            while (i < ms.length) {
+              syms = mergeGreedy(syms, ms(i)._1, ms(i)._2)
+              i += 1
+            }
+            syms
+          }
+          .toArray
+      }
+    }
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+
+  /** Greedy left-to-right single-merge pass — the JVM twin of
+    * [[applyMerge]]'s fold: the candidate is checked against the
+    * accumulator's LAST element, so "a a a" under (a,a) yields
+    * ["aa","a"], never the overlapping ["a","aa"].
+    */
+  private def mergeGreedy(syms: Seq[String], left: String,
+      right: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val merged = left + right
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == left && x == right)
+        out(out.length - 1) = merged
+      else out += x
+    }
+    out.toSeq
   }
 }

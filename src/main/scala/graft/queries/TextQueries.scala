@@ -471,8 +471,10 @@ object TextQueries {
             count(lit(1)).as("n_distinct_chars"),
             sum((col("cnt") * log(col("cnt"))).cast(DecimalType(28, 12))).as("s"))
           .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+            // DECIMAL(18,6) output: the hashed value is the rounded
+            // decimal, never raw double bits (the q122 lesson).
             round((log(col("n_chars")) - col("s").cast(DoubleType) / col("n_chars")) /
-              lit(0.6931471805599453), 6).as("entropy_bits"))
+              lit(0.6931471805599453), 6).cast(DecimalType(18, 6)).as("entropy_bits"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
@@ -481,7 +483,7 @@ object TextQueries {
              |    SUM(CAST(cnt * ln(cnt) AS DECIMAL(28,12))) AS s
              |  FROM cnt GROUP BY doc_id)
              |SELECT doc_id, n_chars, n_distinct_chars,
-             |  ROUND((ln(n_chars) - CAST(s AS DOUBLE) / n_chars) / 0.6931471805599453, 6) AS entropy_bits
+             |  CAST(ROUND((ln(n_chars) - CAST(s AS DOUBLE) / n_chars) / 0.6931471805599453, 6) AS DECIMAL(18,6)) AS entropy_bits
              |FROM agg ORDER BY doc_id""".stripMargin),
     ),
 
@@ -619,7 +621,8 @@ object TextQueries {
         s.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             round(sum(log(col("score")).cast(DecimalType(28, 12)))
-              .cast(DoubleType) / count(lit(1)), 6).as("avg_logp"))
+              .cast(DoubleType) / count(lit(1)), 6)
+              .cast(DecimalType(18, 6)).as("avg_logp"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
@@ -643,8 +646,61 @@ object TextQueries {
              |  LEFT JOIN uni u2 ON u2.w = ev.w2
              |  CROSS JOIN tot)
              |SELECT doc_id, COUNT(*) AS n_bigrams,
-             |  ROUND(CAST(SUM(CAST(ln(score) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+             |  CAST(ROUND(CAST(SUM(CAST(ln(score) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_logp
              |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // BPE tokenizer training (Sennrich et al. 2016): 10 merges learned
+    // over the documents corpus — merge table + the per-merge weighted
+    // corpus token count (the tokenizer learning curve). Training is
+    // driver-iterative but every step is a deterministic distributed
+    // aggregation with a total-order argmax tie-break (count desc, then
+    // lexicographic), so the ORACLE REPLAYS THE FULL TRAINING LOOP in
+    // SQL: word types as delimiter-padded symbol strings (pad + double-
+    // space join), one CTE trio per iteration (pair counts → argmax →
+    // merge), where non-overlapping left-to-right replace() is exactly
+    // the greedy fold's semantics (BpeSpec pins the equivalence on the
+    // overlap cases).
+    QueryDef(
+      "q126_bpe_vocab",
+      (spark, dir) =>
+        graft.operators.Bpe.train(Tables.documents(spark, dir), "text",
+            numMerges = 10)
+          .orderBy(col("rank")),
+      Some(bpeOracle(numMerges = 10)),
+    ),
   )
+
+  /** Iterative-BPE oracle SQL, generated per merge rank: w0 is the padded
+    * symbol-string word-type table; each iteration adds pair counts
+    * (zipped adjacent unnest), the (cnt desc, left, right) argmax, the
+    * replace()-applied next generation, and its weighted token total.
+    */
+  private def bpeOracle(numMerges: Int): String = {
+    val iters = (0 until numMerges).map { i =>
+      s"""p$i AS (SELECT sym[1:len(sym)-1] AS ls, sym[2:len(sym)] AS rs, cnt
+         |  FROM (SELECT string_split(trim(s), '  ') AS sym, cnt FROM w$i)),
+         |m$i AS (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT unnest(ls) AS l, unnest(rs) AS r, cnt FROM p$i)
+         |  GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
+         |w${i + 1} AS (SELECT replace(s, ' ' || m.l || '  ' || m.r || ' ',
+         |    ' ' || m.l || m.r || ' ') AS s, cnt FROM w$i, m$i m),
+         |t$i AS (SELECT CAST(SUM(cnt * len(string_split(trim(s), '  '))) AS BIGINT) AS tokens
+         |  FROM w${i + 1})""".stripMargin
+    }
+    val rows = (0 until numMerges).map { i =>
+      s"""SELECT $i AS rank, l AS "left", r AS "right", c AS pair_cnt,
+         |  (SELECT tokens FROM t$i) AS tokens_after FROM m$i""".stripMargin
+    }
+    s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |    FROM documents) WHERE len(word) > 0 GROUP BY word),
+       |w0 AS (SELECT ' ' || array_to_string(
+       |    list_append(string_split(word, ''), '</w>'), '  ') || ' ' AS s, cnt
+       |  FROM wc),
+       |${iters.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY rank""".stripMargin
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph diagnostics over pair relations (duplicate-pair graphs,
   * co-purchase graphs): the family companion to
@@ -103,19 +104,29 @@ object Graphs {
     * Scale shape: one keyed join + one keyed aggregation per iteration
     * (contributions shuffle on dst — the standard distributed-PageRank
     * step). The adjacency frame and each iteration's node-sized rank
-    * frame are materialized via localCheckpoint so iteration i+1 never
-    * replays iteration i's lineage (on a cluster, swap for a reliable
-    * checkpoint / table round-trip; frontier frames are |V|-sized, the
-    * cheap side of the graph).
+    * frame are materialized between iterations so iteration i+1 never
+    * replays iteration i's lineage. By default that materialization is
+    * `localCheckpoint` (executor storage — right for local mode, but it
+    * PINS every generation's blocks to live executors). On a real
+    * cluster set `checkpointEvery > 0` with a configured
+    * `sparkContext.setCheckpointDir`: every Nth rank frame then goes
+    * through a RELIABLE checkpoint (fault-tolerant storage, survives
+    * executor loss, frees executor memory), with localCheckpoint only
+    * bridging the short runs in between. Rank frames are |V|-sized —
+    * the cheap side of the graph — so the write is small either way.
     *
     * Dangling nodes cannot arise: the graph is undirected and restricted
     * to edge endpoints, so every node has deg ≥ 1 and at least one
     * in-contribution.
     */
   def pageRank(pairs: DataFrame, iterations: Int = 3,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L, checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(scale >= 100, "scale must carry at least the div-100 downshift")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = local only)")
+    require(checkpointEvery == 0 ||
+        pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "checkpointEvery > 0 needs sparkContext.setCheckpointDir(...) first")
     val e = canonicalEdges(pairs)
     val bidir = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
@@ -129,17 +140,19 @@ object Graphs {
     val nodes = deg.localCheckpoint(true)
     val base = 15L * scale / 100L
     var ranks = nodes.select(col("id"), lit(scale).as("rank"))
-    for (_ <- 1 to iterations) {
-      val shares = adj
-        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
-        .select(col("dst").as("id"),
-          expr("((rank div 100) * 85) div deg").as("share"))
-        .groupBy(col("id")).agg(sum(col("share")).as("in_sum"))
-      ranks = nodes
-        .join(shares, Seq("id"), "left")
+    for (i <- 1 to iterations) {
+      val next = nodes
+        .join(adj
+          .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+          .select(col("dst").as("id"),
+            expr("((rank div 100) * 85) div deg").as("share"))
+          .groupBy(col("id")).agg(sum(col("share")).as("in_sum")),
+          Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
+      ranks =
+        if (checkpointEvery > 0 && i % checkpointEvery == 0) next.checkpoint(true)
+        else next.localCheckpoint(true)
     }
     ranks.join(nodes, Seq("id")).select(col("id"), col("deg"), col("rank"))
   }
@@ -165,11 +178,17 @@ object Graphs {
     * is `maxCenterDeg`: hubs above the cap are excluded as centers —
     * exactly the pairs a hub generates are the ones AA itself discounts
     * toward zero (weight 1/ln(deg)), so the cap removes the quadratic
-    * blowup with bounded score loss. 0 = exact/no cap. Everything else
-    * is keyed joins; the existing-edge exclusion is a left_anti on the
-    * canonical edge set.
+    * blowup with bounded score loss. The DEFAULT is capped at 1000
+    * (≤ ~500k wedges per center): one viral hub on a real graph would
+    * otherwise emit deg² pairs and dominate the whole job, the same
+    * accuracy-for-boundedness trade the LSH/IVF paths make explicit —
+    * a dropped center costs each of its wedge pairs < 1/ln(1000) ≈
+    * 0.145 of score, the floor of AA's own discount curve. Pass 0 for
+    * the exact/uncapped run (small or pre-filtered graphs only).
+    * Everything else is keyed joins; the existing-edge exclusion is a
+    * left_anti on the canonical edge set.
     */
-  def adamicAdar(pairs: DataFrame, maxCenterDeg: Int = 0): DataFrame = {
+  def adamicAdar(pairs: DataFrame, maxCenterDeg: Int = 1000): DataFrame = {
     val e = canonicalEdges(pairs)
     val bidir = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
@@ -190,6 +209,10 @@ object Graphs {
       .groupBy(col("x"), col("y"))
       .agg(sum(col("w")).as("aa_micros"), count(lit(1)).as("common_neighbors"))
       .select(col("x"), col("y"), col("common_neighbors"), col("aa_micros"),
-        round(col("aa_micros").cast("double") / 1000000.0, 6).as("aa_score"))
+        // Exact DECIMAL micro→unit conversion (÷10⁶ needs exactly 6
+        // fractional digits): no floating-point value in the output, so
+        // an engine-comparison hash has no double bits to disagree on.
+        (col("aa_micros").cast(DecimalType(18, 0)) / lit(1000000))
+          .cast(DecimalType(18, 6)).as("aa_score"))
   }
 }

@@ -574,7 +574,9 @@ object CurationQueries {
     // operator generates candidate pairs for entity resolution. Each
     // center's hub discount is quantized to integer micro-units BEFORE
     // the pair sum (exact, order-independent); the oracle replays the
-    // identical wedge → anti-join → integer-sum construction.
+    // identical wedge → anti-join → integer-sum construction, including
+    // the default deg ≤ 1000 center cap (inert at test SF — max degree
+    // is 15 — but part of the operator's scale contract).
     QueryDef(
       "q123_adamic_adar",
       (spark, dir) => {
@@ -603,14 +605,15 @@ object CurationQueries {
              |deg AS (SELECT src AS id, COUNT(*) AS deg FROM bidir GROUP BY src),
              |adj AS (SELECT b.src, b.dst,
              |    CAST(FLOOR(1000000.0 / LN(d.deg)) AS BIGINT) AS w
-             |  FROM bidir b JOIN deg d ON b.src = d.id WHERE d.deg >= 2),
+             |  FROM bidir b JOIN deg d ON b.src = d.id
+             |  WHERE d.deg >= 2 AND d.deg <= 1000),
              |wedges AS (SELECT a1.dst AS x, a2.dst AS y, a1.w
              |  FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
              |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
              |    WHERE p.u = a1.dst AND p.v = a2.dst))
              |SELECT x, y, COUNT(*) AS common_neighbors,
              |  CAST(SUM(w) AS BIGINT) AS aa_micros,
-             |  ROUND(SUM(w) / 1000000.0, 6) AS aa_score
+             |  CAST(CAST(SUM(w) AS DECIMAL(18,0)) / 1000000 AS DECIMAL(18,6)) AS aa_score
              |FROM wedges GROUP BY x, y
              |ORDER BY aa_micros DESC, x, y LIMIT 50""".stripMargin),
     ),

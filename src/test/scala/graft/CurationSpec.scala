@@ -103,6 +103,18 @@ class CurationSpec extends AnyFunSuite {
     val a = Graphs.pageRank(rand, 3).orderBy("id").collect().toSeq
     val b = Graphs.pageRank(rand.repartition(7), 3).orderBy("id").collect().toSeq
     assert(a === b)
+    // Reliable-checkpoint variant: refuses without a checkpoint dir,
+    // and with one it is bit-identical to the localCheckpoint path —
+    // the materialization strategy must never change the fixed point.
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        Graphs.pageRank(rand, 3, checkpointEvery = 2)
+      }
+    }
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val c = Graphs.pageRank(rand, 3, checkpointEvery = 2).orderBy("id").collect().toSeq
+    assert(a === c)
   }
 
   test("adamicAdar: path, cycle diagonals, triangle exclusion, hub cap") {
@@ -125,6 +137,12 @@ class CurationSpec extends AnyFunSuite {
     val w4 = math.floor(1000000.0 / math.log(4.0)).toLong
     assert(aa(star).forall(t => t._3 === 1L && t._4 === w4) && aa(star).length === 6)
     assert(aa(star, cap = 3).isEmpty)
+    // DEFAULT cap (hub-heavy graph): a degree-1001 hub is excluded as a
+    // center unless the caller explicitly asks for the exact run — the
+    // deg² wedge guard must be on by default.
+    val hub = (2L to 1002L).map(i => (1L, i)).toDF("id_a", "id_b")
+    assert(Graphs.adamicAdar(hub).count() === 0L)
+    assert(Graphs.adamicAdar(hub, maxCenterDeg = 0).count() === 1001L * 1000L / 2L)
   }
 
   test("duplicateClusters ignores pairs touching ids outside the id set") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{SchemaRegistry, SafeCasts}
 import graft.operators.{Aggregations, EtlMeta, Flatten, TikTokFlatten, Validators}
-import graft.sources.{PaginatedSource, Sinks}
+import graft.sources.{ManifestCommit, PaginatedSource, Sinks}
 
 /** The reference's three pipeline lifecycles (SURVEY §3) as composable,
   * testable functions. Sources are pluggable [[PaginatedSource.PageFetcher]]s
@@ -33,18 +33,19 @@ object Pipelines {
     "misa_sale_orders_flattened", "misa_customers", "misa_contacts",
     "misa_stocks", "misa_products")
 
-  /** One endpoint micro-batch: incremental scan → (flatten if sale orders)
-    * → registry casts → lineage stamp → L4 dedup-append. Mirrors
-    * §3.2 PHASE 1 per-endpoint flow.
+  /** Scan + shape one endpoint micro-batch WITHOUT sinking it:
+    * incremental scan → (flatten if sale orders) → registry casts →
+    * lineage stamp. Returns None on an empty window. Shared by the
+    * per-table-append and manifest-transactional cycle variants.
     */
-  def processEndpoint(spark: SparkSession, endpoint: String,
-      fetcher: PaginatedSource.PageFetcher, stagingRoot: String,
-      cutoff: java.sql.Timestamp, batch: EtlMeta.Batch,
-      pageSize: Int = 100, maxPages: Int = 2): EndpointResult = {
+  def shapeEndpoint(spark: SparkSession, endpoint: String,
+      fetcher: PaginatedSource.PageFetcher, cutoff: java.sql.Timestamp,
+      batch: EtlMeta.Batch, pageSize: Int = 100,
+      maxPages: Int = 2): Option[DataFrame] = {
     val spec = SchemaRegistry.byName(endpoint)
     val raw = PaginatedSource.incrementalScan(
       spark, fetcher, pageSize, maxPages, "modified_date", cutoff)
-    if (raw.isEmpty) return EndpointResult(endpoint, 0L, 0L)
+    if (raw.isEmpty) return None
     // Spec-driven flatten: prefixFlatten maps top-level `id` → `order_id`
     // and mapping `id` → `item_id`, which is exactly the registry's
     // (order_id, item_id) key.
@@ -61,10 +62,24 @@ object Pipelines {
     require(missing.isEmpty,
       s"endpoint $endpoint payload is missing key column(s) ${missing.mkString(",")}; " +
         s"present: ${normalized.columns.mkString(",")}")
-    val appended = Sinks.dedupAppend(
-      spark, normalized, s"$stagingRoot/${spec.name}", spec.keys)
-    EndpointResult(endpoint, normalized.count(), appended.rows)
+    Some(normalized)
   }
+
+  /** One endpoint micro-batch: [[shapeEndpoint]] → L4 dedup-append.
+    * Mirrors §3.2 PHASE 1 per-endpoint flow.
+    */
+  def processEndpoint(spark: SparkSession, endpoint: String,
+      fetcher: PaginatedSource.PageFetcher, stagingRoot: String,
+      cutoff: java.sql.Timestamp, batch: EtlMeta.Batch,
+      pageSize: Int = 100, maxPages: Int = 2): EndpointResult =
+    shapeEndpoint(spark, endpoint, fetcher, cutoff, batch, pageSize, maxPages)
+      .map { normalized =>
+        val spec = SchemaRegistry.byName(endpoint)
+        val appended = Sinks.dedupAppend(
+          spark, normalized, s"$stagingRoot/${spec.name}", spec.keys)
+        EndpointResult(endpoint, normalized.count(), appended.rows)
+      }
+      .getOrElse(EndpointResult(endpoint, 0L, 0L))
 
   /** §3.2 `facolos_incremental_etl_production`: PHASE 1 MISA endpoints in
     * priority order, PHASE 2 TikTok recent-window flatten+load, then the
@@ -108,6 +123,74 @@ object Pipelines {
     }
     val nonEmpty = counts.count(_._2 > 0)
     CycleReport(results, nonEmpty >= counts.size - 1, batch.batchId)
+  }
+
+  /** [[runIncrementalCycle]] with CROSS-TABLE atomicity: every endpoint's
+    * fresh rows are staged as invisible [[ManifestCommit]] deltas, then
+    * ONE manifest rename publishes the whole cycle — the parquet
+    * equivalent of the reference's per-cycle SQL Server transaction
+    * (run_historical_backfill.py:86-183). A crash or failed endpoint
+    * anywhere before the commit leaves every table at the previous
+    * version: a torn cycle is invisible to readers, and its orphaned
+    * delta dirs are reclaimed by the next [[ManifestCommit.vacuum]].
+    *
+    * Dedup is the same L4 semantics as the append path, anti-joined
+    * against the COMMITTED manifest view (uncommitted deltas can never
+    * be dedup targets — they may belong to a torn cycle).
+    */
+  def runIncrementalCycleAtomic(spark: SparkSession,
+      misaFetchers: Map[String, PaginatedSource.PageFetcher],
+      tiktokDocs: Seq[String],
+      root: String,
+      cutoff: java.sql.Timestamp): (CycleReport, Long) = {
+    val unknown = misaFetchers.keySet -- endpointPriority.toSet
+    require(unknown.isEmpty,
+      s"unknown endpoint(s) ${unknown.mkString(",")}; known: ${endpointPriority.mkString(",")}")
+    val batch = EtlMeta.newBatch("incremental_cycle")
+
+    def stageFresh(table: String, keys: Seq[String],
+        df: DataFrame): (EndpointResult, Option[(String, String)]) = {
+      val inBatch = df.dropDuplicates(keys)
+      val fresh = ManifestCommit.readTable(spark, root, table) match {
+        case Some(existing) =>
+          inBatch.join(existing.select(keys.map(col): _*), keys, "left_anti")
+        case None => inBatch
+      }
+      val rel = ManifestCommit.stageDelta(spark, fresh, root, table)
+      // Count the delta AS WRITTEN (one tiny scan) rather than
+      // recomputing the anti-join for a count.
+      val staged = spark.read.parquet(s"$root/$rel").count()
+      (EndpointResult(table, df.count(), staged),
+        if (staged > 0) Some(table -> rel) else None)
+    }
+
+    val misa = endpointPriority.flatMap { ep =>
+      misaFetchers.get(ep).map { f =>
+        val spec = SchemaRegistry.byName(ep)
+        shapeEndpoint(spark, ep, f, cutoff, batch)
+          .map(stageFresh(spec.name, spec.keys, _))
+          .getOrElse((EndpointResult(ep, 0L, 0L), None))
+      }
+    }
+    val tiktok = {
+      val flat = TikTokFlatten.flatten(
+        TikTokFlatten.parseOrders(spark, tiktokDocs), batch)
+      stageFresh(SchemaRegistry.tiktokOrders.name,
+        SchemaRegistry.tiktokOrders.keys, flat)
+    }
+
+    val all = misa :+ tiktok
+    val staged = all.flatMap(_._2)
+      .groupBy(_._1).map { case (t, es) => t -> es.map(_._2) }
+    val version = ManifestCommit.commit(spark, root, staged)
+
+    // A3 quality gate over the POST-COMMIT view (same 5-of-6 rule).
+    val counts = all.map(_._1.endpoint).map { t =>
+      t -> ManifestCommit.readTable(spark, root, t).map(_.count()).getOrElse(0L)
+    }
+    val nonEmpty = counts.count(_._2 > 0)
+    (CycleReport(all.map(_._1), nonEmpty >= counts.size - 1, batch.batchId),
+      version)
   }
 
   /** §3.3 historical backfill: the date range splits into fixed-day batches

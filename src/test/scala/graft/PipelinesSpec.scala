@@ -56,6 +56,63 @@ class PipelinesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/misa_customers").count() === 5L)
   }
 
+  test("atomic cycle: a crash between tables publishes NOTHING; retry publishes all") {
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft-atomic").toString
+    val cutoff = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+
+    // Cycle 1, torn: sale orders (priority 1) stages fine, then the
+    // customers fetcher dies mid-cycle — AFTER data has hit disk for the
+    // first table. The reference's SQL transaction would roll back; the
+    // manifest commit must make the staged delta invisible.
+    val bomb = new PaginatedSource.PageFetcher {
+      override def fetchPage(page: Int, pageSize: Int): Seq[String] =
+        throw new RuntimeException("fetcher crash mid-cycle")
+    }
+    intercept[RuntimeException] {
+      Pipelines.runIncrementalCycleAtomic(spark, Map(
+        "misa_sale_orders_flattened" -> fetcher(saleOrders),
+        "misa_customers" -> bomb), Seq.empty, root, cutoff)
+    }
+    // Nothing is visible — not even the table that was already staged.
+    assert(ManifestCommit.currentManifest(spark, root).isEmpty)
+    assert(ManifestCommit.readTable(spark, root, "misa_sale_orders_flattened").isEmpty)
+
+    // Cycle 2, clean: all three sources land in ONE commit.
+    val (r, v1) = Pipelines.runIncrementalCycleAtomic(spark, Map(
+      "misa_sale_orders_flattened" -> fetcher(saleOrders),
+      "misa_customers" -> fetcher(customers)), tiktok, root, cutoff)
+    assert(r.qualityPassed)
+    assert(r.endpoints.map(e => e.endpoint -> e.appended).toMap === Map(
+      "misa_sale_orders_flattened" -> 2L,
+      "misa_customers" -> 5L,
+      "tiktok_shop_orders" -> 1L))
+    assert(ManifestCommit.readTable(spark, root, "misa_customers").get.count() === 5L)
+
+    // Re-run the same window: manifest-view dedup makes it a no-op for
+    // MISA (idempotent re-extraction), and the commit still advances the
+    // version (an empty cycle is a real, auditable cycle).
+    val (r2, v2) = Pipelines.runIncrementalCycleAtomic(spark, Map(
+      "misa_sale_orders_flattened" -> fetcher(saleOrders),
+      "misa_customers" -> fetcher(customers)), Seq.empty, root, cutoff)
+    assert(v2 > v1)
+    assert(r2.endpoints.filter(_.endpoint.startsWith("misa")).forall(_.appended === 0L))
+    assert(ManifestCommit.readTable(spark, root, "misa_customers").get.count() === 5L)
+
+    // Vacuum reclaims the torn cycle's orphan delta (plus the empty
+    // rerun deltas and superseded manifests) without touching live data.
+    assert(ManifestCommit.vacuum(spark, root) > 0)
+    assert(ManifestCommit.readTable(spark, root, "misa_customers").get.count() === 5L)
+    assert(ManifestCommit.readTable(spark, root, "tiktok_shop_orders").get.count() === 1L)
+
+    // Compaction folds a table's delta list to one dir transactionally.
+    ManifestCommit.compactTable(spark, root, "misa_customers")
+    ManifestCommit.vacuum(spark, root)
+    assert(ManifestCommit.currentManifest(spark, root)
+      .get.tables("misa_customers").size === 1)
+    assert(ManifestCommit.readTable(spark, root, "misa_customers").get.count() === 5L)
+  }
+
   test("backfill: 30-day batches, MERGE keeps reruns idempotent") {
     val path = Files.createTempDirectory("graft-backfill").resolve("t").toString
     def fetchBatch(from: java.time.LocalDate, to: java.time.LocalDate) = {

@@ -304,10 +304,16 @@ object Dedup {
       .join(best, Seq("batch_id"), "left")
       .select(col("batch_id"), col("best_match"),
         coalesce(col("shared"), lit(0L)).as("shared"), col("sz_batch"))
+      // A doc too short to carry a single n-gram has NO containment
+      // evidence: containment is NULL and the gate does not reject (a
+      // bare division would be 0/0 — an ANSI-mode runtime error).
       .withColumn("containment",
-        round(col("shared").cast(DoubleType) / col("sz_batch"), 6))
+        when(col("sz_batch") > 0,
+          round(col("shared").cast(DoubleType) / col("sz_batch"), 6)))
       .withColumn("rejected",
-        col("shared").cast(DoubleType) / col("sz_batch") >= threshold)
+        when(col("sz_batch") > 0,
+          col("shared").cast(DoubleType) / col("sz_batch") >= threshold)
+          .otherwise(lit(false)))
   }
 
   /** Shared inverted-index core of the exact set-similarity pairs: explode

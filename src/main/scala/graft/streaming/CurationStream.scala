@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.CacheScope
+import graft.operators.Dedup
+import graft.sources.ManifestCommit
+
+/** The q97 curation pipeline as a STREAMING incremental: each micro-batch
+  * of documents is quality-gated, near-dup-resolved within itself, gated
+  * against everything previously accepted, and committed — so the curated
+  * corpus and its dedup index advance together, batch by batch, instead
+  * of re-running the batch pipeline over the whole corpus per cycle.
+  *
+  * Per micro-batch (the q88 ingest-gate pattern made continuous):
+  *  1. Quality gate: `n_chars >= minChars` (q97's gate).
+  *  2. IN-batch near-dup resolution: exact n-gram Jaccard pairs →
+  *     connected components → one survivor per cluster (q36/q97 core) —
+  *     work ∝ co-occurring gram instances inside the batch only.
+  *  3. CORPUS near-dup gate: survivors probe the maintained gram-postings
+  *     index ([[Dedup.containmentAgainstPostings]]) — never re-tokenizes
+  *     the corpus; cost is O(batch) per batch.
+  *  4. TRANSACTIONAL commit: the accepted docs AND their postings are
+  *     published in ONE [[ManifestCommit]] manifest rename — the index
+  *     can never run ahead of (or behind) the corpus, even across a
+  *     crash mid-batch. Replay from the stream checkpoint is idempotent
+  *     in BOTH crash windows: if the crash preceded the commit, the
+  *     re-run re-derives the same accept set against the unchanged
+  *     committed view; if it followed the commit, the re-run's corpus
+  *     gate now sees the batch's own grams in the index and rejects
+  *     every doc as a (self-)near-dup — zero rows, no second commit,
+  *     exactly one copy either way.
+  *
+  * Scale: the only corpus-sized state is the postings index, which is
+  * read as an indexed join side (bucketable on `gh`), never rebuilt.
+  * Everything else is batch-sized. The streaming engine serializes
+  * foreachBatch invocations, satisfying ManifestCommit's single-writer
+  * contract.
+  */
+object CurationStream {
+
+  /** Table names under the curation root. */
+  val AcceptedTable = "accepted_docs"
+  val PostingsTable = "gram_postings"
+
+  final case class BatchReport(
+      received: Long, gatedQuality: Long, inBatchDups: Long,
+      corpusNearDups: Long, accepted: Long, version: Option[Long])
+
+  /** One micro-batch through the gate chain; commits accepted docs +
+    * postings atomically and returns the per-stage counts. Pure function
+    * of (batch, committed state) — callable directly from tests or from
+    * the [[run]] foreachBatch loop.
+    */
+  def curateBatch(batch: DataFrame, root: String, n: Int = 3,
+      jaccard: Double = 0.5, containment: Double = 0.5,
+      minChars: Long = 100L): BatchReport = {
+    val spark = batch.sparkSession
+    val scope = CacheScope()
+    try {
+      val received = batch.count()
+      val gated = scope.cached(batch.filter(col("n_chars") >= minChars))
+      val nGated = gated.count()
+
+      // In-batch survivors (a batch may contain its own near-dup pairs —
+      // a crawl frontier often does).
+      val pairs = Dedup.ngramJaccardPairs(gated, "doc_id", "text", lit(1), n, jaccard)
+      val survivors = scope.cached(gated.join(
+        Dedup.duplicateClusters(gated.select(col("doc_id")), "doc_id", pairs)
+          .filter(col("is_survivor")).select(col("id").as("doc_id")),
+        Seq("doc_id")))
+      val nSurvivors = survivors.count()
+
+      // Corpus gate against the committed postings index. A doc too
+      // short to have any n-gram yields NULL containment — that is "no
+      // evidence of duplication", not a rejection.
+      val afterNearDup = ManifestCommit.readTable(spark, root, PostingsTable) match {
+        case Some(postings) =>
+          val verdicts = Dedup.containmentAgainstPostings(
+            survivors, postings, "doc_id", "text", n, containment, scope)
+          survivors.join(
+            verdicts.filter(!coalesce(col("rejected"), lit(false)))
+              .select(col("batch_id").as("doc_id")),
+            Seq("doc_id"))
+        case None => survivors
+      }
+      // Exact-PK backstop (the L4 discipline): gram-free docs never
+      // enter the postings index, so the near-dup gate alone cannot
+      // make their replay idempotent — the anti-join on committed
+      // doc_ids can, for every doc.
+      val accepted = ManifestCommit.readTable(spark, root, AcceptedTable) match {
+        case Some(prior) =>
+          afterNearDup.join(prior.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        case None => afterNearDup
+      }
+      val acceptedCached = scope.cached(accepted)
+      val nAccepted = acceptedCached.count()
+
+      val version =
+        if (nAccepted == 0) None
+        else {
+          val docsRel = ManifestCommit.stageDelta(
+            spark, acceptedCached, root, AcceptedTable)
+          val postRel = ManifestCommit.stageDelta(
+            spark, Dedup.gramPostings(acceptedCached, "doc_id", "text", n),
+            root, PostingsTable)
+          Some(ManifestCommit.commit(spark, root, Map(
+            AcceptedTable -> Seq(docsRel), PostingsTable -> Seq(postRel))))
+        }
+      BatchReport(received, nGated, nGated - nSurvivors,
+        nSurvivors - nAccepted, nAccepted, version)
+    } finally scope.release()
+  }
+
+  /** Wire a document stream (schema must include doc_id, text, n_chars)
+    * through the curation gate with AvailableNow semantics: processes
+    * everything pending, commits per micro-batch, stops. Restartable
+    * from `checkpointDir` — reprocessing a torn batch re-derives the
+    * same accept set against the unchanged committed view.
+    */
+  def run(docs: DataFrame, root: String, checkpointDir: String,
+      onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(curateBatch(batch, root))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

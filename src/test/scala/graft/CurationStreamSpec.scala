@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ManifestCommit
+import graft.streaming.CurationStream
+
+/** Streaming twin of the q97 curation chain: per-micro-batch quality
+  * gate → in-batch dedup → corpus near-dup gate over the maintained
+  * postings index → one transactional two-table commit.
+  */
+class CurationStreamSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // 25 distinct words, > 100 chars — passes the quality gate and carries
+  // 23 distinct 3-gram shingles.
+  private val words = ('a' to 'y').map(c => s"word$c$c$c").mkString(" ")
+  private def doc(id: Long, text: String) = (id, text, text.length.toLong)
+  private val textA = words
+  private val textAEnd = words.split(" ").dropRight(1).mkString(" ") + " tailchange"
+  private val textAFront = "headchange " + words.split(" ").drop(1).mkString(" ")
+  private val textB = ('a' to 'y').map(c => s"other$c$c$c").mkString(" ")
+  private val textC = ('a' to 'y').map(c => s"fresh$c$c$c").mkString(" ")
+
+  private def df(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("doc_id", "text", "n_chars")
+
+  test("curateBatch: gates, in-batch dedup, corpus gate, PK replay — all idempotent") {
+    val root = Files.createTempDirectory("graft-curation").toString
+
+    // Batch 1: A, its in-batch near-dup, an unrelated B, and a too-short doc.
+    val r1 = CurationStream.curateBatch(
+      df(doc(1, textA), doc(2, textAEnd), doc(3, textB), (4L, "tiny", 4L)), root)
+    assert(r1 === CurationStream.BatchReport(4, 3, 1, 0, 2, Some(1L)))
+    assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
+      .get.select("doc_id").as[Long].collect().sorted === Array(1L, 3L))
+
+    // Batch 2: a near-dup of A (clusters with the replayed doc 1 IN
+    // BATCH — survivor is the smaller id), an exact replay of doc 1
+    // (survives in-batch, rejected by the corpus gate), and a fresh doc.
+    val r2 = CurationStream.curateBatch(
+      df(doc(5, textAFront), doc(1, textA), doc(6, textC)), root)
+    assert(r2 === CurationStream.BatchReport(3, 3, 1, 1, 1, Some(2L)))
+    assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
+      .get.select("doc_id").as[Long].collect().sorted === Array(1L, 3L, 6L))
+
+    // Full replay of batch 2 (the crash-after-commit window): nothing
+    // accepted, no version advance, corpus unchanged.
+    val r3 = CurationStream.curateBatch(
+      df(doc(5, textAFront), doc(1, textA), doc(6, textC)), root)
+    assert(r3.accepted === 0L && r3.version.isEmpty)
+    assert(ManifestCommit.currentManifest(spark, root).get.version === 2L)
+
+    // Gram-free docs (< n tokens) are accepted once and replay-idempotent
+    // via the PK backstop, not the gram gate.
+    val short = (7L, "one " + "x" * 100, 104L)
+    assert(CurationStream.curateBatch(df(short), root).accepted === 1L)
+    assert(CurationStream.curateBatch(df(short), root).accepted === 0L)
+
+    // Postings and corpus were committed in lockstep: every accepted doc
+    // with >= 3 tokens has postings, nothing else does.
+    val postedIds = ManifestCommit.readTable(spark, root, CurationStream.PostingsTable)
+      .get.select("corpus_id").distinct().as[Long].collect().sorted
+    assert(postedIds === Array(1L, 3L, 6L))
+  }
+
+  test("run: AvailableNow stream curates incrementally across restarts") {
+    val src = Files.createTempDirectory("graft-cstream-src").toString
+    val root = Files.createTempDirectory("graft-cstream-root").toString
+    val ckpt = Files.createTempDirectory("graft-cstream-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    val reports = scala.collection.mutable.ArrayBuffer.empty[CurationStream.BatchReport]
+
+    def drive(): Unit = {
+      val q = CurationStream.run(
+        spark.readStream.schema(schema).parquet(src), root, ckpt, reports += _)
+      q.awaitTermination()
+    }
+
+    df(doc(1, textA), doc(3, textB)).write.mode("append").parquet(src)
+    drive()
+    assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
+      .get.count() === 2L)
+
+    // Restart with new files: the near-dup of A is gated by the index
+    // built in the PREVIOUS run; only the fresh doc lands.
+    df(doc(5, textAFront), doc(6, textC)).write.mode("append").parquet(src)
+    drive()
+    assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
+      .get.select("doc_id").as[Long].collect().sorted === Array(1L, 3L, 6L))
+    assert(reports.map(_.accepted).sum === 3L)
+  }
+}

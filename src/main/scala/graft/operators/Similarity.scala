@@ -38,6 +38,86 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the "confusable but wrong" examples a retrieval or
+    * classification trainer wants in its negatives pool (high-similarity
+    * same-label rows are positives, not negatives, so they are excluded
+    * by construction).
+    *
+    * Exact brute-force baseline, same contract as [[bruteForceTopK]]
+    * (round-4 scores, id tie-break, corpus streams against a small query
+    * side); at scale compose the label filter into [[lshTopK]] /
+    * [[ivfTopK]]'s candidate streams the same way — the filter is a
+    * pushed predicate, not a post-pass, so mined negatives never lose
+    * slots to excluded positives.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), asDoubles(col(vecCol)).as("v_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), asDoubles(col(vecCol)).as("v_q"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos_sim", round(cosine(col("v_q"), col("v_c")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("neighbor_id"), col("neighbor_label"), col("cos_sim"))
+  }
+
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023,
+    * public): assign every vector to a codebook cell, then WITHIN each
+    * cell drop any vector that has a smaller-id cell-mate with cosine ≥
+    * `threshold`. The cells turn the quadratic all-pairs problem into
+    * Σ cell² work — the same bounded-block trade the LSH/IVF paths make,
+    * and exactly why SemDeDup clusters before comparing. Output: one row
+    * per vector (id, cell, is_kept, dup_of, dup_sim), dup_of the
+    * SMALLEST-id similar cell-mate (deterministic; survivors are the
+    * min-id representative of each similar group, kept rows have NULL
+    * dup_of).
+    *
+    * Divergence from the paper documented: SemDeDup keeps the member
+    * farthest from the centroid; this keeps the min-id member — id
+    * order is stable under re-partitioning and engine choice, centroid
+    * distance is a float race. The "dropped iff ANY smaller similar
+    * cell-mate" rule is transitive-free by design (chains a~b~c with
+    * a≁c still drop b and c): conservative for training-set dedup,
+    * where over-dropping near-dups costs less than keeping them.
+    *
+    * Determinism: cell assignment ranks round-4 cosine with centroid-id
+    * tie-break (the q35/q80 discipline); pair similarity rounds to 4
+    * before the threshold; both replay exactly in SQL.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int = 50, threshold: Double = 0.9): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
+    val centroids = v.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .select(col("id").as("centroid_id"), col("v").as("cv"))
+    val assigned = v.join(broadcast(centroids))
+      .withColumn("cscore", round(cosine(col("v"), col("cv")), 4))
+      .groupBy(col("id"), col("v"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("cscore"), col("centroid_id"))).as("cell"))
+    val bigger = assigned.select(col("cell"), col("id"), col("v"))
+    val smaller = assigned.select(col("cell"), col("id").as("id_s"),
+      col("v").as("v_s"))
+    val dupOf = bigger.join(smaller, Seq("cell"))
+      .filter(col("id_s") < col("id"))
+      .withColumn("sim", round(cosine(col("v"), col("v_s")), 4))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id"))
+      .agg(min(col("id_s")).as("dup_of"),
+        min_by(col("sim"), col("id_s")).as("dup_sim"))
+    assigned.join(dupOf, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of").isNull.as("is_kept"),
+        col("dup_of"), col("dup_sim"))
+  }
+
   /** IVF-style ANN: a deterministic subsample of the corpus acts as the
     * centroid codebook (every `centroidEvery`-th vector — training-free,
     * reproducible); each corpus vector is assigned to its nearest centroid

@@ -217,5 +217,67 @@ object SimilarityQueries {
              |FROM n0 FULL OUTER JOIN n1 ON n0.centroid_id = n1.centroid_id
              |ORDER BY centroid_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Hard-negative mining: for each query vector, top-5 most-similar
+    // vectors with a DIFFERENT label — the confusable-but-wrong examples
+    // a contrastive trainer wants as negatives (same-label lookalikes
+    // are positives and are excluded by construction, not post-filtered
+    // out of the k slots). Exact baseline; the label predicate composes
+    // into the LSH/IVF candidate streams unchanged at scale.
+    QueryDef(
+      "q127_hard_negatives",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.hardNegativesTopK(
+            corpus = emb, queries = emb.filter(col("vec_id") < 10),
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS vq
+             |          FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS nid, label AS nl, CAST(embedding AS DOUBLE[]) AS vc FROM embeddings),
+             |s AS (SELECT qid, ql, nid, nl, ROUND(list_cosine_similarity(vq, vc), 4) AS cos_sim
+             |      FROM q CROSS JOIN c WHERE qid <> nid AND ql <> nl),
+             |r AS (SELECT qid AS query_id, ql AS query_label, nid AS neighbor_id, nl AS neighbor_label,
+             |      cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+             |      FROM s)
+             |SELECT query_id, query_label, rank, neighbor_id, neighbor_label, cos_sim FROM r
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Semantic deduplication (SemDeDup shape): codebook-cell assignment
+    // (the q35 training-free codebook, round-4 + id tie-break) turns
+    // all-pairs into bounded within-cell blocks; a vector is dropped iff
+    // a smaller-id cell-mate sits at cosine ≥ threshold. The oracle
+    // replays assignment, within-cell pairing, and the min-id duplicate
+    // attribution exactly.
+    QueryDef(
+      "q129_semantic_dedup",
+      (spark, dir) =>
+        Similarity.semanticDedup(Tables.embeddings(spark, dir),
+            idCol = "vec_id", vecCol = "embedding",
+            centroidEvery = 50, threshold = 0.45)
+          .select(col("id").as("vec_id"), col("cell"), col("is_kept"),
+            col("dup_of"), col("dup_sim"))
+          .orderBy(col("vec_id")),
+      Some("""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cent AS (SELECT id AS centroid_id, v AS cv FROM v WHERE id % 50 = 0),
+             |ar AS (SELECT v.id, v.v, c.centroid_id,
+             |    ROW_NUMBER() OVER (PARTITION BY v.id
+             |      ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 4) DESC, c.centroid_id DESC) AS rn
+             |  FROM v CROSS JOIN cent c),
+             |asg AS (SELECT id, v, centroid_id AS cell FROM ar WHERE rn = 1),
+             |p AS (SELECT a.id, b.id AS id_s,
+             |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+             |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.id < a.id),
+             |d AS (SELECT id, MIN(id_s) AS dup_of, arg_min(sim, id_s) AS dup_sim
+             |  FROM p WHERE sim >= 0.45 GROUP BY id)
+             |SELECT asg.id AS vec_id, asg.cell, d.dup_of IS NULL AS is_kept,
+             |  d.dup_of, d.dup_sim
+             |FROM asg LEFT JOIN d ON asg.id = d.id
+             |ORDER BY vec_id""".stripMargin),
+    ),
   )
 }

@@ -670,6 +670,35 @@ object TextQueries {
           .orderBy(col("rank")),
       Some(bpeOracle(numMerges = 10)),
     ),
+
+    // ----------------------------------------------------------------
+    // Sorted-neighborhood record linkage (Hernández–Stolfo), the
+    // complement of q119's equality blocking: pairs within 5 positions
+    // of the (p_name, id) sort order, Jaro-Winkler-scored. Catches
+    // variants whose BLOCK KEY is itself dirty (q119 can't — its block
+    // must match exactly) at a guaranteed ≤ n·window candidate bound.
+    // Global positions come from the two-phase banded prefix sum (no
+    // global sort); pairing is an equi-join on the position bucket.
+    QueryDef(
+      "q128_sorted_neighborhood",
+      (spark, dir) =>
+        graft.operators.Blocking.sortedNeighborhoodPairs(
+            Tables.part(spark, dir).select(col("p_partkey"), col("p_name")),
+            idCol = "p_partkey", keyCol = col("p_name"), window = 5)
+          .withColumn("jw", round(graft.functions.JaroWinklerSim
+            .jaro_winkler(col("k_a"), col("k_b")), 6))
+          .filter(col("jw") >= 0.9)
+          .select(col("id_a"), col("id_b"), col("dist"), col("jw"))
+          .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+          .limit(100),
+      Some("""WITH p AS (SELECT p_partkey AS id, p_name AS k FROM part),
+             |r AS (SELECT id, k, ROW_NUMBER() OVER (ORDER BY k, id) AS pos FROM p),
+             |j AS (SELECT a.id AS id_a, b.id AS id_b, b.pos - a.pos AS dist,
+             |    ROUND(jaro_winkler_similarity(a.k, b.k), 6) AS jw
+             |  FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos <= 5)
+             |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist, jw FROM j WHERE jw >= 0.9
+             |ORDER BY jw DESC, id_a, id_b LIMIT 100""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE oracle SQL, generated per merge rank: w0 is the padded

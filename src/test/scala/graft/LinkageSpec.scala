@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Blocking, Similarity}
+
+/** Sorted-neighborhood blocking, hard-negative mining, semantic dedup. */
+class LinkageSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("sortedNeighborhoodPairs: exact window pair set, band-invariant, partition-invariant") {
+    val rows = Seq((1L, "aa"), (2L, "ab"), (3L, "ac"), (4L, "ba"),
+      (5L, "bb"), (6L, "ca"))
+    val df = rows.toDF("id", "k")
+    def pairs(d: org.apache.spark.sql.DataFrame, w: Int, bc: Int = 1) =
+      Blocking.sortedNeighborhoodPairs(d, "id", col("k"), w, bc)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Long)]
+        .collect().toSet
+    // Brute-force positional reference: sort by (k, id), all pairs ≤ w apart.
+    def reference(w: Int) = {
+      val sorted = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+      (for (i <- sorted.indices; j <- (i + 1) until math.min(i + w + 1, sorted.length))
+        yield (sorted(i), sorted(j), (j - i).toLong)).toSet
+    }
+    for (w <- Seq(1, 2, 5)) {
+      assert(pairs(df, w) === reference(w), s"window=$w")
+      assert(pairs(df, w, bc = 2) === reference(w), s"window=$w bandChars=2")
+      assert(pairs(df.repartition(5), w) === reference(w), s"window=$w repartitioned")
+    }
+    // Keys that tie sort by id — the (k, id) total order is the contract.
+    val tied = Seq((9L, "xx"), (2L, "xx"), (5L, "xx")).toDF("id", "k")
+    assert(pairs(tied, 1) === Set((2L, 5L, 1L), (5L, 9L, 1L)))
+  }
+
+  test("hardNegativesTopK: same-label lookalikes never occupy negative slots") {
+    val emb = Seq(
+      (0L, "A", Array(1.0f, 0.0f)),
+      (1L, "A", Array(1.0f, 0.0f)),   // identical but same label: excluded
+      (2L, "B", Array(0.9f, 0.1f)),
+      (3L, "B", Array(0.0f, 1.0f)),
+      (4L, "C", Array(0.8f, 0.2f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegativesTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank")
+      .select("rank", "neighbor_id", "neighbor_label")
+      .as[(Int, Long, String)].collect().toSeq
+    // Nearest different-label: id 2 (B, cos .9939), then id 4 (C, .9701).
+    assert(out === Seq((1, 2L, "B"), (2, 4L, "C")))
+  }
+
+  test("semanticDedup: min-id representative, chain drops, cell isolation") {
+    def vec(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // Only id 0 is a centroid (centroidEvery=100) → one cell. Angles:
+    // id0 at 90°, id1 at 0°, id3 at 18°, id5 at 36°.
+    val emb = Seq(
+      (0L, vec(90)), (1L, vec(0)), (3L, vec(18)), (5L, vec(36))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        centroidEvery = 100, threshold = 0.9)
+      .orderBy("id")
+      .select(col("id"), col("is_kept"), col("dup_of"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // cos(0°,18°)=.951 ≥ .9 → 3 drops to 1; cos(18°,36°)=.951 → 5 drops
+    // to its SMALLEST similar mate (3 — itself dropped: the rule is
+    // transitive-free by design); cos(0°,36°)=.809 < .9 keeps 5 off 1;
+    // id 0 (90°) is dissimilar to everything and survives.
+    assert(out === Array((0L, true, -1L), (1L, true, -1L),
+      (3L, false, 1L), (5L, false, 3L)))
+    // Distinct cells isolate: two tight groups around orthogonal
+    // centroids (ids 0 and 100) never cross-compare even at cos ≈ 1
+    // within-group.
+    val twoCells = Seq(
+      (0L, vec(0)), (1L, vec(1)), (100L, vec(90)), (101L, vec(89))
+    ).toDF("vec_id", "embedding")
+    val cells = Similarity.semanticDedup(twoCells, "vec_id", "embedding",
+        centroidEvery = 100, threshold = 0.9)
+      .select(col("id"), col("cell"), col("is_kept"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(cells === Set((0L, 0L, true), (1L, 0L, false),
+      (100L, 100L, true), (101L, 100L, false)))
+  }
+}

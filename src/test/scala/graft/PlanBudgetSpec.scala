@@ -281,6 +281,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the cached word-type table); the audited plan is only the 10-row
     // driver-built merge table's output sort.
     "q126_bpe_vocab" -> 1,
+    // q127: the per-query ranking window exchange + the output sort (the
+    // corpus side broadcasts into the documented exact cross join).
+    "q127_hard_negatives" -> 2,
+    // q128: band-local rank window, the bounded band-offsets agg + its
+    // tiny phase-2 window, the bucket equi-join's exchange, and the
+    // output TakeOrdered; the offsets and position frames broadcast.
+    "q128_sorted_neighborhood" -> 6,
+    // q129: the assignment agg (keyed on (id, v)), the cell self-join's
+    // two exchanges, the smaller-id dup agg, the final attribution join
+    // and the output sort — the assignment subtree repeats per consuming
+    // branch in the static plan (runtime exchange reuse collapses it,
+    // the q120 pattern).
+    "q129_semantic_dedup" -> 8,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -307,8 +320,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q121_pagerank",     // rank⋈deg over two checkpointed node frames:
                          // both |V|-sized, no stats pre-AQE (AQE
                          // broadcasts at runtime when small)
-    "q123_adamic_adar"   // wedge self-join + edge anti-join on the
+    "q123_adamic_adar",  // wedge self-join + edge anti-join on the
                          // checkpointed support graph — the q120 shape
+    "q129_semantic_dedup" // within-cell self-join + dup attribution: both
+                         // sides are the assigned corpus itself (no
+                         // broadcast-able side; AQE broadcasts small
+                         // cells at runtime)
   )
 
   test("every declared query stays within its audited plan budget") {

@@ -54,44 +54,73 @@ object ManifestCommit {
   private def manifestPath(root: String, version: Long): Path =
     new Path(s"$root/$ManifestDir/" + f"manifest-v$version%012d.json")
 
-  /** Latest committed manifest, or None for a virgin root. */
-  def currentManifest(spark: SparkSession, root: String): Option[Manifest] = {
+  /** Every committed version number, ascending (empty for a virgin root). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(s"$root/$ManifestDir")
     val hfs = fs(spark, root)
-    if (!hfs.exists(dir)) return None
-    val versions = hfs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+    if (!hfs.exists(dir)) return Nil
+    hfs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
       case ManifestName(v) => Some(v.toLong)
       case _ => None
-    })
-    versions.maxOption.map { v =>
-      val in = hfs.open(manifestPath(root, v))
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      // JSON-lines, builder-written (see commit): one {"table","delta"}
-      // object per line. Parsed with the same minimal discipline it is
-      // written with — no library dependency, no ambiguity (both fields
-      // are UUID/identifier strings with no escapes).
-      val entries = body.linesIterator.filter(_.nonEmpty).map { line =>
-        val kv = raw""""table":"([^"]*)","delta":"([^"]*)"""".r
-        kv.findFirstMatchIn(line) match {
-          case Some(m) => (m.group(1), m.group(2))
-          case None => throw new IllegalStateException(
-            s"corrupt manifest line in v$v: $line")
-        }
-      }.toSeq
-      Manifest(v, entries.groupBy(_._1).map { case (t, es) => t -> es.map(_._2) })
-    }
+    }).sorted
   }
+
+  private def readManifest(hfs: FileSystem, root: String, v: Long): Manifest = {
+    val in = hfs.open(manifestPath(root, v))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    // JSON-lines, builder-written (see publish): one {"table","delta"}
+    // object per line. Parsed with the same minimal discipline it is
+    // written with — no library dependency, no ambiguity (both fields
+    // are UUID/identifier strings with no escapes).
+    val entries = body.linesIterator.filter(_.nonEmpty).map { line =>
+      val kv = raw""""table":"([^"]*)","delta":"([^"]*)"""".r
+      kv.findFirstMatchIn(line) match {
+        case Some(m) => (m.group(1), m.group(2))
+        case None => throw new IllegalStateException(
+          s"corrupt manifest line in v$v: $line")
+      }
+    }.toSeq
+    Manifest(v, entries.groupBy(_._1).map { case (t, es) => t -> es.map(_._2) })
+  }
+
+  /** Latest committed manifest, or None for a virgin root. */
+  def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
+    versions(spark, root).lastOption
+      .map(readManifest(fs(spark, root), root, _))
+
+  /** The manifest AT a specific committed version — time travel. Every
+    * manifest file is immutable once visible, so any version that
+    * [[vacuum]] has not yet reclaimed reads exactly as it committed
+    * (vacuum keeps only the current one; retention is the operator's
+    * policy knob, as in any snapshot store).
+    */
+  def manifestAt(spark: SparkSession, root: String,
+      version: Long): Option[Manifest] = {
+    val hfs = fs(spark, root)
+    if (hfs.exists(manifestPath(root, version)))
+      Some(readManifest(hfs, root, version))
+    else None
+  }
+
+  private def tableFrom(spark: SparkSession, root: String,
+      m: Manifest, table: String): Option[DataFrame] =
+    m.tables.get(table).filter(_.nonEmpty)
+      .map(deltas => spark.read.parquet(deltas.map(d => s"$root/$d"): _*))
 
   /** The committed view of `table`: one multi-path parquet scan over its
     * delta directories. None when the table has no committed data.
     */
   def readTable(spark: SparkSession, root: String,
       table: String): Option[DataFrame] =
-    currentManifest(spark, root)
-      .flatMap(_.tables.get(table))
-      .filter(_.nonEmpty)
-      .map(deltas => spark.read.parquet(deltas.map(d => s"$root/$d"): _*))
+    currentManifest(spark, root).flatMap(tableFrom(spark, root, _, table))
+
+  /** [[readTable]] as of a historical version (time travel): the exact
+    * table state readers saw when `version` was current.
+    */
+  def readTableAt(spark: SparkSession, root: String, table: String,
+      version: Long): Option[DataFrame] =
+    manifestAt(spark, root, version).flatMap(tableFrom(spark, root, _, table))
 
   /** Write `df` as a new IMMUTABLE delta directory for `table`; returns
     * the root-relative delta path to hand to [[commit]]. Invisible to

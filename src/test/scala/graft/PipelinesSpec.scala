@@ -99,6 +99,14 @@ class PipelinesSpec extends AnyFunSuite {
     assert(r2.endpoints.filter(_.endpoint.startsWith("misa")).forall(_.appended === 0L))
     assert(ManifestCommit.readTable(spark, root, "misa_customers").get.count() === 5L)
 
+    // Time travel: a historical version reads exactly as it committed
+    // (manifests are immutable until vacuumed); a version that never
+    // existed reads as None.
+    assert(ManifestCommit.readTableAt(spark, root, "misa_customers", v1)
+      .get.count() === 5L)
+    assert(ManifestCommit.versions(spark, root) === Seq(v1, v2))
+    assert(ManifestCommit.manifestAt(spark, root, 99L).isEmpty)
+
     // Vacuum reclaims the torn cycle's orphan delta (plus the empty
     // rerun deltas and superseded manifests) without touching live data.
     assert(ManifestCommit.vacuum(spark, root) > 0)

@@ -94,15 +94,19 @@ object Similarity {
     * before the threshold; both replay exactly in SQL.
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      centroidEvery: Int = 50, threshold: Double = 0.9): DataFrame = {
+      centroidEvery: Int = 50, threshold: Double = 0.9,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
     val centroids = v.filter(pmod(col("id"), lit(centroidEvery)) === 0)
       .select(col("id").as("centroid_id"), col("v").as("cv"))
-    val assigned = v.join(broadcast(centroids))
+    // The assignment feeds THREE consumers (both self-join sides and the
+    // final attribution join) — cache it (q80's precedent) so the
+    // corpus × codebook scoring pass runs once, not once per branch.
+    val assigned = scope.cached(v.join(broadcast(centroids))
       .withColumn("cscore", round(cosine(col("v"), col("cv")), 4))
       .groupBy(col("id"), col("v"))
       .agg(max_by(col("centroid_id"),
-        struct(col("cscore"), col("centroid_id"))).as("cell"))
+        struct(col("cscore"), col("centroid_id"))).as("cell")))
     val bigger = assigned.select(col("cell"), col("id"), col("v"))
     val smaller = assigned.select(col("cell"), col("id").as("id_s"),
       col("v").as("v_s"))

@@ -699,37 +699,90 @@ object TextQueries {
              |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist, jw FROM j WHERE jw >= 0.9
              |ORDER BY jw DESC, id_a, id_b LIMIT 100""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // BPE compression report: train q126's 10 merges, encode the WHOLE
+    // corpus through the broadcast-merge-list path (Bpe.encodeTable —
+    // the production-vocabulary encoder, here under the oracle gate, not
+    // just its spec), and report per-source subword-per-word ratios as
+    // exact ppm integers. The oracle replays training AND encoding: the
+    // fully-merged word table IS the encoder, so each document word
+    // joins its final symbol count.
+    QueryDef(
+      "q130_bpe_compression",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Tables.documents(spark, dir)
+        val merges = graft.operators.Bpe.train(docs, "text", numMerges = 10)
+          .orderBy(col("rank")).select(col("left"), col("right"))
+          .as[(String, String)].collect().toSeq
+        graft.operators.Bpe
+          .encodeTable(docs.select(col("source"), col("text")), "text", merges)
+          .select(col("source"),
+            size(filter(TextAnalysis.tokens(col("text")),
+              t => length(t) > 0)).cast("long").as("nw"),
+            size(col("tokens")).cast("long").as("nb"))
+          .groupBy(col("source"))
+          .agg(sum(col("nw")).as("ws_tokens"), sum(col("nb")).as("bpe_tokens"))
+          .select(col("source"), col("ws_tokens"), col("bpe_tokens"),
+            expr("(cast(bpe_tokens as decimal(38,0)) * 1000000) div " +
+              "cast(ws_tokens as decimal(38,0))").as("tokens_per_word_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(bpeCompressionOracle(numMerges = 10)),
+    ),
   )
 
-  /** Iterative-BPE oracle SQL, generated per merge rank: w0 is the padded
-    * symbol-string word-type table; each iteration adds pair counts
-    * (zipped adjacent unnest), the (cnt desc, left, right) argmax, the
-    * replace()-applied next generation, and its weighted token total.
+  /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded
+    * symbol-string word-type table (word carried through); each iteration
+    * adds pair counts (zipped adjacent unnest), the (cnt desc, left,
+    * right) argmax, the replace()-applied next generation, and its
+    * weighted token total. Finishers select off `m<i>`/`t<i>` (the merge
+    * table) or `w<numMerges>` (the fully-encoded word table).
     */
-  private def bpeOracle(numMerges: Int): String = {
+  private def bpeTrainChain(numMerges: Int): String = {
     val iters = (0 until numMerges).map { i =>
       s"""p$i AS (SELECT sym[1:len(sym)-1] AS ls, sym[2:len(sym)] AS rs, cnt
          |  FROM (SELECT string_split(trim(s), '  ') AS sym, cnt FROM w$i)),
          |m$i AS (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c
          |  FROM (SELECT unnest(ls) AS l, unnest(rs) AS r, cnt FROM p$i)
          |  GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
-         |w${i + 1} AS (SELECT replace(s, ' ' || m.l || '  ' || m.r || ' ',
+         |w${i + 1} AS (SELECT word, replace(s, ' ' || m.l || '  ' || m.r || ' ',
          |    ' ' || m.l || m.r || ' ') AS s, cnt FROM w$i, m$i m),
          |t$i AS (SELECT CAST(SUM(cnt * len(string_split(trim(s), '  '))) AS BIGINT) AS tokens
          |  FROM w${i + 1})""".stripMargin
     }
+    s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |    FROM documents) WHERE len(word) > 0 GROUP BY word),
+       |w0 AS (SELECT word, ' ' || array_to_string(
+       |    list_append(string_split(word, ''), '</w>'), '  ') || ' ' AS s, cnt
+       |  FROM wc),
+       |${iters.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracle(numMerges: Int): String = {
     val rows = (0 until numMerges).map { i =>
       s"""SELECT $i AS rank, l AS "left", r AS "right", c AS pair_cnt,
          |  (SELECT tokens FROM t$i) AS tokens_after FROM m$i""".stripMargin
     }
-    s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
-       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
-       |    FROM documents) WHERE len(word) > 0 GROUP BY word),
-       |w0 AS (SELECT ' ' || array_to_string(
-       |    list_append(string_split(word, ''), '</w>'), '  ') || ' ' AS s, cnt
-       |  FROM wc),
-       |${iters.mkString(",\n")}
+    s"""${bpeTrainChain(numMerges)}
        |${rows.mkString("\nUNION ALL\n")}
        |ORDER BY rank""".stripMargin
   }
+
+  /** q130's oracle: the same training replay, finished by encoding every
+    * document word through the final word table and aggregating token
+    * compression per source.
+    */
+  private def bpeCompressionOracle(numMerges: Int): String =
+    s"""${bpeTrainChain(numMerges)},
+       |enc AS (SELECT word, len(string_split(trim(s), '  ')) AS ntok FROM w$numMerges),
+       |dw AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |j AS (SELECT dw.source, e.ntok FROM dw JOIN enc e USING (word)
+       |  WHERE len(dw.word) > 0)
+       |SELECT source, COUNT(*) AS ws_tokens, CAST(SUM(ntok) AS BIGINT) AS bpe_tokens,
+       |  CAST((SUM(ntok) * 1000000) // COUNT(*) AS BIGINT) AS tokens_per_word_ppm
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
 }

@@ -288,12 +288,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     // tiny phase-2 window, the bucket equi-join's exchange, and the
     // output TakeOrdered; the offsets and position frames broadcast.
     "q128_sorted_neighborhood" -> 6,
-    // q129: the assignment agg (keyed on (id, v)), the cell self-join's
-    // two exchanges, the smaller-id dup agg, the final attribution join
-    // and the output sort — the assignment subtree repeats per consuming
-    // branch in the static plan (runtime exchange reuse collapses it,
-    // the q120 pattern).
-    "q129_semantic_dedup" -> 8,
+    // q129: the CacheScope'd assignment (scored once for its three
+    // consumers — q80's precedent; 8 exchanges → 5), the cell
+    // self-join's exchanges, the smaller-id dup agg, the attribution
+    // join and the output sort.
+    "q129_semantic_dedup" -> 5,
+    // q130: training runs during construction (q126); the audited plan
+    // is the per-source encode agg (map-side combined) + output sort.
+    "q130_bpe_compression" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

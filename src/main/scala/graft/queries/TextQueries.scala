@@ -731,6 +731,62 @@ object TextQueries {
       },
       Some(bpeCompressionOracle(numMerges = 10)),
     ),
+
+    // ----------------------------------------------------------------
+    // Gopher-style composite quality gate (Rae et al. 2021's rule-stack
+    // shape): length, mean word length, stopword and repetition rules
+    // each vote, a document survives only if ALL pass — the standard
+    // pre-training corpus filter built from q29/q73's metrics in one
+    // declarative plan (one documents scan per metric family, joined on
+    // doc_id). Rule booleans compare identical-operand IEEE doubles in
+    // both engines; no raw double crosses the hash.
+    QueryDef(
+      "q131_gopher_gate",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val quality = TextAnalysis.qualityMetrics(docs, "text")
+          .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+            col("stopword_ratio"))
+        val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+          .select(col("id").as("doc_id"), col("rep_ratio"))
+        quality.join(rep, Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") >= 30 && col("n_tokens") <= 100000).as("rule_len"),
+            (col("mean_token_len") >= 4.3 && col("mean_token_len") <= 10.0)
+              .as("rule_word_len"),
+            (col("stopword_ratio") >= 0.06).as("rule_stop"),
+            (col("rep_ratio") <= 0.05).as("rule_rep"))
+          .withColumn("keep",
+            col("rule_len") && col("rule_word_len") &&
+              col("rule_stop") && col("rule_rep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |m AS (SELECT doc_id,
+             |  CAST(len(l) AS BIGINT) AS n_tokens,
+             |  list_sum(list_transform(l, x -> length(x))) * 1.0 / len(l) AS mean_token_len,
+             |  len(list_filter(l, x -> list_contains(
+             |    ['the','a','of','and','to','is','in','that','it','for',
+             |     'der','die','das','und','ist','nicht','ein','mit','auf','für',
+             |     'el','la','de','y','es','en','que','los','un','por',
+             |     'le','les','et','est','une','des','pour'], x))) * 1.0 / len(l) AS stopword_ratio
+             |  FROM t),
+             |grams AS (SELECT doc_id, unnest(CASE WHEN len(l) < 2 THEN []
+             |    ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) END) AS g
+             |  FROM t),
+             |c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g),
+             |r AS (SELECT doc_id, MAX(cnt) * 1.0 / SUM(cnt) AS rep_ratio
+             |  FROM c GROUP BY doc_id),
+             |rules AS (SELECT m.doc_id, m.n_tokens,
+             |    (m.n_tokens >= 30 AND m.n_tokens <= 100000) AS rule_len,
+             |    (m.mean_token_len >= 4.3 AND m.mean_token_len <= 10.0) AS rule_word_len,
+             |    (m.stopword_ratio >= 0.06) AS rule_stop,
+             |    (r.rep_ratio <= 0.05) AS rule_rep
+             |  FROM m JOIN r ON m.doc_id = r.doc_id)
+             |SELECT doc_id, n_tokens, rule_len, rule_word_len, rule_stop, rule_rep,
+             |  (rule_len AND rule_word_len AND rule_stop AND rule_rep) AS keep
+             |FROM rules ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

@@ -296,6 +296,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q130: training runs during construction (q126); the audited plan
     // is the per-source encode agg (map-side combined) + output sort.
     "q130_bpe_compression" -> 2,
+    // q131: the per-doc bigram repetition agg (the quality metrics are
+    // narrow per-row expressions), the doc_id join exchange, and the
+    // output sort; the metrics side broadcasts.
+    "q131_gopher_gate" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

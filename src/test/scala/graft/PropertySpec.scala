@@ -386,6 +386,80 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sortedNeighborhoodPairs equals the brute-force positional reference") {
+    val keyGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(2, 30)
+      ks <- Gen.listOfN(n, Gen.listOfN(3, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    } yield ks.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    forAll(keyGen, n = 10) { rows =>
+      for (w <- Seq(1, 4)) {
+        val sorted = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+        val expected = (for {
+          i <- sorted.indices
+          j <- (i + 1) until math.min(i + w + 1, sorted.length)
+        } yield (sorted(i), sorted(j), (j - i).toLong)).toSet
+        val got = graft.operators.Blocking.sortedNeighborhoodPairs(
+            rows.toDF("id", "k").repartition(4), "id", col("k"), w)
+          .select("id_a", "id_b", "dist").as[(Long, Long, Long)]
+          .collect().toSet
+        assert(got === expected, s"w=$w rows=$rows")
+      }
+    }
+  }
+
+  test("semanticDedup invariants: per-cell min-id survivor floor, dup_of shape, partition invariance") {
+    val vecGen: Gen[Seq[(Long, Array[Float])]] = for {
+      n <- Gen.choose(4, 24)
+      vs <- Gen.listOfN(n, Gen.listOfN(3,
+        Gen.choose(-10, 10).map(_.toFloat / 10f)).map(_.toArray))
+    } yield vs.zipWithIndex.collect {
+      // Drop zero vectors (cosine undefined) — ids stay unique.
+      case (v, i) if v.exists(_ != 0f) => (i.toLong, v)
+    }
+    forAll(vecGen, n = 8) { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val scope = graft.core.CacheScope()
+      val out = graft.operators.Similarity
+        .semanticDedup(df, "vec_id", "embedding", centroidEvery = 4,
+          threshold = 0.95, scope = scope)
+        .select(col("id"), col("cell"), col("is_kept"), col("dup_of"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      val cellOf = out.map(o => o._1 -> o._2).toMap
+      // Every row appears exactly once; a dropped row's dup_of is a
+      // smaller id in the SAME cell; kept rows carry no attribution.
+      assert(out.map(_._1).sorted === rows.map(_._1).sorted)
+      out.foreach {
+        case (id, cell, true, dup) => assert(dup.isEmpty, s"kept $id in $cell")
+        case (id, cell, false, dup) =>
+          assert(dup.exists(d => d < id && cellOf(d) == cell), s"dropped $id")
+      }
+      // The min id of every cell can have no smaller cell-mate: always kept.
+      out.groupBy(_._2).foreach { case (cell, members) =>
+        val minId = members.map(_._1).min
+        assert(members.find(_._1 == minId).get._3, s"cell $cell min $minId")
+      }
+      // Threshold -1 keeps EXACTLY the per-cell min (everything else has
+      // a similar-enough smaller mate by definition).
+      val floor = graft.operators.Similarity
+        .semanticDedup(df, "vec_id", "embedding", centroidEvery = 4,
+          threshold = -1.0, scope = scope)
+        .filter(col("is_kept")).select("id").as[Long].collect().toSet
+      assert(floor === out.groupBy(_._2).map(_._2.map(_._1).min).toSet)
+      // Bit-identical under repartitioning.
+      val re = graft.operators.Similarity
+        .semanticDedup(df.repartition(5), "vec_id", "embedding",
+          centroidEvery = 4, threshold = 0.95, scope = scope)
+        .select(col("id"), col("cell"), col("is_kept"), col("dup_of"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+      scope.release()
+    }
+  }
+
   test("overlapJoin matches the naive cross filter for every bucket width") {
     forAll(overlapGen, n = 10) { case (left, right, bucket) =>
       // Distinct synthetic row ids so multiset pair counts are comparable.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.core.Tables
@@ -786,6 +787,105 @@ object TextQueries {
              |SELECT doc_id, n_tokens, rule_len, rule_word_len, rule_stop, rule_rep,
              |  (rule_len AND rule_word_len AND rule_stop AND rule_rep) AS keep
              |FROM rules ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Unigram KL divergence between the train and eval splits (q125's
+    // id-hash split): D_KL(train ‖ eval) with add-one smoothing over the
+    // union vocabulary — the distribution-shift check run on a held-out
+    // split before trusting its perplexity numbers. The q68/q108
+    // determinism discipline: each p·ln(p/q) term quantizes to
+    // DECIMAL(28,12) before the EXACT sum (order-independent); p and q
+    // derive from integers via identical-operand IEEE steps; the
+    // reported divergence crosses the hash as DECIMAL(18,6).
+    QueryDef(
+      "q132_kl_divergence",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+        def side(f: Column) = docs.filter(f).groupBy(col("w"))
+          .agg(count(lit(1)).as("c"))
+        val tr = side(col("doc_id") % 10 =!= 0).withColumnRenamed("c", "ct")
+        val ev = side(col("doc_id") % 10 === 0).withColumnRenamed("c", "ce")
+        val vocab = tr.join(ev, Seq("w"), "full_outer")
+          .select(col("w"), coalesce(col("ct"), lit(0L)).as("ct"),
+            coalesce(col("ce"), lit(0L)).as("ce"))
+        val totals = vocab.agg(count(lit(1)).as("v"),
+          sum(col("ct")).as("nt"), sum(col("ce")).as("ne"))
+        vocab.crossJoin(broadcast(totals))
+          .withColumn("p", (col("ct") + 1).cast(DoubleType) /
+            (col("nt") + col("v")).cast(DoubleType))
+          .withColumn("q", (col("ce") + 1).cast(DoubleType) /
+            (col("ne") + col("v")).cast(DoubleType))
+          .withColumn("term",
+            (col("p") * log(col("p") / col("q"))).cast(DecimalType(28, 12)))
+          .groupBy(col("v"), col("nt"), col("ne"))
+          .agg(round(sum(col("term")).cast(DoubleType), 6)
+            .cast(DecimalType(18, 6)).as("kl_train_eval"))
+          .select(col("v").as("n_vocab"), col("nt").as("n_train_tokens"),
+            col("ne").as("n_eval_tokens"), col("kl_train_eval"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |  FROM documents),
+             |t AS (SELECT w, COUNT(*) AS c FROM toks WHERE len(w) > 0 AND doc_id % 10 <> 0 GROUP BY w),
+             |e AS (SELECT w, COUNT(*) AS c FROM toks WHERE len(w) > 0 AND doc_id % 10 = 0 GROUP BY w),
+             |u AS (SELECT COALESCE(t.w, e.w) AS w, COALESCE(t.c, 0) AS ct, COALESCE(e.c, 0) AS ce
+             |  FROM t FULL OUTER JOIN e ON t.w = e.w),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(ct) AS BIGINT) AS nt,
+             |    CAST(SUM(ce) AS BIGINT) AS ne FROM u),
+             |terms AS (SELECT tot.v, tot.nt, tot.ne, CAST(
+             |    (CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+             |    * ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+             |        / (CAST(ce + 1 AS DOUBLE) / CAST(ne + v AS DOUBLE)))
+             |    AS DECIMAL(28,12)) AS term
+             |  FROM u, tot)
+             |SELECT v AS n_vocab, nt AS n_train_tokens, ne AS n_eval_tokens,
+             |  CAST(ROUND(CAST(SUM(term) AS DOUBLE), 6) AS DECIMAL(18,6)) AS kl_train_eval
+             |FROM terms GROUP BY v, nt, ne""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Source-overlap matrix: vocabulary Jaccard between every pair of
+    // sources — "which domains speak the same language" (mixture design,
+    // contamination triage between feeds). Inverted-index co-occurrence
+    // (token → sources), never source × source over vocabularies; the
+    // |sources|²-bounded output carries exact integral-ppm Jaccard.
+    QueryDef(
+      "q133_source_overlap",
+      (spark, dir) => {
+        val vocab = Tables.documents(spark, dir)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .distinct()
+        val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        val shared = vocab.select(col("source").as("source_a"), col("w"))
+          .join(vocab.select(col("source").as("source_b"), col("w")), Seq("w"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(broadcast(sizes.select(col("source").as("source_a"), col("sz").as("sz_a"))),
+            Seq("source_a"))
+          .join(broadcast(sizes.select(col("source").as("source_b"), col("sz").as("sz_b"))),
+            Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("shared"),
+            expr("(cast(shared as decimal(38,0)) * 1000000) div " +
+              "cast(sz_a + sz_b - shared as decimal(38,0))").as("jaccard_ppm"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH v AS (SELECT DISTINCT source, w FROM (
+             |    SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |    FROM documents) WHERE len(w) > 0),
+             |sz AS (SELECT source, COUNT(*) AS sz FROM v GROUP BY source),
+             |sh AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+             |  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+             |  GROUP BY a.source, b.source)
+             |SELECT sh.source_a, sh.source_b, sh.shared,
+             |  CAST((sh.shared * 1000000) // (sa.sz + sb.sz - sh.shared) AS BIGINT) AS jaccard_ppm
+             |FROM sh JOIN sz sa ON sa.source = sh.source_a
+             |  JOIN sz sb ON sb.source = sh.source_b
+             |ORDER BY source_a, source_b""".stripMargin),
     ),
   )
 

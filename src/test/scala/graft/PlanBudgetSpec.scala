@@ -300,6 +300,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     // narrow per-row expressions), the doc_id join exchange, and the
     // output sort; the metrics side broadcasts.
     "q131_gopher_gate" -> 3,
+    // q132: two side-vocab aggs, their full-outer merge join's
+    // exchanges, and the two single-partition exchanges under the
+    // one-row totals and final KL aggregates.
+    "q132_kl_divergence" -> 6,
+    // q133: the distinct (source, token) agg once per self-join branch
+    // in the static plan (runtime exchange reuse collapses them), the
+    // token-keyed co-occurrence join, the pair agg, and the output sort;
+    // the |sources|-sized size table broadcasts twice.
+    "q133_source_overlap" -> 8,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -328,10 +337,13 @@ class PlanBudgetSpec extends AnyFunSuite {
                          // broadcasts at runtime when small)
     "q123_adamic_adar",  // wedge self-join + edge anti-join on the
                          // checkpointed support graph — the q120 shape
-    "q129_semantic_dedup" // within-cell self-join + dup attribution: both
+    "q129_semantic_dedup", // within-cell self-join + dup attribution: both
                          // sides are the assigned corpus itself (no
                          // broadcast-able side; AQE broadcasts small
                          // cells at runtime)
+    "q132_kl_divergence" // full-outer train⋈eval vocabulary merge: both
+                         // sides scale with the vocabulary (full outer
+                         // cannot broadcast) — the q12/q59 shape
   )
 
   test("every declared query stays within its audited plan budget") {

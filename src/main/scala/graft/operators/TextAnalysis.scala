@@ -315,4 +315,34 @@ object TextAnalysis {
           (col("n_bigrams").cast("double") * col("c_x") * col("c_y"))), 6))
       .select(col("gram"), col("c_xy"), col("pmi"))
   }
+
+  /** Vocabulary Jaccard between every pair of groups (sources, feeds,
+    * languages) — "which domains speak the same language": mixture
+    * design and cross-feed contamination triage. Inverted-index
+    * co-occurrence (token → groups), never group × group over
+    * vocabularies; output is |groups|²-bounded with exact integral-ppm
+    * scores. The distinct (group, token) frame feeds three consumers
+    * (both self-join branches and the per-group sizes), so it is
+    * CacheScope-cached — one distinct aggregation, not one per branch.
+    */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    val vocab = scope.cached(df
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct())
+    val sizes = vocab.groupBy(col("grp")).agg(count(lit(1)).as("sz"))
+    vocab.select(col("grp").as("grp_a"), col("w"))
+      .join(vocab.select(col("grp").as("grp_b"), col("w")), Seq("w"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("grp").as("grp_a"), col("sz").as("sz_a"))),
+        Seq("grp_a"))
+      .join(broadcast(sizes.select(col("grp").as("grp_b"), col("sz").as("sz_b"))),
+        Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("shared"),
+        expr("(cast(shared as decimal(38,0)) * 1000000) div " +
+          "cast(sz_a + sz_b - shared as decimal(38,0))").as("jaccard_ppm"))
+  }
 }

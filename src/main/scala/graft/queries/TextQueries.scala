@@ -853,27 +853,11 @@ object TextQueries {
     // |sources|²-bounded output carries exact integral-ppm Jaccard.
     QueryDef(
       "q133_source_overlap",
-      (spark, dir) => {
-        val vocab = Tables.documents(spark, dir)
-          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-          .filter(length(col("w")) > 0)
-          .distinct()
-        val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("sz"))
-        val shared = vocab.select(col("source").as("source_a"), col("w"))
-          .join(vocab.select(col("source").as("source_b"), col("w")), Seq("w"))
-          .filter(col("source_a") < col("source_b"))
-          .groupBy(col("source_a"), col("source_b"))
-          .agg(count(lit(1)).as("shared"))
-        shared
-          .join(broadcast(sizes.select(col("source").as("source_a"), col("sz").as("sz_a"))),
-            Seq("source_a"))
-          .join(broadcast(sizes.select(col("source").as("source_b"), col("sz").as("sz_b"))),
-            Seq("source_b"))
-          .select(col("source_a"), col("source_b"), col("shared"),
-            expr("(cast(shared as decimal(38,0)) * 1000000) div " +
-              "cast(sz_a + sz_b - shared as decimal(38,0))").as("jaccard_ppm"))
-          .orderBy(col("source_a"), col("source_b"))
-      },
+      (spark, dir) =>
+        TextAnalysis.vocabOverlap(Tables.documents(spark, dir), "source", "text")
+          .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+            col("shared"), col("jaccard_ppm"))
+          .orderBy(col("source_a"), col("source_b")),
       Some("""WITH v AS (SELECT DISTINCT source, w FROM (
              |    SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
              |    FROM documents) WHERE len(w) > 0),

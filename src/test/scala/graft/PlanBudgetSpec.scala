@@ -304,11 +304,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     // exchanges, and the two single-partition exchanges under the
     // one-row totals and final KL aggregates.
     "q132_kl_divergence" -> 6,
-    // q133: the distinct (source, token) agg once per self-join branch
-    // in the static plan (runtime exchange reuse collapses them), the
-    // token-keyed co-occurrence join, the pair agg, and the output sort;
-    // the |sources|-sized size table broadcasts twice.
-    "q133_source_overlap" -> 8,
+    // q133: the CacheScope'd distinct (source, token) frame (one
+    // distinct agg for its three consumers — 8 exchanges → 4), the
+    // token-keyed co-occurrence join, the pair agg, and the output
+    // sort; the |sources|-sized size table broadcasts twice.
+    "q133_source_overlap" -> 4,
+    // q134: cluster resolution runs union-find during construction (the
+    // q36 path — pair generation and closure are driver-materialized);
+    // the audited plan is the cluster-size agg + output sort with the
+    // sizes frame broadcast.
+    "q134_entity_resolution" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

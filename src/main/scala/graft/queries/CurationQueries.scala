@@ -619,26 +619,35 @@ object CurationQueries {
     ),
 
     // ----------------------------------------------------------------
-    // End-to-end entity resolution (the linkage flagship, q97's sibling):
-    // candidate pairs from TWO complementary blockers — sorted
-    // neighborhood (position ≤ 5 in the name sort; catches dirty block
-    // keys) ∪ first-token equality blocks (catches far-apart sort
-    // positions) — scored with the native Jaro-Winkler expression,
-    // pairs ≥ 0.95 resolved to connected components, each cluster
-    // electing its min-id canonical record. Every stage is a previously
-    // oracle-verified operator; the composite replays end to end in SQL
-    // (both blockers, the JW filter, the recursive-CTE closure).
+    // End-to-end entity resolution (the linkage flagship, q97's sibling),
+    // in the standard two-level shape: (1) EXACT collapse — records
+    // group by their full name, each group represented by its min-id
+    // member (one hash aggregation absorbs the duplicate mass: here
+    // 20k listings → 64 representatives at ANY scale factor, and at
+    // 100 TB the dense C(n,2) pair explosion inside exact-dup groups —
+    // measured 51s of distributed-clustering work at sf0.1 when resolved
+    // naively — never materializes at all); (2) NEAR-DUP resolution over
+    // representatives only: sorted-neighborhood ∪ first-token-block
+    // candidates, native Jaro-Winkler ≥ 0.95, connected components,
+    // min-rep-id roots; (3) members re-attach through their name group,
+    // so cluster_root is the min id over ALL members (each group's rep
+    // IS its min id) and every record lands in exactly one entity.
+    // Every stage is a previously oracle-verified operator; the
+    // composite replays end to end in SQL.
     QueryDef(
       "q134_entity_resolution",
       (spark, dir) => {
         val p = Tables.part(spark, dir)
           .select(col("p_partkey").as("id"), col("p_name").as("name"))
+        val groups = p.groupBy(col("name"))
+          .agg(min(col("id")).as("rep_id"), count(lit(1)).as("grp_size"))
+        val reps = groups.select(col("rep_id").as("id"), col("name"))
         val sn = graft.operators.Blocking
-          .sortedNeighborhoodPairs(p, "id", col("name"), window = 5)
+          .sortedNeighborhoodPairs(reps, "id", col("name"), window = 5)
           .select(col("id_a"), col("id_b"), col("k_a").as("name_a"),
             col("k_b").as("name_b"))
         val blk = {
-          val withBlk = p.withColumn("blk", split(col("name"), " ").getItem(0))
+          val withBlk = reps.withColumn("blk", split(col("name"), " ").getItem(0))
           withBlk.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
             .join(withBlk.select(col("blk"), col("id").as("id_b"),
               col("name").as("name_b")), Seq("blk"))
@@ -650,22 +659,29 @@ object CurationQueries {
             .jaro_winkler(col("name_a"), col("name_b")), 6))
           .filter(col("jw") >= 0.95)
           .select(col("id_a"), col("id_b"))
-        val clusters = graft.operators.Dedup
-          .duplicateClusters(p.select(col("id")), "id", pairs)
-        val sizes = clusters.groupBy(col("cluster_root"))
+        val repClusters = graft.operators.Dedup
+          .duplicateClusters(reps.select(col("id")), "id", pairs)
+          .select(col("id").as("rep_id"), col("cluster_root"))
+        val members = p
+          .join(groups.select(col("name"), col("rep_id")), Seq("name"))
+          .join(broadcast(repClusters), Seq("rep_id"))
+        val sizes = members.groupBy(col("cluster_root"))
           .agg(count(lit(1)).as("cluster_size"))
-        clusters.join(broadcast(sizes), Seq("cluster_root"))
+        members.join(broadcast(sizes), Seq("cluster_root"))
           .select(col("id").as("p_partkey"), col("cluster_root"),
-            col("is_survivor"), col("cluster_size"))
+            (col("id") === col("cluster_root")).as("is_survivor"),
+            col("cluster_size"))
           .orderBy(col("p_partkey"))
       },
       Some("""WITH RECURSIVE p AS (SELECT p_partkey AS id, p_name AS name FROM part),
-             |r AS (SELECT id, name, ROW_NUMBER() OVER (ORDER BY name, id) AS pos FROM p),
+             |g AS (SELECT name, MIN(id) AS rep_id FROM p GROUP BY name),
+             |reps AS (SELECT rep_id AS id, name FROM g),
+             |r AS (SELECT id, name, ROW_NUMBER() OVER (ORDER BY name, id) AS pos FROM reps),
              |sn AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
              |  FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos <= 5),
              |blk AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
-             |  FROM (SELECT id, name, string_split(name, ' ')[1] AS blk FROM p) a
-             |  JOIN (SELECT id, name, string_split(name, ' ')[1] AS blk FROM p) b
+             |  FROM (SELECT id, name, string_split(name, ' ')[1] AS blk FROM reps) a
+             |  JOIN (SELECT id, name, string_split(name, ' ')[1] AS blk FROM reps) b
              |    ON a.blk = b.blk AND a.id < b.id),
              |cand AS (SELECT DISTINCT id_a, id_b, name_a, name_b FROM
              |  (SELECT * FROM sn UNION ALL SELECT * FROM blk)),
@@ -673,14 +689,16 @@ object CurationQueries {
              |  WHERE ROUND(jaro_winkler_similarity(name_a, name_b), 6) >= 0.95),
              |edges AS (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
              |reach(id, rt) AS (
-             |  SELECT id, id FROM p
+             |  SELECT id, id FROM reps
              |  UNION
              |  SELECT e.s, reach.rt FROM edges e JOIN reach ON e.d = reach.id),
-             |cc AS (SELECT id, MIN(rt) AS cluster_root FROM reach GROUP BY id),
-             |sz AS (SELECT cluster_root, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_root)
-             |SELECT cc.id AS p_partkey, cc.cluster_root, cc.id = cc.cluster_root AS is_survivor,
+             |cc AS (SELECT id AS rep_id, MIN(rt) AS cluster_root FROM reach GROUP BY id),
+             |m AS (SELECT p.id, cc.cluster_root
+             |  FROM p JOIN g ON p.name = g.name JOIN cc ON g.rep_id = cc.rep_id),
+             |sz AS (SELECT cluster_root, COUNT(*) AS cluster_size FROM m GROUP BY cluster_root)
+             |SELECT m.id AS p_partkey, m.cluster_root, m.id = m.cluster_root AS is_survivor,
              |  sz.cluster_size
-             |FROM cc JOIN sz USING (cluster_root)
+             |FROM m JOIN sz USING (cluster_root)
              |ORDER BY p_partkey""".stripMargin),
     ),
   )

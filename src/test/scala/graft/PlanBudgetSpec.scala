@@ -309,11 +309,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // token-keyed co-occurrence join, the pair agg, and the output
     // sort; the |sources|-sized size table broadcasts twice.
     "q133_source_overlap" -> 4,
-    // q134: cluster resolution runs union-find during construction (the
-    // q36 path — pair generation and closure are driver-materialized);
-    // the audited plan is the cluster-size agg + output sort with the
-    // sizes frame broadcast.
-    "q134_entity_resolution" -> 2,
+    // q134: the exact-collapse name agg appears once per consuming
+    // branch in the static plan (members join + rep derivation; runtime
+    // exchange reuse collapses them), the member re-attach join's
+    // exchange, the cluster-size agg, and the output sort; rep-level
+    // clustering runs union-find during construction (the q36 path) and
+    // the rep-cluster/size frames broadcast.
+    "q134_entity_resolution" -> 6,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -15,7 +15,9 @@ import graft.sources.ManifestCommit
   * of re-running the batch pipeline over the whole corpus per cycle.
   *
   * Per micro-batch (the q88 ingest-gate pattern made continuous):
-  *  1. Quality gate: `n_chars >= minChars` (q97's gate).
+  *  1. Quality gate: any boolean predicate over the batch columns
+  *     (q97's `n_chars >= 100` by default; q131's Gopher rule stack or
+  *     a model-score threshold compose the same way).
   *  2. IN-batch near-dup resolution: exact n-gram Jaccard pairs →
   *     connected components → one survivor per cluster (q36/q97 core) —
   *     work ∝ co-occurring gram instances inside the batch only.
@@ -56,12 +58,15 @@ object CurationStream {
     */
   def curateBatch(batch: DataFrame, root: String, n: Int = 3,
       jaccard: Double = 0.5, containment: Double = 0.5,
-      minChars: Long = 100L): BatchReport = {
+      gate: Column = col("n_chars") >= 100L): BatchReport = {
     val spark = batch.sparkSession
     val scope = CacheScope()
     try {
       val received = batch.count()
-      val gated = scope.cached(batch.filter(col("n_chars") >= minChars))
+      // `gate` is any boolean predicate over the batch columns — the
+      // q97 length rule by default; compose q131's Gopher rule stack or
+      // any model-score column here without touching the dedup chain.
+      val gated = scope.cached(batch.filter(gate))
       val nGated = gated.count()
 
       // In-batch survivors (a batch may contain its own near-dup pairs —

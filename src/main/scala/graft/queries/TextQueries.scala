@@ -871,6 +871,50 @@ object TextQueries {
              |  JOIN sz sb ON sb.source = sh.source_b
              |ORDER BY source_a, source_b""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Metadata-label QA: per-source agreement between the provided lang
+    // label and q28's content-based language ID — the audit that catches
+    // a feed whose metadata went stale or mislabeled (disagreeing docs
+    // are re-tag candidates). Exact integer agreement rates (ppm,
+    // integral division); "und" predictions counted separately — an
+    // undecidable doc is not evidence of a wrong label.
+    QueryDef(
+      "q135_label_agreement",
+      (spark, dir) =>
+        QueryDef.spreadIfNarrow(
+            Tables.documents(spark, dir)
+              .select(col("source"), col("lang"), col("text")))
+          .select(col("source"), col("lang"),
+            TextAnalysis.langId(col("text")).as("pred"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_agree"),
+            sum(when(col("pred") === "und", 1L).otherwise(0L)).as("n_undecided"))
+          .select(col("source"), col("n_docs"), col("n_agree"), col("n_undecided"),
+            expr("(cast(n_agree as decimal(38,0)) * 1000000) div " +
+              "cast(n_docs as decimal(38,0))").as("agree_ppm"))
+          .orderBy(col("source")),
+      Some("""WITH t AS (SELECT source, lang, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |s AS (SELECT source, lang,
+             |  len(list_filter(l, x -> list_contains(['the','a','of','and','to','is','in','that','it','for'], x))) AS s_en,
+             |  len(list_filter(l, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','für'], x))) AS s_de,
+             |  len(list_filter(l, x -> list_contains(['el','la','de','y','es','en','que','los','un','por'], x))) AS s_es,
+             |  len(list_filter(l, x -> list_contains(['le','la','les','et','est','un','une','des','que','pour'], x))) AS s_fr
+             |  FROM t),
+             |m AS (SELECT source, lang, s_en, s_de, s_es, s_fr,
+             |  greatest(s_en, s_de, s_es, s_fr) AS mx FROM s),
+             |p AS (SELECT source, lang,
+             |  CASE WHEN mx = 0 THEN 'und'
+             |       WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
+             |       WHEN s_es = mx THEN 'es' ELSE 'fr' END AS pred
+             |  FROM m)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+             |  CAST(SUM(CASE WHEN pred = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_undecided,
+             |  CAST((SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS agree_ppm
+             |FROM p GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

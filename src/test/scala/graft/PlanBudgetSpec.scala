@@ -316,6 +316,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // clustering runs union-find during construction (the q36 path) and
     // the rep-cluster/size frames broadcast.
     "q134_entity_resolution" -> 6,
+    // q135: the q28 compute-spreading repartition, the per-source agg,
+    // and the output sort.
+    "q135_label_agreement" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.CacheScope
 import graft.functions.VectorFunctions._
 
@@ -120,6 +121,73 @@ object Similarity {
     assigned.join(dupOf, Seq("id"), "left")
       .select(col("id"), col("cell"), col("dup_of").isNull.as("is_kept"),
         col("dup_of"), col("dup_sim"))
+  }
+
+  /** Greedy k-center coreset (Gonzalez 1985, public — the classic
+    * 2-approximation): seed with the min-id vector, then repeatedly add
+    * the point FARTHEST from its nearest selected center — the standard
+    * diverse-subset selection for training-data curation (cover the
+    * embedding space with k exemplars; the selection radius at each step
+    * is the current covering radius, a quality curve worth logging).
+    *
+    * Determinism: distances are cosine distance QUANTIZED to 4 decimals
+    * before every min/argmax (the q35/q80 round-4 discipline), ties
+    * break on the smaller id, and the seed is the min id — so the
+    * selected sequence is engine- and partitioning-independent and a SQL
+    * oracle replays it center by center. Points at quantized distance 0
+    * from a center are never selected (selection stops early if they
+    * cover everything — k is a cap, not a promise).
+    *
+    * Scale shape: driver-iterative like [[graft.operators.Bpe.train]] —
+    * k−1 rounds, each ONE corpus pass updating the running min-distance
+    * column against the newly selected center (a literal vector: the
+    * natural broadcast) plus a TakeOrdered argmax; generations hand off
+    * materialize-then-unpersist so the active plan stays O(1) deep. Work
+    * is O(k·n·dim) — the same as any k-center implementation — with no
+    * shuffle except the k argmaxes.
+    */
+  def kCenterCoreset(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = scope.cached(corpus.select(col(idCol).cast("long").as("id"),
+      asDoubles(col(vecCol)).as("v")))
+    def litVec(xs: Seq[Double]): Column = array(xs.map(lit): _*)
+    def d4(to: Seq[Double]): Column =
+      round(lit(1.0) - cosine(col("v"), litVec(to)), 4)
+    val (firstId, firstVec) = v.orderBy(col("id")).limit(1)
+      .select(col("id"), col("v")).as[(Long, Seq[Double])].head()
+    val selected = Seq.newBuilder[(Int, Long, Option[Double])]
+    selected += ((0, firstId, None))
+    var cur = scope.cached(v.withColumn("mind", d4(firstVec)))
+    v.unpersist()
+    var rank = 1
+    var exhausted = false
+    while (rank < k && !exhausted) {
+      // The argmax collect materializes `cur`; only then is it safe to
+      // drop the previous generation (the Bpe.train lifecycle).
+      val top = cur.filter(col("mind") > 0)
+        .orderBy(col("mind").desc, col("id")).limit(1)
+        .select(col("id"), col("mind"), col("v"))
+        .as[(Long, Double, Seq[Double])]
+        .collect()
+      top.headOption match {
+        case Some((id, radius, vec)) =>
+          selected += ((rank, id, Some(radius)))
+          val next = scope.cached(cur.withColumn("mind",
+            least(col("mind"), d4(vec))))
+          next.count() // materialize before dropping the previous generation
+          cur.unpersist()
+          cur = next
+          rank += 1
+        case None => exhausted = true
+      }
+    }
+    cur.unpersist()
+    selected.result()
+      .toDF("rank", "center_id", "radius")
+      .withColumn("radius", col("radius").cast(DecimalType(18, 4)))
   }
 
   /** IVF-style ANN: a deterministic subsample of the corpus acts as the

@@ -915,6 +915,44 @@ object TextQueries {
              |  CAST((SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS agree_ppm
              |FROM p GROUP BY source ORDER BY source""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Flesch reading-ease per document — the classic readability quality
+    // signal (dense academic prose vs simple web text) from three exact
+    // counts: words (non-empty whitespace tokens), sentences ([.!?]+
+    // splits with non-blank content; floor 1 so fragments still score),
+    // syllables (vowel-group runs — a group never spans whitespace, so
+    // counting over the whole lowercased text equals the per-word sum).
+    // The counts are integers; the score's divisions are identical-
+    // operand IEEE, rounded and emitted as DECIMAL(18,6).
+    QueryDef(
+      "q137_readability",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            size(filter(TextAnalysis.tokens(col("text")),
+              t => length(t) > 0)).cast("long").as("n_words"),
+            greatest(lit(1L), size(filter(split(col("text"), "[.!?]+"),
+              s => length(trim(s)) > 0)).cast("long")).as("n_sentences"),
+            size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+              .cast("long").as("n_syllables"))
+          .withColumn("flesch",
+            round(lit(206.835)
+              - lit(1.015) * col("n_words").cast(DoubleType) / col("n_sentences").cast(DoubleType)
+              - lit(84.6) * col("n_syllables").cast(DoubleType) / col("n_words").cast(DoubleType), 6)
+              .cast(DecimalType(18, 6)))
+          .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+             |    GREATEST(1, CAST(len(list_filter(string_split_regex(text, '[.!?]+'), s -> len(trim(s)) > 0)) AS BIGINT)) AS n_sentences,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CAST(ROUND(206.835
+             |    - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+             |    - 84.6 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS DECIMAL(18,6)) AS flesch
+             |FROM c ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

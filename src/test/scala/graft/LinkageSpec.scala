@@ -50,6 +50,34 @@ class LinkageSpec extends AnyFunSuite {
     assert(out === Seq((1, 2L, "B"), (2, 4L, "C")))
   }
 
+  test("kCenterCoreset: farthest-first order, early exhaustion, partition invariance") {
+    import graft.operators.Similarity
+    def vec(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // Angles 0°, 10°, 90°, 180°: seed = min id (0°); farthest from it is
+    // 180° (d=2); then 90° (min-dist 1.0 to both); then 10° (0.0152).
+    val emb = Seq((1L, vec(0)), (2L, vec(10)), (3L, vec(90)), (4L, vec(180)))
+      .toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Similarity.kCenterCoreset(df, "vec_id", "embedding", k,
+          scope = graft.core.CacheScope())
+        .orderBy("rank")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDecimal(2).doubleValue())))
+        .toSeq
+    val out = run(emb, 4)
+    assert(out === Seq((0, 1L, None), (1, 4L, Some(2.0)),
+      (2, 3L, Some(1.0)), (3, 2L, Some(0.0152))))
+    // k caps, never promises: exact duplicates of the selected centers
+    // are at quantized distance 0 and selection stops early.
+    val dups = Seq((1L, vec(0)), (2L, vec(0)), (3L, vec(180)), (4L, vec(180)))
+      .toDF("vec_id", "embedding")
+    assert(run(dups, 4).map(_._2) === Seq(1L, 3L))
+    // Same sequence under repartitioning — the round-4 + id-tie claim.
+    assert(run(emb.repartition(3), 4) === out)
+  }
+
   test("semanticDedup: min-id representative, chain drops, cell isolation") {
     def vec(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
       math.sin(math.toRadians(deg)).toFloat)

@@ -319,6 +319,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q135: the q28 compute-spreading repartition, the per-source agg,
     // and the output sort.
     "q135_label_agreement" -> 3,
+    // q136: greedy selection runs driver-iteratively during construction
+    // (one corpus pass + TakeOrdered argmax per center, the q126
+    // lifecycle); the audited plan is the 8-row driver-built frame's
+    // output sort.
+    "q136_kcenter_coreset" -> 1,
+    // q137: narrow per-row counting expressions + the output sort.
+    "q137_readability" -> 1,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -47,14 +47,17 @@ object Skew {
   /** Key-distribution skew report — the diagnostic that DECIDES whether a
     * join needs [[saltedJoin]] (or AQE skew splitting) before it runs:
     * per-key counts reduced to ONE row of shape statistics — key count,
-    * row count, hottest key's rows, exact p50/p99 of per-key counts,
-    * skew_ratio (max/mean; ~1 = uniform, ≫1 = salt it), and the row
-    * share of the 10 hottest keys.
+    * row count, hottest key's rows, exact p50/p99 of per-key counts
+    * (×1000, integer-interpolated — [[Stats.orderStatsPermille]]),
+    * skew_ratio as exact ppm of max/mean (~10⁶ = uniform, ≫10⁶ = salt
+    * it), and the ppm row share of the 10 hottest keys. All-BIGINT
+    * output: nothing float crosses the driver hash (round-8 rule).
     *
     * Scale shape: one shuffle to the per-key counts (map-side partial
-    * aggregation — the frame is |keys|-sized, not |rows|); the top-10
-    * goes through orderBy+limit, which plans as TakeOrdered (per-
-    * partition top-10 + driver merge, never a full sort shuffle); both
+    * aggregation — the frame is |keys|-sized, not |rows|); the order
+    * stats ride the banded two-phase prefix sum over count values; the
+    * top-10 goes through orderBy+limit, which plans as TakeOrdered (per-
+    * partition top-10 + driver merge, never a full sort shuffle); the
     * summary frames are one row and cross-join for free.
     */
   def skewReport(df: DataFrame, keyCol: String): DataFrame = {
@@ -62,16 +65,20 @@ object Skew {
     val summary = counts.agg(
       count(lit(1)).as("n_keys"),
       sum(col("cnt")).as("n_rows"),
-      max(col("cnt")).as("max_cnt"),
-      round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
-      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+      max(col("cnt")).as("max_cnt"))
+    val qs = Stats.orderStatsPermille(counts, lit(0), col("cnt"),
+        Seq(500, 990), bandWidth = 1000L)
+      .select(col("p500_x1000").as("p50_cnt_x1000"),
+        col("p990_x1000").as("p99_cnt_x1000"))
     val top10 = counts.orderBy(col("cnt").desc, col(keyCol)).limit(10)
       .agg(sum(col("cnt")).as("top10_rows"))
-    summary.crossJoin(broadcast(top10))
-      .withColumn("skew_ratio",
-        round(col("max_cnt") * col("n_keys") / col("n_rows"), 4))
-      .withColumn("top10_share", round(col("top10_rows") / col("n_rows"), 6))
+    summary.crossJoin(broadcast(qs)).crossJoin(broadcast(top10))
+      .withColumn("skew_ratio_ppm", expr(
+        "(cast(max_cnt as decimal(38,0)) * n_keys * 1000000) div n_rows"))
+      .withColumn("top10_share_ppm", expr(
+        "(cast(top10_rows as decimal(38,0)) * 1000000) div n_rows"))
       .select(col("n_keys"), col("n_rows"), col("max_cnt"),
-        col("p50_cnt"), col("p99_cnt"), col("skew_ratio"), col("top10_share"))
+        col("p50_cnt_x1000"), col("p99_cnt_x1000"),
+        col("skew_ratio_ppm"), col("top10_share_ppm"))
   }
 }

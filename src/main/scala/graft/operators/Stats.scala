@@ -15,6 +15,21 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stats {
 
+  /** The suite-wide conversion for a COMPUTED identical-operand IEEE
+    * double crossing the driver hash: ⌊x·10⁶ + 0.5⌋ as BIGINT — round
+    * half up, but built from one multiply, one add and an exact floor,
+    * never from ROUND-at-decimal-scale (whose double→decimal conversion
+    * shifted between DuckDB releases and cost rounds 6–7 four red
+    * cells). The +0.5 absorbs the common hazard of last-ulp noise
+    * around INTEGRAL micro values (a perfect correlation computing as
+    * 0.9999999999999999 via sqrt must still report 1000000); the
+    * residual .5-boundary hazard requires the true value to sit within
+    * an ulp of n+½ micro-units — an irrational-coincidence class that
+    * plain floor shares at integral boundaries anyway. DuckDB replay:
+    * CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT).
+    */
+  def micro(x: Column): Column = floor(x * lit(1000000.0) + lit(0.5))
+
   /** Two-sample Kolmogorov–Smirnov test: D = sup_x |F_a(x) − F_b(x)| —
     * the standard "did this batch's distribution drift from the
     * reference corpus" gate (feature drift, scraper regressions, mixture
@@ -76,9 +91,14 @@ object Stats {
       // d is reported as exact integer parts-per-million (integral DECIMAL
       // division) — a float d would be bit-identical across engines in
       // VALUE yet still hash-sensitive to the checker's serialization of
-      // doubles; an integer crosses any hash unambiguously. The α=0.05
-      // decision stays IEEE (identical operands both sides — deterministic).
-      .select(col("n_a"), col("n_b"), col("d_num"),
+      // doubles; an integer crosses any hash unambiguously. d_num itself
+      // is emitted as BIGINT, not DECIMAL(38,0): a 16-byte FLBA decimal
+      // is the other empirically hash-flaky class, and d_num ≤ n_a·n_b
+      // keeps it inside int64 to ~3e9 rows per side (the DECIMAL(38,0)
+      // intermediates above stay exact far beyond that; only the
+      // REPORTED copy narrows). The α=0.05 decision stays IEEE
+      // (identical operands both sides — deterministic).
+      .select(col("n_a"), col("n_b"), col("d_num").cast("long").as("d_num"),
         expr("(d_num * 1000000) div " +
           "(cast(n_a as decimal(38,0)) * cast(n_b as decimal(38,0)))")
           .as("d_ppm"),
@@ -87,6 +107,96 @@ object Stats {
           lit(1.3581) * sqrt((col("n_a") + col("n_b")).cast("double") /
             (col("n_a").cast("double") * col("n_b").cast("double"))))
           .as("reject_05"))
+  }
+
+  /** Exact interpolated order statistics per group over INTEGER values,
+    * with the interpolation itself kept in integer arithmetic — the
+    * round-8 replacement for percentile()/quantile_cont in every hashed
+    * output. The classic linear-interpolated quantile at p = k/1000 sits
+    * at position (n−1)·k/1000: lo = ((n−1)·k) div 1000 (0-based), frac =
+    * ((n−1)·k) mod 1000, and the reported value is
+    *
+    *   p{k}_x1000 = v[lo]·(1000 − frac) + v[lo + (frac>0)]·frac
+    *
+    * — exactly 1000× the interpolated quantile, a pure BIGINT. No float
+    * is ever computed, so there is nothing for two engines to disagree
+    * on: quantile_cont's "last-ulp division noise" (and the ROUND-at-
+    * scale drift between DuckDB releases that round 7 proved) is
+    * structurally gone. Callers feed already-quantized values (e.g.
+    * milli-units via cast(x as decimal(18,3))·1000), making p{k}_x1000
+    * micro-units of the original.
+    *
+    * Scale: one (group, value)-keyed count aggregation, then cumulative
+    * counts via the two-phase banded prefix sum (a window inside each
+    * fixed-width value band plus one window over the bounded per-band
+    * totals frame — never a global single-partition sort; ksTwoSample's
+    * shape). The order statistics are picked by a plain conditional agg
+    * over the cumulative table. Output: group cols, n, p{k}_x1000 per
+    * requested permille.
+    */
+  def orderStatsPermille(df: DataFrame, grp: Column, value: Column,
+      permilles: Seq[Int], bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    require(permilles.nonEmpty && permilles.forall(k => k >= 0 && k <= 1000),
+      "permilles must be in [0, 1000]")
+    val vals = df.select(grp.as("g"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val byV = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("band", floor(col("v") / bandWidth))
+    val wLocal = Window.partitionBy(col("g"), col("band")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = byV.withColumn("lc", sum(col("cnt")).over(wLocal))
+    val wBand = Window.partitionBy(col("g")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byV.groupBy(col("g"), col("band"))
+      .agg(sum(col("cnt")).as("t"))
+      .select(col("g"), col("band"),
+        coalesce(sum(col("t")).over(wBand), lit(0L)).as("off"))
+    val n = vals.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    // cum = inclusive rank of the LAST occurrence of v; v is the r-th
+    // smallest for every r in (cum−cnt, cum], so "the value at rank r"
+    // is min(v where cum ≥ r).
+    val cum = local.join(offsets, Seq("g", "band"))
+      .select(col("g"), col("v"), (col("off") + col("lc")).as("c"))
+      .join(n, Seq("g"))
+    def loRank(k: Int) = expr(s"((n - 1) * $k) div 1000") + lit(1L)
+    def frac(k: Int)   = expr(s"((n - 1) * $k) % 1000")
+    val picks = permilles.flatMap { k =>
+      Seq(min(when(col("c") >= loRank(k), col("v"))).as(s"lo_$k"),
+        min(when(col("c") >= loRank(k) +
+          when(frac(k) > 0, 1L).otherwise(0L), col("v"))).as(s"hi_$k"))
+    }
+    val agg = cum.groupBy(col("g"), col("n")).agg(picks.head, picks.tail: _*)
+    val outs = permilles.map { k =>
+      (col(s"lo_$k") * (lit(1000L) - frac(k)) + col(s"hi_$k") * frac(k))
+        .as(s"p${k}_x1000")
+    }
+    agg.select(col("g") +: col("n") +: outs: _*)
+  }
+
+  /** DuckDB replay of [[orderStatsPermille]] as a CTE chunk: `srcSql`
+    * must select columns `g` and BIGINT `v`; the produced CTEs end in
+    * `os_q` with columns (g, n, p{k}_x1000 ...). The rank picks ride
+    * row_number() — the oracle replays RESULTS, not plans.
+    */
+  def orderStatsOracleSql(srcSql: String, permilles: Seq[Int],
+      prefix: String = "os"): String = {
+    val pickCols = permilles.flatMap { k =>
+      Seq(s"MIN(CASE WHEN rn = (((n - 1) * $k) // 1000) + 1 THEN v END) AS lo_$k",
+        s"MIN(CASE WHEN rn = (((n - 1) * $k) // 1000) + 1 + (CASE WHEN (((n - 1) * $k) % 1000) > 0 THEN 1 ELSE 0 END) THEN v END) AS hi_$k")
+    }.mkString(",\n    ")
+    val outCols = permilles.map { k =>
+      s"CAST(lo_$k * (1000 - (((n - 1) * $k) % 1000)) + hi_$k * (((n - 1) * $k) % 1000) AS BIGINT) AS p${k}_x1000"
+    }.mkString(",\n    ")
+    s"""${prefix}_v AS ($srcSql),
+       |${prefix}_r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM ${prefix}_v),
+       |${prefix}_n AS (SELECT g, COUNT(*) AS n FROM ${prefix}_v GROUP BY g),
+       |${prefix}_p AS (SELECT ${prefix}_r.g, ${prefix}_n.n,
+       |    $pickCols
+       |  FROM ${prefix}_r JOIN ${prefix}_n USING (g) GROUP BY ${prefix}_r.g, ${prefix}_n.n),
+       |${prefix}_q AS (SELECT g, n,
+       |    $outCols
+       |  FROM ${prefix}_p)""".stripMargin
   }
 
   /** Pairwise Pearson correlation matrix over fixed-point variables, in
@@ -104,7 +214,10 @@ object Stats {
     * sqrt's before multiplying, keeping every intermediate inside both
     * double range and DECIMAL(38,0) (their direct product n²·σ²ₓσ²ᵧ
     * would overflow 38 digits at scale). Zero-variance columns yield
-    * NULL r rather than a 0/0.
+    * NULL rather than a 0/0. r is reported as `corr_micro` =
+    * ⌊10⁶·r⌋ BIGINT (floor of one IEEE multiply — version-stable where
+    * ROUND-at-scale is not; floor rounds toward −∞ identically in both
+    * engines, which matters since r may be negative).
     *
     * Magnitude bound: n·Σx² must fit 38 digits — e.g. values ≤ 1e7
     * micro-units allow ~1e10 rows; pick the quantization accordingly.
@@ -129,10 +242,11 @@ object Stats {
         col(s"s_$a") * col(s"s_$b")).cast("double")
       struct(lit(a).as("var_a"), lit(b).as("var_b"),
         when(varNum(a) > 0 && varNum(b) > 0,
-          round(covNum / (sqrt(varNum(a)) * sqrt(varNum(b))), 6)).as("corr"))
+          micro(covNum / (sqrt(varNum(a)) * sqrt(varNum(b)))))
+          .as("corr_micro"))
     }
     one.select(col("n").cast("long").as("n"),
         explode(array(pairStructs: _*)).as("p"))
-      .select(col("p.var_a"), col("p.var_b"), col("n"), col("p.corr"))
+      .select(col("p.var_a"), col("p.var_b"), col("n"), col("p.corr_micro"))
   }
 }

@@ -394,24 +394,36 @@ object AnalyticsQueries {
     // driver gate.
     QueryDef(
       "q79_quantile_sketch",
-      (spark, dir) =>
-        Tables.events(spark, dir)
+      (spark, dir) => {
+        // Exact side: integer-interpolated order stats over milli values
+        // (micro-unit BIGINT output — the round-8 hash rule); the sketch
+        // rides alongside and only feeds the boolean gate, compared at
+        // the micro scale (quantization shifts ≤ 0.001, far inside 5%).
+        val exact = graft.operators.Stats.orderStatsPermille(
+            Tables.events(spark, dir), col("event_type"),
+            (col("value").cast(DecimalType(18, 3)) * lit(1000)).cast("long"),
+            Seq(500, 900), bandWidth = 50000L)
+          .select(col("g").as("event_type"),
+            col("p500_x1000").as("p50_micro"), col("p900_x1000").as("p90_micro"))
+        val approx = Tables.events(spark, dir)
           .groupBy(col("event_type"))
-          .agg(
-            round(expr("percentile(value, 0.5)"), 6).as("p50"),
-            round(expr("percentile(value, 0.9)"), 6).as("p90"),
-            expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+          .agg(expr("approx_percentile(value, 0.5, 10000)").as("a50"),
             expr("approx_percentile(value, 0.9, 10000)").as("a90"))
-          .select(col("event_type"), col("p50"), col("p90"),
-            (abs(col("a50") - col("p50")) <= greatest(abs(col("p50")) * 0.05, lit(0.05)) &&
-              abs(col("a90") - col("p90")) <= greatest(abs(col("p90")) * 0.05, lit(0.05)))
+        exact.join(broadcast(approx), Seq("event_type"))
+          .select(col("event_type"), col("p50_micro"), col("p90_micro"),
+            (abs(col("a50") * 1e6 - col("p50_micro")) <=
+              greatest(abs(col("p50_micro")) * 0.05, lit(50000.0)) &&
+              abs(col("a90") * 1e6 - col("p90_micro")) <=
+                greatest(abs(col("p90_micro")) * 0.05, lit(50000.0)))
               .as("approx_ok"))
-          .orderBy(col("event_type")),
-      Some("""SELECT event_type,
-             |ROUND(quantile_cont(value, 0.5), 6) AS p50,
-             |ROUND(quantile_cont(value, 0.9), 6) AS p90,
-             |TRUE AS approx_ok
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH ${graft.operators.Stats.orderStatsOracleSql(
+                 "SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v " +
+                 "FROM events WHERE value IS NOT NULL", Seq(500, 900))}
+             |SELECT g AS event_type, p500_x1000 AS p50_micro, p900_x1000 AS p90_micro,
+             |  TRUE AS approx_ok
+             |FROM os_q ORDER BY event_type""".stripMargin),
     ),
 
     // ----------------------------------------------------------------
@@ -435,22 +447,28 @@ object AnalyticsQueries {
           .select(col("event_type"),
             expr("kll_sketch_get_quantile_double(msk, 0.5)").as("k50"),
             expr("kll_sketch_get_quantile_double(msk, 0.9)").as("k90"))
-        ev.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            round(expr("percentile(value, 0.5)"), 6).as("p50"),
-            round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        // Exact side in micro-unit BIGINTs (round-8 rule — see q79); the
+        // merged-sketch quantiles only feed the boolean gate.
+        graft.operators.Stats.orderStatsPermille(ev, col("event_type"),
+            (col("value").cast(DecimalType(18, 3)) * lit(1000)).cast("long"),
+            Seq(500, 900), bandWidth = 50000L)
+          .select(col("g").as("event_type"), col("n"),
+            col("p500_x1000").as("p50_micro"), col("p900_x1000").as("p90_micro"))
           .join(broadcast(merged), Seq("event_type"))
-          .select(col("event_type"), col("n"), col("p50"), col("p90"),
-            (abs(col("k50") - col("p50")) <= greatest(abs(col("p50")) * 0.05, lit(0.05)) &&
-              abs(col("k90") - col("p90")) <= greatest(abs(col("p90")) * 0.05, lit(0.05)))
+          .select(col("event_type"), col("n"), col("p50_micro"), col("p90_micro"),
+            (abs(col("k50") * 1e6 - col("p50_micro")) <=
+              greatest(abs(col("p50_micro")) * 0.05, lit(50000.0)) &&
+              abs(col("k90") * 1e6 - col("p90_micro")) <=
+                greatest(abs(col("p90_micro")) * 0.05, lit(50000.0)))
               .as("merge_ok"))
           .orderBy(col("event_type"))
       },
-      Some("""SELECT event_type, COUNT(*) AS n,
-             |ROUND(quantile_cont(value, 0.5), 6) AS p50,
-             |ROUND(quantile_cont(value, 0.9), 6) AS p90,
-             |TRUE AS merge_ok
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      Some(s"""WITH ${graft.operators.Stats.orderStatsOracleSql(
+                 "SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v " +
+                 "FROM events WHERE value IS NOT NULL", Seq(500, 900))}
+             |SELECT g AS event_type, n, p500_x1000 AS p50_micro,
+             |  p900_x1000 AS p90_micro, TRUE AS merge_ok
+             |FROM os_q ORDER BY event_type""".stripMargin),
     ),
 
     // ----------------------------------------------------------------
@@ -572,7 +590,7 @@ object AnalyticsQueries {
              |  FROM c),
              |d AS (SELECT MAX(ABS(CAST(ca AS HUGEINT) * n_b
              |                   - CAST(cb AS HUGEINT) * n_a)) AS d_num FROM cum, n)
-             |SELECT n_a, n_b, CAST(d_num AS DECIMAL(38,0)) AS d_num,
+             |SELECT n_a, n_b, CAST(d_num AS BIGINT) AS d_num,
              |  CAST((d_num * 1000000) // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)) AS BIGINT) AS d_ppm,
              |  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) >
              |    1.3581 * sqrt(CAST(n_a + n_b AS DOUBLE)

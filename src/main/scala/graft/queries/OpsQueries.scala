@@ -88,32 +88,40 @@ object OpsQueries {
     // ----------------------------------------------------------------
     // Column profiling — the A3 quality scan generalized to the per-column
     // statistics a curation pipeline reports: counts, null counts,
-    // distincts, min/max, exact interpolated percentiles (decimal-routed
-    // means for engine parity).
+    // distincts, exact micro-unit sum (per-row decimal quantization, so
+    // the integer sum is order-independent), and exact integer-
+    // interpolated percentiles (Stats.orderStatsPermille over milli
+    // values — ×1000 of milli = micro). All-BIGINT output per the
+    // round-8 hash rule; the mean is derivable as
+    // value_sum_micro / 10⁶ / (n_rows − value_nulls).
     QueryDef(
       "q44_profile",
       (spark, dir) => {
         val ev = Tables.events(spark, dir)
-        ev.agg(
+        val base = ev.agg(
           count(lit(1)).as("n_rows"),
           sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
           countDistinct(col("user_id")).as("distinct_users"),
           countDistinct(col("event_type")).as("distinct_types"),
-          Aggregations.dsum(col("value"), 18, 6).as("value_sum"),
-          // mean over NON-NULL values: SUM skips nulls, so the denominator
-          // must too (count(col), not count(*)).
-          (Aggregations.dsum(col("value"), 18, 6) / count(col("value"))).as("value_mean"),
-          round(expr("percentile(value, 0.5)"), 6).as("value_p50"),
-          round(expr("percentile(value, 0.95)"), 6).as("value_p95"))
+          sum((col("value").cast(DecimalType(18, 6)) * lit(1000000)).cast("long"))
+            .as("value_sum_micro"))
+        val qs = graft.operators.Stats.orderStatsPermille(ev, lit(0),
+            (col("value").cast(DecimalType(18, 3)) * lit(1000)).cast("long"),
+            Seq(500, 950), bandWidth = 50000L)
+          .select(col("p500_x1000").as("value_p50_micro"),
+            col("p950_x1000").as("value_p95_micro"))
+        base.crossJoin(broadcast(qs))
       },
-      Some("""SELECT COUNT(*) AS n_rows,
+      Some(s"""WITH ${graft.operators.Stats.orderStatsOracleSql(
+                 "SELECT 0 AS g, CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v " +
+                 "FROM events WHERE value IS NOT NULL", Seq(500, 950))}
+             |SELECT COUNT(*) AS n_rows,
              |CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
              |COUNT(DISTINCT user_id) AS distinct_users,
              |COUNT(DISTINCT event_type) AS distinct_types,
-             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
-             |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_mean,
-             |ROUND(quantile_cont(value, 0.5), 6) AS value_p50,
-             |ROUND(quantile_cont(value, 0.95), 6) AS value_p95
+             |CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS value_sum_micro,
+             |(SELECT p500_x1000 FROM os_q) AS value_p50_micro,
+             |(SELECT p950_x1000 FROM os_q) AS value_p95_micro
              |FROM events""".stripMargin),
     ),
 
@@ -147,8 +155,11 @@ object OpsQueries {
             count(lit(1)).as("n_events"),
             sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("std"), 1L)
               .otherwise(0L)).cast("long").as("n_outliers"),
-            round(max(col("mean")), 6).as("mean_value"),
-            round(max(col("std")), 6).as("std_value"))
+            // floor-to-micro BIGINT, not ROUND — the round-8 hash rule:
+            // one IEEE multiply + exact floor of identical-operand
+            // doubles is stable across engine versions.
+            graft.operators.Stats.micro(max(col("mean"))).as("mean_micro"),
+            graft.operators.Stats.micro(max(col("std"))).as("std_micro"))
           .orderBy(col("event_type"))
       },
       Some("""WITH stats AS (
@@ -161,33 +172,38 @@ object OpsQueries {
              |  FROM stats)
              |SELECT e.event_type, COUNT(*) AS n_events,
              |  CAST(SUM(CASE WHEN abs(e.value - m.mean) > 3.0 * m.std THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-             |  ROUND(MAX(m.mean), 6) AS mean_value,
-             |  ROUND(MAX(m.std), 6) AS std_value
+             |  CAST(FLOOR(MAX(m.mean) * 1000000.0 + 0.5) AS BIGINT) AS mean_micro,
+             |  CAST(FLOOR(MAX(m.std) * 1000000.0 + 0.5) AS BIGINT) AS std_micro
              |FROM events e JOIN m ON e.event_type = m.event_type
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
     ),
 
     // ----------------------------------------------------------------
-    // Exact interpolated percentiles PER GROUP (q44 profiles globally):
-    // Spark's percentile() and DuckDB's quantile_cont share the linear-
-    // interpolation definition — round 6 absorbs the last-ulp division
-    // noise. One shuffle on the group key.
+    // Exact interpolated percentiles PER GROUP (q44 profiles globally),
+    // in pure integer arithmetic: values quantize to milli BIGINTs, and
+    // Stats.orderStatsPermille interpolates at k/1000 with integer
+    // weights — p{50,90,99}_micro = 1000 × the milli quantile, exact, so
+    // unlike percentile()/quantile_cont there is no last-ulp division
+    // for two engines to disagree on (the round-8 hash rule). Banded
+    // two-phase prefix sum; no global sort.
     QueryDef(
       "q56_percentiles_by_group",
       (spark, dir) =>
-        Tables.events(spark, dir)
-          .groupBy(col("event_type"))
-          .agg(
-            count(col("value")).as("n"),
-            round(expr("percentile(value, 0.5)"), 6).as("p50"),
-            round(expr("percentile(value, 0.9)"), 6).as("p90"),
-            round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        graft.operators.Stats.orderStatsPermille(
+            Tables.events(spark, dir), col("event_type"),
+            (col("value").cast(DecimalType(18, 3)) * lit(1000)).cast("long"),
+            Seq(500, 900, 990), bandWidth = 50000L)
+          .select(col("g").as("event_type"), col("n"),
+            col("p500_x1000").as("p50_micro"),
+            col("p900_x1000").as("p90_micro"),
+            col("p990_x1000").as("p99_micro"))
           .orderBy(col("event_type")),
-      Some("""SELECT event_type, COUNT(value) AS n,
-             |ROUND(quantile_cont(value, 0.5), 6) AS p50,
-             |ROUND(quantile_cont(value, 0.9), 6) AS p90,
-             |ROUND(quantile_cont(value, 0.99), 6) AS p99
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      Some(s"""WITH ${graft.operators.Stats.orderStatsOracleSql(
+                 "SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v " +
+                 "FROM events WHERE value IS NOT NULL", Seq(500, 900, 990))}
+             |SELECT g AS event_type, n, p500_x1000 AS p50_micro,
+             |  p900_x1000 AS p90_micro, p990_x1000 AS p99_micro
+             |FROM os_q ORDER BY event_type""".stripMargin),
     ),
 
     // ----------------------------------------------------------------
@@ -197,7 +213,10 @@ object OpsQueries {
     // feeds training or an average. The percentile frame is groups-sized
     // and broadcasts back onto the fact stream; clip boundaries are
     // STRICT (a value equal to the fence is untouched), and the clipped
-    // mean goes through the DECIMAL(18,6) sum discipline.
+    // mass crosses the hash as the exact BIGINT sum of per-row
+    // floor(clipped·10⁶) micro-units (round-8 discipline: floor of one
+    // IEEE multiply, order-independent integer sum; the mean is
+    // derivable as clipped_sum_micro / 10⁶ / n).
     QueryDef(
       "q111_winsorize",
       (spark, dir) => {
@@ -211,8 +230,7 @@ object OpsQueries {
           .agg(count(lit(1)).as("n"),
             sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
             sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
-            round((sum(col("clipped").cast(DecimalType(18, 6)))).cast(DoubleType) /
-              count(lit(1)), 6).cast(DecimalType(18, 6)).as("winsorized_mean"))
+            sum(graft.operators.Stats.micro(col("clipped"))).as("clipped_sum_micro"))
           .orderBy(col("event_type"))
       },
       Some("""WITH fences AS (SELECT event_type,
@@ -224,7 +242,7 @@ object OpsQueries {
              |SELECT event_type, COUNT(*) AS n,
              |  CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
              |  CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
-             |  CAST(ROUND(CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS winsorized_mean
+             |  CAST(SUM(CAST(FLOOR(clipped * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS clipped_sum_micro
              |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
 
@@ -258,14 +276,18 @@ object OpsQueries {
           .withColumn("m3num", col("n") * col("n") * col("s3") -
             lit(3) * col("n") * col("s1") * col("s2") +
             lit(2) * col("s1") * col("s1") * col("s1"))
+          // Round-8 hash discipline: the identical-operand IEEE finals
+          // are floored to micro-units as BIGINT (floor of one multiply
+          // is version-stable where ROUND-at-scale was not; floor is
+          // toward −∞ in both engines, safe for negative mean/skewness).
           .select(col("event_type"), col("n").cast("long").as("n"),
-            round(col("s1").cast(DoubleType) / col("n").cast(DoubleType) / lit(1000.0), 6)
-              .as("mean"),
-            round(sqrt(col("m2num").cast(DoubleType)) / col("n").cast(DoubleType) / lit(1000.0), 6)
-              .as("stddev_pop"),
-            round(col("m3num").cast(DoubleType) /
-              (col("m2num").cast(DoubleType) * sqrt(col("m2num").cast(DoubleType))), 6)
-              .as("skewness"))
+            graft.operators.Stats.micro(col("s1").cast(DoubleType) / col("n").cast(DoubleType) / lit(1000.0))
+              .as("mean_micro"),
+            graft.operators.Stats.micro(sqrt(col("m2num").cast(DoubleType)) / col("n").cast(DoubleType) / lit(1000.0))
+              .as("stddev_pop_micro"),
+            graft.operators.Stats.micro(col("m3num").cast(DoubleType) /
+              (col("m2num").cast(DoubleType) * sqrt(col("m2num").cast(DoubleType))))
+              .as("skewness_micro"))
           .orderBy(col("event_type"))
       },
       Some("""WITH base AS (SELECT event_type,
@@ -280,10 +302,10 @@ object OpsQueries {
              |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3num,
              |    s1 FROM stats)
              |SELECT event_type, CAST(n AS BIGINT) AS n,
-             |  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) AS mean,
-             |  ROUND(sqrt(CAST(m2num AS DOUBLE)) / CAST(n AS DOUBLE) / 1000.0, 6) AS stddev_pop,
-             |  ROUND(CAST(m3num AS DOUBLE)
-             |    / (CAST(m2num AS DOUBLE) * sqrt(CAST(m2num AS DOUBLE))), 6) AS skewness
+             |  CAST(FLOOR(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 * 1000000.0 + 0.5) AS BIGINT) AS mean_micro,
+             |  CAST(FLOOR(sqrt(CAST(m2num AS DOUBLE)) / CAST(n AS DOUBLE) / 1000.0 * 1000000.0 + 0.5) AS BIGINT) AS stddev_pop_micro,
+             |  CAST(FLOOR(CAST(m3num AS DOUBLE)
+             |    / (CAST(m2num AS DOUBLE) * sqrt(CAST(m2num AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS skewness_micro
              |FROM m ORDER BY event_type""".stripMargin),
     ),
 
@@ -325,7 +347,9 @@ object OpsQueries {
              |    SUM(CAST(p AS HUGEINT) * t) AS sp_pt, SUM(CAST(d AS HUGEINT) * t) AS sp_dt
              |  FROM base),
              |r AS (SELECT var_a, var_b, CAST(n AS BIGINT) AS n,
-             |    ROUND(CAST(cov AS DOUBLE) / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE))), 6) AS corr
+             |    CASE WHEN va > 0 AND vb > 0 THEN CAST(FLOOR(CAST(cov AS DOUBLE)
+             |      / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+             |    END AS corr_micro
              |  FROM (
              |    SELECT 'quantity' AS var_a, 'extendedprice' AS var_b, n,
              |      n*sp_qp - s_q*s_p AS cov, n*ss_q - s_q*s_q AS va, n*ss_p - s_p*s_p AS vb FROM s
@@ -339,7 +363,7 @@ object OpsQueries {
              |      n*sp_pt - s_p*s_t, n*ss_p - s_p*s_p, n*ss_t - s_t*s_t FROM s
              |    UNION ALL SELECT 'discount', 'tax', n,
              |      n*sp_dt - s_d*s_t, n*ss_d - s_d*s_d, n*ss_t - s_t*s_t FROM s))
-             |SELECT var_a, var_b, n, corr FROM r ORDER BY var_a, var_b""".stripMargin),
+             |SELECT var_a, var_b, n, corr_micro FROM r ORDER BY var_a, var_b""".stripMargin),
     ),
 
     // ----------------------------------------------------------------
@@ -438,11 +462,12 @@ object OpsQueries {
     // Chi-square independence test: event_type × fixed value band
     // (<100 / 100–300 / ≥300) contingency table, χ² from exact observed
     // counts with expected = row·col/n. Each cell's (obs−exp)²/exp term
-    // quantizes to DECIMAL(28,12) before the exact decimal sum — the
-    // q68 discipline — because a bare double Σ over cells would depend
-    // on each engine's summation order. The contingency table is
-    // |types|×|bands|-sized; one count agg over the facts is the only
-    // data-sized operation.
+    // (identical-operand IEEE, nonnegative) is floored to micro-units as
+    // BIGINT before the exact integer sum — the round-8 hash discipline;
+    // a bare double Σ over cells would depend on each engine's summation
+    // order, and ROUND-at-scale shifted between DuckDB releases. The
+    // contingency table is |types|×|bands|-sized; one count agg over the
+    // facts is the only data-sized operation.
     QueryDef(
       "q115_chi_square",
       (spark, dir) => {
@@ -462,14 +487,13 @@ object OpsQueries {
           .withColumn("n", sum(col("obs")).over(wn))
           .withColumn("exp",
             col("rt").cast(DoubleType) * col("ct").cast(DoubleType) / col("n").cast(DoubleType))
-          .withColumn("term",
-            ((col("obs").cast(DoubleType) - col("exp")) * (col("obs").cast(DoubleType) - col("exp")) /
-              col("exp")).cast(DecimalType(28, 12)))
+          .withColumn("term_micro",
+            graft.operators.Stats.micro((col("obs").cast(DoubleType) - col("exp")) *
+              (col("obs").cast(DoubleType) - col("exp")) / col("exp")))
           .groupBy(col("n"))
           .agg(count(lit(1)).as("n_cells"),
-            round(sum(col("term")).cast(DoubleType), 6)
-              .cast(DecimalType(18, 6)).as("chi2"))
-          .select(col("n"), col("n_cells"), col("chi2"),
+            sum(col("term_micro")).as("chi2_micro"))
+          .select(col("n"), col("n_cells"), col("chi2_micro"),
             lit(8L).as("dof")) // (5 types − 1) × (3 bands − 1)
       },
       Some("""WITH banded AS (SELECT event_type,
@@ -481,14 +505,14 @@ object OpsQueries {
              |    SUM(obs) OVER (PARTITION BY band) AS ct,
              |    SUM(obs) OVER () AS n
              |  FROM cells),
-             |t AS (SELECT n, CAST(
+             |t AS (SELECT n, CAST(FLOOR(
              |    (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
              |    * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
              |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-             |    AS DECIMAL(28,12)) AS term
+             |    * 1000000.0 + 0.5) AS BIGINT) AS term_micro
              |  FROM x)
              |SELECT CAST(n AS BIGINT) AS n, COUNT(*) AS n_cells,
-             |  CAST(ROUND(CAST(SUM(term) AS DOUBLE), 6) AS DECIMAL(18,6)) AS chi2, CAST(8 AS BIGINT) AS dof
+             |  CAST(SUM(term_micro) AS BIGINT) AS chi2_micro, CAST(8 AS BIGINT) AS dof
              |FROM t GROUP BY n""".stripMargin),
     ),
 
@@ -528,66 +552,81 @@ object OpsQueries {
     // MAD-based robust outliers per event_type — the median-of-deviations
     // counterpart to q55's z-score: immune to the outliers it is hunting
     // (a single 1e9 reading shifts a mean/stddev gate but not a median
-    // gate). Exact medians (percentile 0.5, linear interpolation in both
-    // engines), and the outlier comparison |v-med| > 3·MAD involves no
-    // transcendentals — every boundary decision is identical double
-    // arithmetic on both engines. Shape: two small per-group median aggs
-    // broadcast back onto the events; three shuffles on event_type.
+    // gate). EVERYTHING is integer (round-8 rule): values quantize to
+    // milli BIGINTs, the median is the exact ×1000 integer interpolation
+    // (→ micro), deviations |v·1000 − med_micro| are exact micro ints,
+    // the MAD is their ×1000 interpolation (→ nano), and the outlier
+    // test adev·3000 > 3·mad_nano… i.e. adev_micro·1000 > 3·mad_nano is
+    // a pure integer comparison. Shape: two banded order-stat passes
+    // (group-count-sized results, broadcast back); no global sort.
     QueryDef(
       "q69_mad_outlier",
       (spark, dir) => {
-        val ev = Tables.events(spark, dir)
+        val evm = Tables.events(spark, dir)
           .filter(col("value").isNotNull)
-        val med = ev.groupBy(col("event_type"))
-          .agg(median(col("value")).as("med"))
-        val dev = ev.join(broadcast(med), Seq("event_type"))
-          .withColumn("adev", abs(col("value") - col("med")))
-        val mads = dev.groupBy(col("event_type"))
-          .agg(median(col("adev")).as("mad"))
+          .select(col("event_type"),
+            (col("value").cast(DecimalType(18, 3)) * lit(1000)).cast("long").as("vm"))
+        val med = graft.operators.Stats.orderStatsPermille(
+            evm, col("event_type"), col("vm"), Seq(500), bandWidth = 50000L)
+          .select(col("g").as("event_type"), col("p500_x1000").as("med_micro"))
+        val dev = evm.join(broadcast(med), Seq("event_type"))
+          .withColumn("adev_micro", abs(col("vm") * lit(1000L) - col("med_micro")))
+        val mads = graft.operators.Stats.orderStatsPermille(
+            dev, col("event_type"), col("adev_micro"), Seq(500), bandWidth = 50000000L)
+          .select(col("g").as("event_type"), col("p500_x1000").as("mad_nano"))
         dev.join(broadcast(mads), Seq("event_type"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),
-            round(max(col("med")), 6).as("median_value"),
-            round(max(col("mad")), 6).as("mad_value"),
-            sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
-              .cast("long").as("n_outliers"))
+            max(col("med_micro")).as("median_micro"),
+            max(col("mad_nano")).as("mad_nano"),
+            sum(when(col("adev_micro") * lit(1000L) > lit(3L) * col("mad_nano"), 1L)
+              .otherwise(0L)).cast("long").as("n_outliers"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
-             |med AS (SELECT event_type, median(value) AS med FROM ev GROUP BY event_type),
-             |dev AS (SELECT ev.event_type, abs(ev.value - med.med) AS adev, med.med
-             |  FROM ev JOIN med USING (event_type)),
-             |mads AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
-             |SELECT d.event_type, COUNT(*) AS n_events,
-             |  ROUND(MAX(d.med), 6) AS median_value,
-             |  ROUND(MAX(m.mad), 6) AS mad_value,
-             |  CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-             |FROM dev d JOIN mads m USING (event_type)
-             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+      Some {
+        val medSql = graft.operators.Stats.orderStatsOracleSql(
+          "SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v " +
+            "FROM events WHERE value IS NOT NULL", Seq(500), prefix = "med")
+        val madSql = graft.operators.Stats.orderStatsOracleSql(
+          "SELECT event_type AS g, adev_micro AS v FROM dev", Seq(500), prefix = "mad")
+        s"""WITH $medSql,
+           |dev AS (SELECT v.g AS event_type, v.v AS vm,
+           |    abs(v.v * 1000 - m.p500_x1000) AS adev_micro, m.p500_x1000 AS med_micro
+           |  FROM med_v v JOIN med_q m USING (g)),
+           |$madSql
+           |SELECT d.event_type, COUNT(*) AS n_events,
+           |  MAX(d.med_micro) AS median_micro,
+           |  MAX(q.p500_x1000) AS mad_nano,
+           |  CAST(SUM(CASE WHEN d.adev_micro * 1000 > 3 * q.p500_x1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           |FROM dev d JOIN mad_q q ON q.g = d.event_type
+           |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+      },
     ),
 
     // ----------------------------------------------------------------
     // Key-skew report: the pre-join diagnostic that decides whether a key
     // needs q52's salting (or AQE skew splitting). One |keys|-sized
-    // count aggregate, exact count percentiles, TakeOrdered top-10 —
-    // never a full sort. The oracle replays counts, quantile_cont, and
-    // the tie-broken top-10 share.
+    // count aggregate, exact integer-interpolated count percentiles
+    // (×1000), TakeOrdered top-10, ppm ratios — never a full sort and
+    // (round-8 rule) never a float across the hash. The oracle replays
+    // counts, row_number order statistics, and the tie-broken top-10.
     QueryDef(
       "q89_skew_report",
       (spark, dir) =>
         Skew.skewReport(Tables.events(spark, dir), "user_id"),
-      Some("""WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      Some(s"""WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
              |  FROM events GROUP BY user_id),
+             |${graft.operators.Stats.orderStatsOracleSql(
+                 "SELECT 0 AS g, cnt AS v FROM c", Seq(500, 990))},
              |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-             |  CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt,
-             |  ROUND(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
-             |  ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt FROM c),
+             |  CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt FROM c),
              |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM
              |  (SELECT cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10))
-             |SELECT s.n_keys, s.n_rows, s.max_cnt, s.p50_cnt, s.p99_cnt,
-             |  ROUND(s.max_cnt * s.n_keys * 1.0 / s.n_rows, 4) AS skew_ratio,
-             |  ROUND(t.top10_rows * 1.0 / s.n_rows, 6) AS top10_share
-             |FROM s, t""".stripMargin),
+             |SELECT s.n_keys, s.n_rows, s.max_cnt,
+             |  q.p500_x1000 AS p50_cnt_x1000, q.p990_x1000 AS p99_cnt_x1000,
+             |  CAST((CAST(s.max_cnt AS HUGEINT) * s.n_keys * 1000000) // s.n_rows AS BIGINT) AS skew_ratio_ppm,
+             |  CAST((CAST(t.top10_rows AS HUGEINT) * 1000000) // s.n_rows AS BIGINT) AS top10_share_ppm
+             |FROM s, t, os_q q""".stripMargin),
     ),
   )
 }

@@ -453,13 +453,16 @@ object TextQueries {
     ),
 
     // ----------------------------------------------------------------
-    // Per-document character-level Shannon entropy (bits/char) — the
-    // classic cheap randomness signal: gibberish and base64 blobs score
-    // near log2(alphabet), template boilerplate scores low. Determinism
-    // is the q68 discipline: each cnt·ln(cnt) term is quantized to
-    // DECIMAL(28,12) before the EXACT decimal sum (order-independent),
-    // and the remaining double steps (ln(n), two divisions by the
-    // hard-coded double ln 2) see identical operands in both engines.
+    // Per-document character-level Shannon entropy sufficient statistics
+    // — the classic cheap randomness signal: gibberish and base64 blobs
+    // score near log2(alphabet), template boilerplate scores low.
+    // Hash discipline (the round-8 rule: ONLY exact integers cross the
+    // driver hash): each cnt·ln(cnt) term is floored to micro-units as
+    // BIGINT — floor(cnt·ln(cnt)·10⁶) is one IEEE multiply chain plus an
+    // exact floor, stable across engine versions, unlike ROUND-at-scale
+    // whose decimal conversion shifted between DuckDB releases — and the
+    // per-doc sum of those BIGINTs is exact in any order. Entropy in
+    // bits/char is derivable: (ln(n) − s_micro/10⁶/n) / ln 2.
     QueryDef(
       "q108_char_entropy",
       (spark, dir) => {
@@ -470,22 +473,17 @@ object TextQueries {
         counts.groupBy(col("doc_id"))
           .agg(sum(col("cnt")).as("n_chars"),
             count(lit(1)).as("n_distinct_chars"),
-            sum((col("cnt") * log(col("cnt"))).cast(DecimalType(28, 12))).as("s"))
-          .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
-            // DECIMAL(18,6) output: the hashed value is the rounded
-            // decimal, never raw double bits (the q122 lesson).
-            round((log(col("n_chars")) - col("s").cast(DoubleType) / col("n_chars")) /
-              lit(0.6931471805599453), 6).cast(DecimalType(18, 6)).as("entropy_bits"))
+            // cnt ≥ 1 so every term is ≥ 0: floor ≡ truncate in both
+            // engines. Term bound cnt·ln(cnt)·1e6 ≤ 1e12 at 10⁵-char
+            // docs; the per-doc sum stays far inside int64.
+            sum(graft.operators.Stats.micro(log(col("cnt")) * col("cnt"))).as("s_micro"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
-             |cnt AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch WHERE len(c) > 0 GROUP BY doc_id, c),
-             |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars, COUNT(*) AS n_distinct_chars,
-             |    SUM(CAST(cnt * ln(cnt) AS DECIMAL(28,12))) AS s
-             |  FROM cnt GROUP BY doc_id)
-             |SELECT doc_id, n_chars, n_distinct_chars,
-             |  CAST(ROUND((ln(n_chars) - CAST(s AS DOUBLE) / n_chars) / 0.6931471805599453, 6) AS DECIMAL(18,6)) AS entropy_bits
-             |FROM agg ORDER BY doc_id""".stripMargin),
+             |cnt AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch WHERE len(c) > 0 GROUP BY doc_id, c)
+             |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars, COUNT(*) AS n_distinct_chars,
+             |  CAST(SUM(CAST(FLOOR(ln(cnt) * cnt * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_micro
+             |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
     // ----------------------------------------------------------------
@@ -584,10 +582,13 @@ object TextQueries {
     // Upgrades q68's unigram signal with left-context — word salad with
     // plausible unigrams scores low here. Train tables are two
     // aggregations (vocab- and bigram-keyed, never doc×doc); eval
-    // bigrams join them by key. Per-doc Σ log S routes through
-    // DECIMAL(28,12) (exact in any summation order); S itself is
-    // identical-operand IEEE division. Only eval docs with ≥ 1 bigram
-    // appear (a 1-token doc has no bigram events to score).
+    // bigrams join them by key. Per-doc Σ log S is carried as the exact
+    // BIGINT sum of per-bigram floor(ln S · 10⁶) micro-units (the q108
+    // round-8 hash discipline: S itself is identical-operand IEEE, and
+    // floor-of-double is version-stable where ROUND-at-scale was not);
+    // the mean log-prob is derivable as logp_micro / 10⁶ / n_bigrams.
+    // Only eval docs with ≥ 1 bigram appear (a 1-token doc has no
+    // bigram events to score).
     QueryDef(
       "q125_bigram_backoff",
       (spark, dir) => {
@@ -619,11 +620,11 @@ object TextQueries {
               .otherwise(lit(0.4) *
                 ((coalesce(col("cw2"), lit(0L)) + 1).cast(DoubleType) /
                   (col("n") + col("v")).cast(DoubleType))))
+        // ln S < 0 always (S < 1): floor rounds toward −∞ identically in
+        // both engines; |term| ≤ ln(N+V)·1e6 ≈ 2e7, sums safe in int64.
         s.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
-            round(sum(log(col("score")).cast(DecimalType(28, 12)))
-              .cast(DoubleType) / count(lit(1)), 6)
-              .cast(DecimalType(18, 6)).as("avg_logp"))
+            sum(graft.operators.Stats.micro(log(col("score")))).as("logp_micro"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
@@ -647,7 +648,7 @@ object TextQueries {
              |  LEFT JOIN uni u2 ON u2.w = ev.w2
              |  CROSS JOIN tot)
              |SELECT doc_id, COUNT(*) AS n_bigrams,
-             |  CAST(ROUND(CAST(SUM(CAST(ln(score) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_logp
+             |  CAST(SUM(CAST(FLOOR(ln(score) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS logp_micro
              |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
@@ -923,8 +924,13 @@ object TextQueries {
     // splits with non-blank content; floor 1 so fragments still score),
     // syllables (vowel-group runs — a group never spans whitespace, so
     // counting over the whole lowercased text equals the per-word sum).
-    // The counts are integers; the score's divisions are identical-
-    // operand IEEE, rounded and emitted as DECIMAL(18,6).
+    // Flesch = 206.835 − 1.015·w/s − 84.6·syl/w is a rational of pure
+    // integers, so the score crosses the hash as integral milli-points
+    // with ZERO float anywhere (the round-8 discipline): the nonnegative
+    // penalty (1015·w² + 84600·syl·s) div (s·w) truncates identically in
+    // both engines (trunc ≡ floor on nonnegative operands, sidestepping
+    // their differing negative-division conventions), and 206835 minus
+    // that BIGINT is exact. Wordless docs emit NULL, not a 0-divide.
     QueryDef(
       "q137_readability",
       (spark, dir) =>
@@ -936,11 +942,11 @@ object TextQueries {
               s => length(trim(s)) > 0)).cast("long")).as("n_sentences"),
             size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
               .cast("long").as("n_syllables"))
-          .withColumn("flesch",
-            round(lit(206.835)
-              - lit(1.015) * col("n_words").cast(DoubleType) / col("n_sentences").cast(DoubleType)
-              - lit(84.6) * col("n_syllables").cast(DoubleType) / col("n_words").cast(DoubleType), 6)
-              .cast(DecimalType(18, 6)))
+          // Bound: w, syl ≤ 1e6-token docs keep 1015·w² ≈ 1e15 < int64.
+          .withColumn("flesch_milli",
+            when(col("n_words") > 0,
+              lit(206835L) - expr("(1015L * n_words * n_words + " +
+                "84600L * n_syllables * n_sentences) div (n_sentences * n_words)")))
           .orderBy(col("doc_id")),
       Some("""WITH c AS (SELECT doc_id,
              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
@@ -948,9 +954,9 @@ object TextQueries {
              |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
              |  FROM documents)
              |SELECT doc_id, n_words, n_sentences, n_syllables,
-             |  CAST(ROUND(206.835
-             |    - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
-             |    - 84.6 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS DECIMAL(18,6)) AS flesch
+             |  CASE WHEN n_words > 0 THEN CAST(206835 - (1015 * n_words * n_words
+             |    + 84600 * n_syllables * n_sentences) // (n_sentences * n_words) AS BIGINT)
+             |  END AS flesch_milli
              |FROM c ORDER BY doc_id""".stripMargin),
     ),
   )

@@ -77,13 +77,14 @@ class SkewAndStateSpec extends AnyFunSuite {
       .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
     val out = Skew.skewReport(rows, "k").collect().head
     // counts sorted: [1, 1, 2, 6] -> p50 = 1.5, p99 = 2 + 0.97*(6-2) = 5.88
-    assert(out.getLong(0) === 4L)      // n_keys
-    assert(out.getLong(1) === 10L)     // n_rows
-    assert(out.getLong(2) === 6L)      // max_cnt
-    assert(out.getDouble(3) === 1.5)   // p50_cnt
-    assert(out.getDouble(4) === 5.88)  // p99_cnt
-    assert(out.getDouble(5) === 2.4)   // skew_ratio = 6 / (10/4)
-    assert(out.getDouble(6) === 1.0)   // top10_share: only 4 keys exist
+    // (reported ×1000 as exact integers — the round-8 hash discipline).
+    assert(out.getLong(0) === 4L)       // n_keys
+    assert(out.getLong(1) === 10L)      // n_rows
+    assert(out.getLong(2) === 6L)       // max_cnt
+    assert(out.getLong(3) === 1500L)    // p50_cnt_x1000
+    assert(out.getLong(4) === 5880L)    // p99_cnt_x1000 = 2·30 + 6·970
+    assert(out.getLong(5) === 2400000L) // skew_ratio_ppm = 6/(10/4) ppm
+    assert(out.getLong(6) === 1000000L) // top10_share_ppm: only 4 keys exist
   }
 
   test("streaming changelog compaction: equal-seq tie resolves by (op, payload), not arrival order") {

@@ -55,22 +55,23 @@ class StatsSpec extends AnyFunSuite {
         "yneg" -> col("yneg"), "c" -> col("c")))
       .orderBy("var_a", "var_b").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        if (r.isNullAt(3)) null else r.getDouble(3)))
+        if (r.isNullAt(3)) null else r.getLong(3)))
     val m = out.map(t => (t._1, t._2) -> t._4).toMap
     assert(out.forall(_._3 === 4L) && out.length === 6)
-    assert(m(("x", "y2")) === 1.0)          // y2 = 2x exactly
+    assert(m(("x", "y2")) === 1000000L)     // y2 = 2x exactly → r = 1
     assert(m(("x", "c")) === null)          // zero variance → NULL, not 0/0
     assert(m(("y2", "c")) === null && m(("yneg", "c")) === null)
     // x vs yneg: hand stats n=4 Σx=10 Σy=25 Σxy=50 Σx²=30 Σy²=195
-    // → r = (200−250)/(sqrt(20)·sqrt(155)) = −0.898027…
-    assert(m(("x", "yneg")) === -0.898027)
+    // → r = (200−250)/(sqrt(20)·sqrt(155)) = −0.8980265…
+    // → corr_micro = ⌊−898026.5…⌋ = −898027 (floor toward −∞)
+    assert(m(("x", "yneg")) === -898027L)
     // invariant to the fixed-point scale choice
     val scaled = Stats.corrMatrix(df, Seq("x" -> (col("x") * 100),
         "y2" -> (col("y2") * 1000), "yneg" -> (col("yneg") * 10),
         "c" -> (col("c") * 7)))
       .orderBy("var_a", "var_b").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        if (r.isNullAt(3)) null else r.getDouble(3)))
+        if (r.isNullAt(3)) null else r.getLong(3)))
     assert(scaled === out)
   }
 }

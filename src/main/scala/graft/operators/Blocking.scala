@@ -38,7 +38,12 @@ object Blocking {
       window: Int, bandChars: Int = 1): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(bandChars >= 1, "bandChars must be >= 1")
-    val keyed = df.select(col(idCol).as("id"), keyCol.as("k"))
+    // NULL keys coalesce to '' instead of vanishing: substring(NULL) is a
+    // NULL band that no equi-join below would ever match, so null-keyed
+    // records — in linkage, exactly the dirty rows worth pairing — would
+    // silently drop out of the candidate set. With '' they sort first and
+    // pair with their positional neighbors like any other record.
+    val keyed = df.select(col(idCol).as("id"), coalesce(keyCol, lit("")).as("k"))
       .withColumn("band", substring(col("k"), 1, bandChars))
     val wLocal = Window.partitionBy(col("band")).orderBy(col("k"), col("id"))
     val local = keyed.withColumn("lpos", row_number().over(wLocal).cast("long"))

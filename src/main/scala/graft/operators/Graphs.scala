@@ -208,11 +208,10 @@ object Graphs {
         "left_anti")
       .groupBy(col("x"), col("y"))
       .agg(sum(col("w")).as("aa_micros"), count(lit(1)).as("common_neighbors"))
-      .select(col("x"), col("y"), col("common_neighbors"), col("aa_micros"),
-        // Exact DECIMAL micro→unit conversion (÷10⁶ needs exactly 6
-        // fractional digits): no floating-point value in the output, so
-        // an engine-comparison hash has no double bits to disagree on.
-        (col("aa_micros").cast(DecimalType(18, 0)) / lit(1000000))
-          .cast(DecimalType(18, 6)).as("aa_score"))
+      // aa_micros IS the score (micro-units, exact BIGINT — the hash
+      // discipline: its decimal twin aa_micros/10⁶ carried no extra
+      // information and a DECIMAL column is the serialization-sensitive
+      // class; callers divide at display time if they want units).
+      .select(col("x"), col("y"), col("common_neighbors"), col("aa_micros"))
   }
 }

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.core.CacheScope
 import graft.functions.VectorFunctions._
 
@@ -130,8 +129,11 @@ object Similarity {
     * embedding space with k exemplars; the selection radius at each step
     * is the current covering radius, a quality curve worth logging).
     *
-    * Determinism: distances are cosine distance QUANTIZED to 4 decimals
-    * before every min/argmax (the q35/q80 round-4 discipline), ties
+    * Determinism: distances are cosine distance QUANTIZED to integer
+    * e4 units — ⌊d·10⁴+½⌋ BIGINT — before every min/argmax (floor of one
+    * IEEE multiply-add: the hash-discipline quantizer, version-stable
+    * where ROUND-at-scale is not; every comparison thereafter is
+    * integer), ties
     * break on the smaller id, and the seed is the min id — so the
     * selected sequence is engine- and partitioning-independent and a SQL
     * oracle replays it center by center. Points at quantized distance 0
@@ -154,13 +156,18 @@ object Similarity {
     val v = scope.cached(corpus.select(col(idCol).cast("long").as("id"),
       asDoubles(col(vecCol)).as("v")))
     def litVec(xs: Seq[Double]): Column = array(xs.map(lit): _*)
-    def d4(to: Seq[Double]): Column =
-      round(lit(1.0) - cosine(col("v"), litVec(to)), 4)
+    def dE4(to: Seq[Double]): Column =
+      floor((lit(1.0) - cosine(col("v"), litVec(to))) * lit(10000.0) + lit(0.5))
+        .cast("long")
     val (firstId, firstVec) = v.orderBy(col("id")).limit(1)
       .select(col("id"), col("v")).as[(Long, Seq[Double])].head()
-    val selected = Seq.newBuilder[(Int, Long, Option[Double])]
+    val selected = Seq.newBuilder[(Int, Long, Option[Long])]
     selected += ((0, firstId, None))
-    var cur = scope.cached(v.withColumn("mind", d4(firstVec)))
+    var cur = scope.cached(v.withColumn("mind", dE4(firstVec)))
+    // Materialize generation 0 BEFORE dropping the corpus cache (the
+    // Bpe.train lifecycle): unpersisting `v` while `cur` is still lazy
+    // would make iteration 1 recompute the full corpus scan from lineage.
+    cur.count()
     v.unpersist()
     var rank = 1
     var exhausted = false
@@ -170,13 +177,13 @@ object Similarity {
       val top = cur.filter(col("mind") > 0)
         .orderBy(col("mind").desc, col("id")).limit(1)
         .select(col("id"), col("mind"), col("v"))
-        .as[(Long, Double, Seq[Double])]
+        .as[(Long, Long, Seq[Double])]
         .collect()
       top.headOption match {
         case Some((id, radius, vec)) =>
           selected += ((rank, id, Some(radius)))
           val next = scope.cached(cur.withColumn("mind",
-            least(col("mind"), d4(vec))))
+            least(col("mind"), dE4(vec))))
           next.count() // materialize before dropping the previous generation
           cur.unpersist()
           cur = next
@@ -186,8 +193,7 @@ object Similarity {
     }
     cur.unpersist()
     selected.result()
-      .toDF("rank", "center_id", "radius")
-      .withColumn("radius", col("radius").cast(DecimalType(18, 4)))
+      .toDF("rank", "center_id", "radius_e4")
   }
 
   /** IVF-style ANN: a deterministic subsample of the corpus acts as the

@@ -78,9 +78,10 @@ object Stats {
       .select(col("band"),
         coalesce(sum(col("ta")).over(wBand), lit(0L)).as("oa"),
         coalesce(sum(col("tb")).over(wBand), lit(0L)).as("ob"))
-    val n = vals.agg(
-      sum(when(col("s") === sideA, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("s") === sideB, 1L).otherwise(0L)).as("n_b"))
+    // Totals from the reduced byV frame (ReuseExchange shares its shuffle
+    // with the prefix-sum branches) — not from `vals`, which would re-scan
+    // the raw input a second time just to count rows.
+    val n = byV.agg(sum(col("da")).as("n_a"), sum(col("db")).as("n_b"))
     val dec = "cast(%s as decimal(38,0))"
     local.join(broadcast(offsets), Seq("band"))
       .select((col("oa") + col("la")).as("ca"), (col("ob") + col("lb")).as("cb"))
@@ -152,13 +153,21 @@ object Stats {
       .agg(sum(col("cnt")).as("t"))
       .select(col("g"), col("band"),
         coalesce(sum(col("t")).over(wBand), lit(0L)).as("off"))
-    val n = vals.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    // n from the already-reduced byV frame, not `vals`: byV's exchange is
+    // canonical-identical to the one under local/offsets, so ReuseExchange
+    // serves all three from ONE input scan + shuffle — deriving n from
+    // `vals` would cost a second full scan of the raw input per call.
+    val n = byV.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
     // cum = inclusive rank of the LAST occurrence of v; v is the r-th
     // smallest for every r in (cum−cnt, cum], so "the value at rank r"
     // is min(v where cum ≥ r).
-    val cum = local.join(offsets, Seq("g", "band"))
+    // Both join sides are bounded frames — offsets is (#groups × #bands)-
+    // sized, n is #groups-sized — so broadcast explicitly: the estimator
+    // can't see that through the agg-over-agg lineage, and a sort-merge
+    // join here would re-shuffle the full distinct-value frame.
+    val cum = local.join(broadcast(offsets), Seq("g", "band"))
       .select(col("g"), col("v"), (col("off") + col("lc")).as("c"))
-      .join(n, Seq("g"))
+      .join(broadcast(n), Seq("g"))
     def loRank(k: Int) = expr(s"((n - 1) * $k) div 1000") + lit(1L)
     def frac(k: Int)   = expr(s"((n - 1) * $k) % 1000")
     val picks = permilles.flatMap { k =>

@@ -283,11 +283,12 @@ object SimilarityQueries {
     // ----------------------------------------------------------------
     // Greedy k-center coreset (Gonzalez): 8 exemplars covering the
     // embedding space, selection radius (the covering radius at each
-    // step) logged per pick — diverse-subset selection for curation.
-    // Deterministic end to end (round-4 cosine distance before every
-    // min/argmax, min-id seed and ties), so the ORACLE REPLAYS THE
-    // GREEDY LOOP pick by pick, one CTE pair per center (the q126
-    // iterative-replay pattern applied to selection instead of merges).
+    // step, integer e4 units) logged per pick — diverse-subset selection
+    // for curation. Deterministic end to end (⌊d·10⁴+½⌋ BIGINT distance
+    // before every min/argmax — no float or decimal crosses the hash —
+    // min-id seed and ties), so the ORACLE REPLAYS THE GREEDY LOOP pick
+    // by pick, one CTE pair per center (the q126 iterative-replay
+    // pattern applied to selection instead of merges).
     QueryDef(
       "q136_kcenter_coreset",
       (spark, dir) =>
@@ -306,17 +307,17 @@ object SimilarityQueries {
       s"""s$i AS (SELECT id AS cid, mind AS rad FROM m${i - 1}
          |  WHERE mind > 0 ORDER BY mind DESC, id LIMIT 1),
          |m$i AS (SELECT m.id, m.v,
-         |    LEAST(m.mind, ROUND(1 - list_cosine_similarity(m.v, cv.v), 4)) AS mind
+         |    LEAST(m.mind, CAST(FLOOR((1 - list_cosine_similarity(m.v, cv.v)) * 10000.0 + 0.5) AS BIGINT)) AS mind
          |  FROM m${i - 1} m, (SELECT m2.v FROM m${i - 1} m2, s$i WHERE m2.id = s$i.cid) cv(v))""".stripMargin
     }
     val rows =
-      s"""SELECT 0 AS rank, c0.cid AS center_id, CAST(NULL AS DECIMAL(18,4)) AS radius FROM c0""" +:
+      s"""SELECT 0 AS rank, c0.cid AS center_id, CAST(NULL AS BIGINT) AS radius_e4 FROM c0""" +:
         (1 until k).map { i =>
-          s"""SELECT $i AS rank, cid AS center_id, CAST(rad AS DECIMAL(18,4)) AS radius FROM s$i"""
+          s"""SELECT $i AS rank, cid AS center_id, CAST(rad AS BIGINT) AS radius_e4 FROM s$i"""
         }
     s"""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c0 AS (SELECT MIN(id) AS cid FROM v),
-       |m0 AS (SELECT v.id, v.v, ROUND(1 - list_cosine_similarity(v.v, cv.v), 4) AS mind
+       |m0 AS (SELECT v.id, v.v, CAST(FLOOR((1 - list_cosine_similarity(v.v, cv.v)) * 10000.0 + 0.5) AS BIGINT) AS mind
        |  FROM v, (SELECT v2.v FROM v v2, c0 WHERE v2.id = c0.cid) cv(v)),
        |${iters.mkString(",\n")}
        |${rows.mkString("\nUNION ALL\n")}

@@ -557,20 +557,25 @@ object TextQueries {
         val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
         a.join(b, Seq("blk"))
           .filter(col("id_a") < col("id_b"))
-          .withColumn("jw", round(graft.functions.JaroWinklerSim
-            .jaro_winkler(col("name_a"), col("name_b")), 6))
-          .filter(col("jw") >= 0.8)
-          .select(col("id_a"), col("id_b"), col("jw"))
-          .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+          // Hash discipline: the JW score crosses the hash as micro-unit
+          // BIGINT — floor(jw·10⁶ + ½) is one IEEE multiply-add-floor on
+          // the identically-computed double, stable where ROUND(x, 6)'s
+          // double→decimal conversion shifted between engine versions.
+          .withColumn("jw_micro", graft.operators.Stats.micro(
+            graft.functions.JaroWinklerSim
+              .jaro_winkler(col("name_a"), col("name_b"))).cast("long"))
+          .filter(col("jw_micro") >= 800000L)
+          .select(col("id_a"), col("id_b"), col("jw_micro"))
+          .orderBy(col("jw_micro").desc, col("id_a"), col("id_b"))
           .limit(100)
       },
       Some("""WITH p AS (SELECT p_partkey AS id, p_name AS name,
              |    string_split(p_name, ' ')[1] AS blk FROM part),
              |j AS (SELECT a.id AS id_a, b.id AS id_b,
-             |    ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+             |    CAST(FLOOR(jaro_winkler_similarity(a.name, b.name) * 1000000.0 + 0.5) AS BIGINT) AS jw_micro
              |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
-             |SELECT id_a, id_b, jw FROM j WHERE jw >= 0.8
-             |ORDER BY jw DESC, id_a, id_b LIMIT 100""".stripMargin),
+             |SELECT id_a, id_b, jw_micro FROM j WHERE jw_micro >= 800000
+             |ORDER BY jw_micro DESC, id_a, id_b LIMIT 100""".stripMargin),
     ),
 
     // ----------------------------------------------------------------
@@ -687,19 +692,22 @@ object TextQueries {
         graft.operators.Blocking.sortedNeighborhoodPairs(
             Tables.part(spark, dir).select(col("p_partkey"), col("p_name")),
             idCol = "p_partkey", keyCol = col("p_name"), window = 5)
-          .withColumn("jw", round(graft.functions.JaroWinklerSim
-            .jaro_winkler(col("k_a"), col("k_b")), 6))
-          .filter(col("jw") >= 0.9)
-          .select(col("id_a"), col("id_b"), col("dist"), col("jw"))
-          .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+          // Micro-unit BIGINT across the hash (q119's discipline): no
+          // round-of-double survives to the output.
+          .withColumn("jw_micro", graft.operators.Stats.micro(
+            graft.functions.JaroWinklerSim
+              .jaro_winkler(col("k_a"), col("k_b"))).cast("long"))
+          .filter(col("jw_micro") >= 900000L)
+          .select(col("id_a"), col("id_b"), col("dist"), col("jw_micro"))
+          .orderBy(col("jw_micro").desc, col("id_a"), col("id_b"))
           .limit(100),
       Some("""WITH p AS (SELECT p_partkey AS id, p_name AS k FROM part),
              |r AS (SELECT id, k, ROW_NUMBER() OVER (ORDER BY k, id) AS pos FROM p),
              |j AS (SELECT a.id AS id_a, b.id AS id_b, b.pos - a.pos AS dist,
-             |    ROUND(jaro_winkler_similarity(a.k, b.k), 6) AS jw
+             |    CAST(FLOOR(jaro_winkler_similarity(a.k, b.k) * 1000000.0 + 0.5) AS BIGINT) AS jw_micro
              |  FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos <= 5)
-             |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist, jw FROM j WHERE jw >= 0.9
-             |ORDER BY jw DESC, id_a, id_b LIMIT 100""".stripMargin),
+             |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist, jw_micro FROM j WHERE jw_micro >= 900000
+             |ORDER BY jw_micro DESC, id_a, id_b LIMIT 100""".stripMargin),
     ),
 
     // ----------------------------------------------------------------
@@ -798,7 +806,7 @@ object TextQueries {
     // determinism discipline: each p·ln(p/q) term quantizes to
     // DECIMAL(28,12) before the EXACT sum (order-independent); p and q
     // derive from integers via identical-operand IEEE steps; the
-    // reported divergence crosses the hash as DECIMAL(18,6).
+    // reported divergence crosses the hash as micro-unit BIGINT.
     QueryDef(
       "q132_kl_divergence",
       (spark, dir) => {
@@ -822,10 +830,15 @@ object TextQueries {
           .withColumn("term",
             (col("p") * log(col("p") / col("q"))).cast(DecimalType(28, 12)))
           .groupBy(col("v"), col("nt"), col("ne"))
-          .agg(round(sum(col("term")).cast(DoubleType), 6)
-            .cast(DecimalType(18, 6)).as("kl_train_eval"))
+          // Hash discipline: the exact DECIMAL(28,12)-summed divergence
+          // crosses the hash as micro-unit BIGINT — ×10⁶ keeps the value
+          // exact (12 fractional digits available), floor rounds toward
+          // −∞ identically in both engines (KL ≥ 0 here anyway), and no
+          // round-of-double or decimal column survives to the output.
+          .agg(floor(sum(col("term")) * lit(1000000)).cast("long")
+            .as("kl_micro"))
           .select(col("v").as("n_vocab"), col("nt").as("n_train_tokens"),
-            col("ne").as("n_eval_tokens"), col("kl_train_eval"))
+            col("ne").as("n_eval_tokens"), col("kl_micro"))
       },
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
              |  FROM documents),
@@ -842,7 +855,7 @@ object TextQueries {
              |    AS DECIMAL(28,12)) AS term
              |  FROM u, tot)
              |SELECT v AS n_vocab, nt AS n_train_tokens, ne AS n_eval_tokens,
-             |  CAST(ROUND(CAST(SUM(term) AS DOUBLE), 6) AS DECIMAL(18,6)) AS kl_train_eval
+             |  CAST(FLOOR(SUM(term) * 1000000) AS BIGINT) AS kl_micro
              |FROM terms GROUP BY v, nt, ne""".stripMargin),
     ),
 

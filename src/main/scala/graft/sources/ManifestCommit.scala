@@ -139,7 +139,7 @@ object ManifestCommit {
     * racing to the same version loses the rename and fails here — it
     * must re-read and retry, never overwrite.
     */
-  private def publish(hfs: FileSystem, root: String, version: Long,
+  private[graft] def publish(hfs: FileSystem, root: String, version: Long,
       tables: Map[String, Seq[String]]): Long = {
     val dir = new Path(s"$root/$ManifestDir")
     hfs.mkdirs(dir)
@@ -150,7 +150,22 @@ object ManifestCommit {
         yield s"""{"table":"$t","delta":"$d"}""").mkString("\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
-    require(hfs.rename(tmp, manifestPath(root, version)),
+    val target = manifestPath(root, version)
+    // Guard BEFORE the rename: HDFS rename is atomic create-if-absent,
+    // but Hadoop's local FileSystem delegates to File.renameTo, which on
+    // POSIX silently OVERWRITES an existing destination — a racing loser
+    // would clobber the winner's manifest instead of failing. The check
+    // makes every serialized racer (the realistic torn-orchestrator
+    // double-commit) fail loudly on any store; on HDFS-like stores the
+    // rename itself still closes the remaining sub-millisecond window.
+    if (hfs.exists(target)) {
+      hfs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest version $version already committed by another writer " +
+          "— losing commit aborted, nothing was published; re-read the " +
+          "current manifest and retry")
+    }
+    require(hfs.rename(tmp, target),
       s"manifest commit lost the rename to version $version " +
         "(concurrent committer?) — nothing was published")
     version

@@ -124,12 +124,18 @@ object CurationStream {
     * everything pending, commits per micro-batch, stops. Restartable
     * from `checkpointDir` — reprocessing a torn batch re-derives the
     * same accept set against the unchanged committed view.
+    *
+    * The gate/dedup knobs forward verbatim to [[curateBatch]], so the
+    * streaming entry point composes the same predicates (Gopher stack,
+    * model-score thresholds) and thresholds as the batch one.
     */
   def run(docs: DataFrame, root: String, checkpointDir: String,
+      n: Int = 3, jaccard: Double = 0.5, containment: Double = 0.5,
+      gate: Column = col("n_chars") >= 100L,
       onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onBatch(curateBatch(batch, root))
+        onBatch(curateBatch(batch, root, n, jaccard, containment, gate))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -78,7 +78,8 @@ class CurationStreamSpec extends AnyFunSuite {
 
     def drive(): Unit = {
       val q = CurationStream.run(
-        spark.readStream.schema(schema).parquet(src), root, ckpt, reports += _)
+        spark.readStream.schema(schema).parquet(src), root, ckpt,
+        onBatch = reports += _)
       q.awaitTermination()
     }
 

@@ -64,17 +64,17 @@ class LinkageSpec extends AnyFunSuite {
         .orderBy("rank")
         .collect()
         .map(r => (r.getInt(0), r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getDecimal(2).doubleValue())))
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
         .toSeq
     val out = run(emb, 4)
-    assert(out === Seq((0, 1L, None), (1, 4L, Some(2.0)),
-      (2, 3L, Some(1.0)), (3, 2L, Some(0.0152))))
+    assert(out === Seq((0, 1L, None), (1, 4L, Some(20000L)),
+      (2, 3L, Some(10000L)), (3, 2L, Some(152L))))
     // k caps, never promises: exact duplicates of the selected centers
     // are at quantized distance 0 and selection stops early.
     val dups = Seq((1L, vec(0)), (2L, vec(0)), (3L, vec(180)), (4L, vec(180)))
       .toDF("vec_id", "embedding")
     assert(run(dups, 4).map(_._2) === Seq(1L, 3L))
-    // Same sequence under repartitioning — the round-4 + id-tie claim.
+    // Same sequence under repartitioning — the e4-quantization + id-tie claim.
     assert(run(emb.repartition(3), 4) === out)
   }
 

@@ -121,6 +121,52 @@ class PipelinesSpec extends AnyFunSuite {
     assert(ManifestCommit.readTable(spark, root, "misa_customers").get.count() === 5L)
   }
 
+  test("racing committers from the same version: exactly one wins, the loser fails loudly without clobbering") {
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft-race").toString
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+
+    // Base version: one committed delta.
+    val d0 = ManifestCommit.stageDelta(spark,
+      Seq((1L, "base")).toDF("id", "v"), root, "t")
+    val v1 = ManifestCommit.commit(spark, root, Map("t" -> Seq(d0)))
+
+    // Two writers both observe v1 and stage their own deltas — the torn-
+    // orchestrator double-cycle. Writer A publishes v2 first; writer B,
+    // still holding its stale view, then attempts the SAME version.
+    val base = ManifestCommit.currentManifest(spark, root).get
+    val dA = ManifestCommit.stageDelta(spark,
+      Seq((2L, "writer-a")).toDF("id", "v"), root, "t")
+    val dB = ManifestCommit.stageDelta(spark,
+      Seq((3L, "writer-b")).toDF("id", "v"), root, "t")
+    ManifestCommit.publish(hfs, root, base.version + 1,
+      base.tables.updated("t", base.tables("t") :+ dA))
+    val err = intercept[IllegalStateException] {
+      ManifestCommit.publish(hfs, root, base.version + 1,
+        base.tables.updated("t", base.tables("t") :+ dB))
+    }
+    assert(err.getMessage.contains("already committed"))
+
+    // The winner's manifest is intact — v2 carries base + A, never B
+    // (on a local FS a raw rename would have silently OVERWRITTEN the
+    // winner with the loser's view, losing writer A's data).
+    val m2 = ManifestCommit.currentManifest(spark, root).get
+    assert(m2.version === v1 + 1)
+    assert(m2.tables("t").toSet === Set(d0, dA))
+    assert(ManifestCommit.readTable(spark, root, "t").get
+      .select("v").as[String].collect().toSet === Set("base", "writer-a"))
+
+    // The loser retries from the CURRENT manifest (the documented
+    // protocol) and lands cleanly on v3 with all three deltas.
+    val v3 = ManifestCommit.commit(spark, root, Map("t" -> Seq(dB)))
+    assert(v3 === v1 + 2)
+    assert(ManifestCommit.readTable(spark, root, "t").get
+      .select("v").as[String].collect().toSet ===
+        Set("base", "writer-a", "writer-b"))
+  }
+
   test("backfill: 30-day batches, MERGE keeps reruns idempotent") {
     val path = Files.createTempDirectory("graft-backfill").resolve("t").toString
     def fetchBatch(from: java.time.LocalDate, to: java.time.LocalDate) = {

@@ -37,14 +37,20 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q33_media_features" -> 1, "q34_hmac_sign" -> 1, "q35_ann_ivf" -> 5,
     "q36_dedup_clusters" -> 1, "q37_train_split" -> 2, "q38_balanced_sample" -> 2,
     "q39_tfidf" -> 4, "q40_rollup" -> 2, "q41_asof_join" -> 2,
-    "q42_sessionize" -> 2, "q43_bm25" -> 7, "q44_profile" -> 2,
+    // q44/q56/q79/q113: exact order statistics (Stats.orderStatsPermille)
+    // replaced percentile_approx in r8 — each call is a banded two-phase
+    // prefix sum (value-count agg, band-local cumsum window, per-band
+    // totals agg + bounded offsets window, per-group n agg, rank-pick
+    // agg). Shuffle COUNT rises but every post-(g,v) exchange moves
+    // distinct-value-sized data, not rows — volume is what scales.
+    "q42_sessionize" -> 2, "q43_bm25" -> 7, "q44_profile" -> 10,
     "q45_grouping_sets" -> 2, "q46_rolling_fp" -> 1, "q47_window_suite" -> 2,
     "q48_set_ops" -> 5, "q49_pivot" -> 3, "q50_fuzzy_match" -> 3,
     // q50's 3rd shuffle is the deliberate probe-side repartition that
     // spreads the levenshtein work (one parquet split otherwise).
     "q51_range_join" -> 2, "q52_skew_salted_join" -> 3, "q53_collect_set" -> 2,
     "q54_ngram_freq" -> 1, "q55_anomaly" -> 3,
-    "q56_percentiles_by_group" -> 2, "q57_regex_extract" -> 2,
+    "q56_percentiles_by_group" -> 9, "q57_regex_extract" -> 2,
     "q58_zorder_key" -> 0, // orderBy+limit plans as TakeOrdered, no exchange
     "q59_snapshot_diff" -> 4, "q60_histogram" -> 2, "q61_json_parse" -> 3,
     "q62_bucketed_join" -> 2, // agg + output sort; the JOIN is exchange-free
@@ -54,11 +60,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q68: term-freq agg, corpus-total agg, per-doc agg, output sort, plus
     // the single-partition exchange under the one-row total.
     "q68_doc_logprob" -> 5,
-    // q69: two median aggs + final agg + sort; the broadcast joins add the
-    // fifth (events scanned twice — the dev frame feeds both median and
-    // final aggregation; acceptable: the re-read is a columnar scan, the
-    // medians themselves are group-count-sized).
-    "q69_mad_outlier" -> 5,
+    // q69: the MAD chain composes TWO orderStatsPermille passes whose
+    // input (the deviation frame) is itself built from the first pass's
+    // result — the audited count is the STATIC plan-tree total, where the
+    // shared dev/byV subtrees repeat under each consumer; at runtime
+    // ReuseExchange serves the canonical-identical aggregates from one
+    // shuffle, and every exchange past the first moves distinct-value-
+    // sized frames, not rows.
+    "q69_mad_outlier" -> 42,
     "q70_containment" -> 2, "q71_funnel" -> 4,
     "q72_pii_scrub" -> 1, "q73_repetition" -> 3,
     // q74: per-source sketch agg, sketch-merge agg, exact-distinct agg
@@ -72,7 +81,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q77: per-source weight agg, one-row total, ranking window on
     // source, output sort (+AQE-visible broadcast prep).
     "q77_mixture_sample" -> 5,
-    "q78_changelog_compact" -> 2, "q79_quantile_sketch" -> 2,
+    "q78_changelog_compact" -> 2, "q79_quantile_sketch" -> 10,
     // q80: assignment agg (cached, counted once), per-dimension mean agg,
     // centroid re-collect agg, the two count aggs, and the full-outer
     // count join — every aggregate is keyed on the ≤(centroids×dims)
@@ -112,10 +121,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // stats join's exchange, and the output sort; the batch gram side
     // broadcasts into the postings join.
     "q88_delta_neardup" -> 4,
-    // q89: the |keys|-sized count agg (feeding both the one-row summary
-    // and the TakeOrdered top-10 — no full sort) plus the single-
-    // partition exchanges under the two one-row aggregates.
-    "q89_skew_report" -> 3,
+    // q89: the |keys|-sized count agg feeds the exact order-stats pass
+    // (q44's banded shape over key counts), the one-row summary, and the
+    // TakeOrdered top-10 — static tree count; all post-count exchanges
+    // are |keys|-sized or smaller.
+    "q89_skew_report" -> 14,
     // q90: the k-counter sketch merge and the one-row total each collapse
     // to a single-partition exchange (both carry ≤ k counters per task,
     // never the vocabulary); the candidate recount agg + the output sort.
@@ -213,7 +223,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // percentile agg (the gate's truth side — absent in production, where
     // the stored daily sketches ARE the source) + the output sort; the
     // merged frame broadcasts into the join.
-    "q113_kll_mergeable_quantiles" -> 4,
+    "q113_kll_mergeable_quantiles" -> 11,
     // q114: 3 relationships × 5 count/distinct aggregations (child count,
     // broadcast-anti orphan count, parent count, distinct-child-key agg,
     // unref count) — 4 of the 5 are one-row SinglePartition exchanges;
@@ -259,7 +269,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // one-row n_a/n_b agg and final max agg each collapsing to a
     // single-partition exchange; the offsets and counts frames
     // broadcast.
-    "q122_ks_drift" -> 7,
+    "q122_ks_drift" -> 8,
     // q123: wedge generation over the checkpointed support graph —
     // degree agg, center-filtered adjacency join, the wedge self-join,
     // the anti-join against the edge set, the (x, y) pair agg, and the
@@ -326,6 +336,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q136_kcenter_coreset" -> 1,
     // q137: narrow per-row counting expressions + the output sort.
     "q137_readability" -> 1,
+    // q138: blocked pair stream → one conditional-sum agg (one-row) +
+    // the truth-key agg pair; the threshold fan-out explodes the ONE
+    // aggregate row, never the pair stream.
+    "q138_er_audit" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

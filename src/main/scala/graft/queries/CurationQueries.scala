@@ -727,8 +727,12 @@ object CurationQueries {
           .withColumn("ck", concat_ws(" ", sort_array(split(col("name"), " "))))
         val nTruth = p.groupBy(col("ck")).agg(count(lit(1)).as("c"))
           .agg(sum(expr("c * (c - 1) div 2")).as("n_truth"))
-        val cand = p.select(col("blk"), col("id").as("id_a"),
-            col("name").as("name_a"), col("ck").as("ck_a"))
+        // Spread the probe side (the q119/q50 lesson): the dim scan is one
+        // parquet split at test SF, and under a broadcast join that one
+        // split would score every blocked pair's Jaro-Winkler serially.
+        val cand = QueryDef.spreadIfNarrow(
+            p.select(col("blk"), col("id").as("id_a"),
+              col("name").as("name_a"), col("ck").as("ck_a")))
           .join(p.select(col("blk"), col("id").as("id_b"),
             col("name").as("name_b"), col("ck").as("ck_b")), Seq("blk"))
           .filter(col("id_a") < col("id_b"))

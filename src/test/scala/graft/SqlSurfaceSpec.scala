@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.sql.SqlSurface
+
+/** The SQL surface end to end: staging tables + capability views +
+  * injected functions make the flagship pipelines expressible as PURE
+  * `spark.sql` — each test runs one pipeline twice, once through SQL and
+  * once through the Scala operator API, and asserts identical results.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Extensions-enabled session over the shared context (the
+    * ExtensionsSpec dance), with tables + capabilities registered.
+    */
+  private lazy val sql: SparkSession = {
+    val base = SharedSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    SqlSurface.registerTables(s, sfDir)
+    SqlSurface.registerCapabilities(s, sfDir)
+    s
+  }
+
+  test("curation pipeline in pure SQL: quality gate ∘ dedup survivors") {
+    val viaSql = sql.sql(
+      """SELECT q.doc_id
+        |FROM doc_quality q JOIN dup_clusters c ON q.doc_id = c.id
+        |WHERE c.is_survivor AND q.quality_pass AND q.n_chars >= 100
+        |ORDER BY q.doc_id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val docs = Tables.documents(sql, sfDir)
+    val pairs = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", lit(1), 3, 0.5)
+    val viaApi = graft.operators.TextAnalysis.qualityMetrics(docs, "text")
+      .filter(col("quality_pass") && col("n_chars") >= 100)
+      .join(graft.operators.Dedup
+          .duplicateClusters(docs.select(col("doc_id")), "doc_id",
+            pairs.select(col("id_a"), col("id_b")))
+          .filter(col("is_survivor")).select(col("id").as("doc_id")),
+        Seq("doc_id"))
+      .orderBy(col("doc_id")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql.nonEmpty && viaSql === viaApi)
+  }
+
+  test("dedup report in pure SQL: cluster-size histogram") {
+    val viaSql = sql.sql(
+      """SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+        |  SELECT cluster_root, COUNT(*) AS cluster_size
+        |  FROM dup_clusters GROUP BY cluster_root)
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql.nonEmpty)
+    // Memberships partition the corpus: Σ size·count = |documents|.
+    val total = viaSql.map { case (s, c) => s * c }.sum
+    assert(total === Tables.documents(sql, sfDir).count())
+  }
+
+  test("fuzzy linkage in pure SQL: blocked jaro_winkler scoring (q119's pipeline)") {
+    val viaSql = sql.sql(
+      """WITH p AS (SELECT p_partkey AS id, p_name AS name,
+        |    split(p_name, ' ')[0] AS blk FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(FLOOR(jaro_winkler(a.name, b.name) * 1000000.0 + 0.5) AS BIGINT) AS jw_micro
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |WHERE jaro_winkler(a.name, b.name) >= 0.8
+        |ORDER BY jw_micro DESC, id_a, id_b LIMIT 20""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val p = Tables.part(sql, sfDir)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      .withColumn("blk", split(col("name"), " ").getItem(0))
+    val viaApi = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
+      .join(p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw_micro", graft.operators.Stats.micro(
+        graft.functions.JaroWinklerSim.jaro_winkler(col("name_a"), col("name_b")))
+        .cast("long"))
+      .filter(col("jw_micro") >= 800000L)
+      .orderBy(col("jw_micro").desc, col("id_a"), col("id_b")).limit(20)
+      .select(col("id_a"), col("id_b"), col("jw_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql.nonEmpty && viaSql === viaApi)
+  }
+
+  test("ANN in pure SQL: dot_product cosine top-k over the embeddings view") {
+    val viaSql = sql.sql(
+      """WITH v AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+        |s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+        |    ROUND(dot_product(q.qe, v.e) /
+        |      (SQRT(dot_product(q.qe, q.qe)) * SQRT(dot_product(v.e, v.e))), 4) AS cos_sim
+        |  FROM q JOIN v ON v.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cos_sim, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val emb = Tables.embeddings(sql, sfDir)
+    val viaApi = graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(viaSql.nonEmpty && viaSql === viaApi)
+  }
+}

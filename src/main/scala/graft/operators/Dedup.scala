@@ -480,6 +480,108 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** LSH banding recall/precision audit — the dedup counterpart of the
+    * ANN recall gates: for each band configuration over ONE k-wide
+    * MinHash signature, how many of the TRUE n-gram-Jaccard pairs does
+    * banding recover, and at what candidate cost? The S-curve made
+    * measurable: more bands (narrower rows-per-band) buys recall with
+    * more candidates; the audit reports, per config, exact BIGINT
+    * `n_candidates`, `n_true`, `n_recovered`, and ppm recall/precision.
+    *
+    * Candidates here key on the band's VALUE (the slice rendered as a
+    * string), not a hash of it — a bucket-hash collision would ADD a
+    * candidate the replaying oracle lacks; value-keying makes the pair
+    * set an exact function of the signatures. Production paths
+    * ([[minhashNearDupPairs]]) keep the hashed key: at audit time
+    * exactness wins, at 100 TB the fixed-width key wins.
+    *
+    * `tokenHasher` defaults to the production xxhash64; pass
+    * [[auditableTokenHash]] for engine-replayable signatures. Docs with
+    * zero shingles are excluded (they have no Jaccard pairs either — an
+    * all-sentinel signature would otherwise pair every empty doc with
+    * every other in every band).
+    *
+    * Scale shape: signature pass is one cached projection; each config
+    * is a bucket equi-join (work ∝ colliding-pair count, the quantity
+    * under audit); the true-pair set is the inverted-index join of
+    * [[ngramJaccardPairs]]; per-config results are one-row aggregates
+    * unioned at the end. Everything after the joins is |configs|-sized.
+    */
+  def lshBandAudit(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, k: Int, bandConfigs: Seq[Int],
+      tokenHasher: Column => Column = xxhash64(_),
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(bandConfigs.nonEmpty, "at least one band configuration")
+    bandConfigs.foreach(b => require(b >= 1 && b <= k && k % b == 0,
+      s"bands ($b) must divide the signature width k ($k)"))
+    // Filter on the TOKEN count, not size(sh) > 0: the two are equivalent
+    // (n tokens yield ≥1 distinct n-gram iff there are ≥ n of them), but a
+    // predicate over the `sh` alias would re-inline the whole shingle
+    // construction into the filter under projection collapse — measured
+    // 3× the signature stage's cost at sf0.1.
+    val withSig = scope.cached(df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .withColumn("sig", minhashSignatureWith(col("sh"), k, tokenHasher))
+      .select(col("id"), col("sig")))
+    val truePairs = scope.cached(
+      ngramJaccardPairs(df, idCol, textCol, lit(1), n, threshold, scope)
+        .select(col("id_a"), col("id_b")))
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+    // ALL configs ride one exploded band table → ONE bucket join, ONE
+    // distinct, ONE aggregation keyed by (bands, ...) — not a join per
+    // config — so the cached signature frame is scanned once and the
+    // shuffle count is config-count-independent.
+    val allBands = bandConfigs.map { b =>
+      val w = k / b
+      transform(sequence(lit(0), lit(b - 1)), i =>
+        struct(lit(b.toLong).as("bands"), i.cast("int").as("band_idx"),
+          concat_ws(",", transform(slice(col("sig"), i * lit(w) + 1, lit(w)),
+            _.cast("string"))).as("band_key")))
+    }.reduce(concat(_, _))
+    val bandtab = withSig.select(col("id"), explode(allBands).as("bk"))
+      .select(col("id"), col("bk.bands").as("bands"),
+        col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
+    val cand = bandtab
+      .select(col("bands"), col("band_idx"), col("band_key"), col("id").as("id_a"))
+      .join(bandtab.select(col("bands"), col("band_idx"), col("band_key"),
+        col("id").as("id_b")), Seq("bands", "band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("bands"), col("id_a"), col("id_b")).distinct()
+    val agged = cand
+      .join(truePairs.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_recovered"))
+    // A config with ZERO candidates must still report its row: seed from
+    // the literal config list, not from the (possibly empty) groups.
+    val confs = df.sparkSession.range(1)
+      .select(explode(array(bandConfigs.map(b => lit(b.toLong)): _*)).as("bands"))
+      .withColumn("rows_per_band", expr(s"$k div bands"))
+    confs.join(agged, Seq("bands"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_recovered"), lit(0L)).as("n_recovered"))
+      .crossJoin(broadcast(nTrue))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_true"), col("n_recovered"),
+        when(col("n_true") > 0,
+          expr("(n_recovered * 1000000) div n_true")).as("recall_ppm"),
+        when(col("n_candidates") > 0,
+          expr("(n_recovered * 1000000) div n_candidates")).as("precision_ppm"))
+      .orderBy(col("bands"))
+  }
+
+  /** [[minhashSignature]] with a pluggable per-shingle hash (the
+    * [[simhash64]] pattern): production keeps xxhash64, audits pass
+    * [[auditableTokenHash]] so any SQL engine can replay the signature.
+    */
+  def minhashSignatureWith(shingleCol: Column, k: Int,
+      tokenHasher: Column => Column): Column =
+    graft.functions.MinHashSignature.minhash_signature(
+      transform(shingleCol, s => pmod(tokenHasher(s), lit(P))), k)
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash (Charikar) of a token array, packed into a long: each

@@ -372,5 +372,72 @@ object DedupQueries {
              |FROM b LEFT JOIN (SELECT * FROM best WHERE rn = 1) w USING (batch_id)
              |ORDER BY b.batch_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // LSH banding recall/precision audit: one 16-wide auditable MinHash
+    // signature, four band configurations (r = 16, 8, 4, 2), each scored
+    // against the exact 3-gram Jaccard >= 0.5 truth set - the measured
+    // S-curve that justifies q23's production (k=128, b=32) choice. The
+    // oracle replays EVERYTHING: md5-based shingle hashes, the
+    // closed-form (a_j, b_j) universal-hash parameters, the k min-folds,
+    // value-keyed band collision, and the ppm ratios - all-BIGINT across
+    // the driver hash.
+    QueryDef(
+      "q139_lsh_recall_audit",
+      (spark, dir) =>
+        // Spread the narrow doc scan (the q50/q119 lesson): the per-doc
+        // md5 shingle hashing + 16-wide min-fold is compute-bound and a
+        // single parquet split would run it on one core.
+        Dedup.lshBandAudit(QueryDef.spreadIfNarrow(Tables.documents(spark, dir)),
+          idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5,
+          k = 16, bandConfigs = Seq(1, 2, 4, 8),
+          tokenHasher = Dedup.auditableTokenHash),
+      Some(lshAuditOracle(k = 16, bandConfigs = Seq(1, 2, 4, 8))),
+    ),
   )
+
+  /** Oracle for [[Dedup.lshBandAudit]]: replays the signature (embedding
+    * the closed-form universal-hash parameters as literals), value-keyed
+    * banding per config, and the exact-Jaccard truth join.
+    */
+  private def lshAuditOracle(k: Int, bandConfigs: Seq[Int]): String = {
+    val params = (0 until k).map { j =>
+      s"($j, ${graft.functions.MinHashSignature.a(j)}, ${graft.functions.MinHashSignature.b(j)})"
+    }.mkString(", ")
+    val perConfig = bandConfigs.map { b =>
+      val w = k / b
+      s"""band_$b AS (SELECT doc_id, i.i AS band_idx,
+         |    array_to_string(list_transform(sig[i.i*$w+1 : i.i*$w+$w], x -> CAST(x AS VARCHAR)), ',') AS key
+         |  FROM sigv CROSS JOIN (SELECT unnest(range(0, $b)) AS i) i),
+         |cand_$b AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM band_$b a JOIN band_$b b2
+         |    ON a.band_idx = b2.band_idx AND a.key = b2.key AND a.doc_id < b2.doc_id),
+         |row_$b AS (SELECT CAST($b AS BIGINT) AS bands, CAST($w AS BIGINT) AS rows_per_band,
+         |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |    CAST(COALESCE(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_recovered
+         |  FROM cand_$b c LEFT JOIN true_pairs t ON c.id_a = t.id_a AND c.id_b = t.id_b)""".stripMargin
+    }.mkString(",\n")
+    val union = bandConfigs.map(b => s"SELECT * FROM row_$b").mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+       |  list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s FROM toks),
+       |shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |hv AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 2147483647 AS h
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM shn)),
+       |params(j, a, b) AS (VALUES $params),
+       |sigj AS (SELECT doc_id, j, MIN((h * a + b) % 2147483647) AS sv
+       |  FROM hv CROSS JOIN params GROUP BY doc_id, j),
+       |sigv AS (SELECT doc_id, list(sv ORDER BY j) AS sig FROM sigj GROUP BY doc_id),
+       |true_pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM true_pairs),
+       |$perConfig,
+       |u AS ($union)
+       |SELECT bands, rows_per_band, n_candidates, tt.n_true, n_recovered,
+       |  CASE WHEN tt.n_true > 0 THEN (n_recovered * 1000000) // tt.n_true END AS recall_ppm,
+       |  CASE WHEN n_candidates > 0 THEN (n_recovered * 1000000) // n_candidates END AS precision_ppm
+       |FROM u, tt ORDER BY bands""".stripMargin
+  }
 }

@@ -337,9 +337,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q137: narrow per-row counting expressions + the output sort.
     "q137_readability" -> 1,
     // q138: blocked pair stream → one conditional-sum agg (one-row) +
-    // the truth-key agg pair; the threshold fan-out explodes the ONE
-    // aggregate row, never the pair stream.
-    "q138_er_audit" -> 3,
+    // the truth-key agg pair + the deliberate probe-side spread (the
+    // q50/q119 narrow-scan repartition); the threshold fan-out explodes
+    // the ONE aggregate row, never the pair stream.
+    "q138_er_audit" -> 4,
+    // q139: ONE value-keyed candidate self-join + distinct + per-config
+    // agg over the multi-config band table (configs ride one explode),
+    // plus the true-pair inverted-index join and the narrow-scan spread
+    // — candidate frames are the quantity under audit, results one row
+    // per config.
+    "q139_lsh_recall_audit" -> 7,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -372,6 +379,9 @@ class PlanBudgetSpec extends AnyFunSuite {
                          // sides are the assigned corpus itself (no
                          // broadcast-able side; AQE broadcasts small
                          // cells at runtime)
+    "q139_lsh_recall_audit", // band-table self-joins: both sides are the
+                         // corpus signature bands (no broadcast-able
+                         // side; collisions are the audited quantity)
     "q132_kl_divergence" // full-outer train⋈eval vocabulary merge: both
                          // sides scale with the vocabulary (full outer
                          // cannot broadcast) — the q12/q59 shape

@@ -628,5 +628,58 @@ object OpsQueries {
              |  CAST((CAST(t.top10_rows AS HUGEINT) * 1000000) // s.n_rows AS BIGINT) AS top10_share_ppm
              |FROM s, t, os_q q""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // k-anonymity audit over quasi-identifier columns — the privacy
+    // governance check a training-data release runs beside the PII scrub
+    // (q72): a record whose (source, lang, length-bucket) combination is
+    // shared by fewer than k corpus rows is re-identifiable at that k.
+    // Sweeney's k-anonymity measured, not enforced: per k ∈ {2, 5, 10},
+    // how many QI equivalence classes and rows fall below k, and what
+    // corpus fraction (ppm) that is. ONE |classes|-sized aggregate feeds
+    // every threshold (q138's one-pass conditional-sum shape: thresholds
+    // explode from the single aggregate row, never the class frame).
+    // All-BIGINT output.
+    QueryDef(
+      "q140_k_anonymity",
+      (spark, dir) => {
+        val ks = Seq(2L, 5L, 10L)
+        val classes = Tables.documents(spark, dir)
+          .select(col("source"), col("lang"),
+            floor(col("n_chars") / lit(500)).as("len_bucket"))
+          .groupBy(col("source"), col("lang"), col("len_bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val perK = ks.flatMap { k =>
+          Seq(sum(when(col("cnt") < k, 1L).otherwise(0L)).as(s"g_$k"),
+            sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as(s"r_$k"))
+        }
+        val one = classes.agg(count(lit(1)).as("n_classes"),
+          (sum(col("cnt")).as("n_rows") +: perK): _*)
+        one.select(col("n_classes"), col("n_rows"),
+            explode(array(ks.map { k =>
+              struct(lit(k).as("k"), col(s"g_$k").as("classes_below_k"),
+                col(s"r_$k").as("rows_below_k"))
+            }: _*)).as("t"))
+          .select(col("t.k").as("k"), col("n_classes"), col("n_rows"),
+            col("t.classes_below_k").as("classes_below_k"),
+            col("t.rows_below_k").as("rows_below_k"),
+            expr("(t.rows_below_k * 1000000) div n_rows").as("rows_below_ppm"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH q AS (SELECT source, lang,
+             |    CAST(FLOOR(n_chars / 500) AS BIGINT) AS len_bucket FROM documents),
+             |c AS (SELECT source, lang, len_bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM q GROUP BY source, lang, len_bucket),
+             |t(k) AS (VALUES (2), (5), (10)),
+             |ag AS (SELECT t.k,
+             |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |    CAST(SUM(CASE WHEN cnt < t.k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+             |    CAST(SUM(CASE WHEN cnt < t.k THEN cnt ELSE 0 END) AS BIGINT) AS rows_below_k
+             |  FROM c, t GROUP BY t.k)
+             |SELECT CAST(k AS BIGINT) AS k, n_classes, n_rows, classes_below_k, rows_below_k,
+             |  (rows_below_k * 1000000) // n_rows AS rows_below_ppm
+             |FROM ag ORDER BY k""".stripMargin),
+    ),
   )
 }

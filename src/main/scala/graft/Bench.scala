@@ -37,6 +37,31 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** 1-minute load average from /proc/loadavg — the environment
+    * fingerprint the r8 postmortem lacked: a contended host shows
+    * load >> the benchmark's own core count while the sentinel drifts,
+    * and the two together separate "perturbed run" from "regression"
+    * without any cross-run comparison. -1.0 when unreadable (non-Linux).
+    */
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Default artifact path anchored to the repo root (nearest ancestor of
+    * CWD containing build.sbt), not the raw CWD: a full-suite run
+    * launched from anywhere inside the repo must update THE git-tracked
+    * snapshot, not scatter stray bench/ dirs.
+    */
+  private def defaultBenchOut(): java.io.File = {
+    var d = new java.io.File(".").getCanonicalFile
+    while (d != null && !new java.io.File(d, "build.sbt").isFile)
+      d = d.getParentFile
+    new java.io.File(if (d != null) d else new java.io.File(".").getCanonicalFile,
+      "bench/bench-full.json")
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,12 +90,14 @@ object Bench {
     // Sentinel checkpoints: key = "start" or the name of the last query
     // completed before the probe ran, value = probe seconds. Ordered.
     val sentinels = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val loads = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     sentinelSec(spark) // untimed: first probe pays one-time codegen; recording
                        // it would make every run's baseline look "recovered"
     sentinels += ("start" -> sentinelSec(spark))
+    loads += ("start" -> loadAvg1m())
     val ordered = selected.toSeq.sortBy(_._1)
     val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
-      val timings = (1 to iters).map { _ =>
+      def runOnce(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -87,14 +114,30 @@ object Bench {
         spark.catalog.clearCache()
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      if ((idx + 1) % 10 == 0 || idx == ordered.size - 1)
+      var timings = (1 to iters).map(_ => runOnce())
+      // Variance guard: when the successful iterations disagree by >2×
+      // (the r8 contention signature — q124 swung 31s→2.9s), neither min
+      // nor mean of two is trustworthy. Take ONE tiebreak iteration and
+      // report the MEDIAN of the successes: a single outlier (either
+      // direction) can no longer set the query's number. The full
+      // per-iteration record stays in "iters" so the spread is auditable.
+      def okT = timings.collect { case (t, true) => t }
+      val spread = okT.size >= 2 && okT.max / okT.min.max(1e-9) > 2.0
+      if (spread && iters >= 2) timings = timings :+ runOnce()
+      if ((idx + 1) % 10 == 0 || idx == ordered.size - 1) {
         sentinels += (name -> sentinelSec(spark))
-      // Minimum over SUCCESSFUL iterations only: a fast-failing iteration
-      // (transient OOM, etc.) must not report its crash latency as the
-      // query's measurement. A query with zero successes keeps the overall
-      // min purely so the negated value stays non-zero and parseable.
-      val okTimings = timings.collect { case (t, true) => t }
-      val best = if (okTimings.nonEmpty) okTimings.min else timings.map(_._1).min
+        loads += (name -> loadAvg1m())
+      }
+      // Minimum over SUCCESSFUL iterations only (median under the spread
+      // guard): a fast-failing iteration (transient OOM, etc.) must not
+      // report its crash latency as the query's measurement. A query with
+      // zero successes keeps the overall min purely so the negated value
+      // stays non-zero and parseable.
+      val okTimings = okT
+      val best =
+        if (okTimings.isEmpty) timings.map(_._1).min
+        else if (spread) okTimings.sorted.apply(okTimings.size / 2)
+        else okTimings.min
       (name, best, timings, timings.forall(_._2))
     }
     // A crashed query must be machine-detectable from the JSON alone:
@@ -107,10 +150,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val sentinelJson = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val loadJson = loads.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$allIters,"sentinel":$sentinelJson,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$allIters,"sentinel":$sentinelJson,"loadavg":$loadJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only the tail of stdout, which truncated
     // r7's per-query times to the last ~30 queries. Persist the FULL line
@@ -118,8 +163,8 @@ object Bench {
     // carries q01..qNN timings for diffing. Only full-suite runs overwrite
     // it — a single-query timing loop must not clobber the round artifact.
     if (args.isEmpty) {
-      val out = new java.io.File(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench-full.json"))
+      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(new java.io.File(_)).getOrElse(defaultBenchOut())
       Option(out.getParentFile).foreach(_.mkdirs())
       val w = new java.io.PrintWriter(out, "UTF-8")
       try w.println(line) finally w.close()

@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 
 /** Physical-plan audit across every declared query: shuffle count,
@@ -32,6 +32,38 @@ object PlanAudit {
       broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
       bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec]),
       smj = nodes.count(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  /** Runtime-plan audit: what the query ACTUALLY executed, after AQE has
+    * replanned and exchange/stage reuse has resolved. The static [[audit]]
+    * counts repeated subtrees once per consumer (the q69 "42-shuffle"
+    * budget is a static-tree count); this one answers the question that
+    * matters for cost — how many times was the input really scanned, and
+    * how many shuffles really materialized vs were served from a reused
+    * stage. A ReusedExchangeExec is a LEAF here: walking into it would
+    * re-count the work the reuse exists to avoid.
+    */
+  final case class ExecAudit(scans: Int, shuffles: Int, reusedShuffles: Int,
+      broadcasts: Int, reusedBroadcasts: Int)
+
+  def executedAudit(df: DataFrame): ExecAudit = {
+    df.write.format("noop").mode("overwrite").save()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: ReusedExchangeExec => Seq(p)
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    def reusedIs[T: scala.reflect.ClassTag](r: ReusedExchangeExec) =
+      scala.reflect.classTag[T].runtimeClass.isInstance(r.child)
+    val reused = nodes.collect { case r: ReusedExchangeExec => r }
+    ExecAudit(
+      scans = nodes.count(_.isInstanceOf[FileSourceScanExec]),
+      shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
+      reusedShuffles = reused.count(reusedIs[ShuffleExchangeExec]),
+      broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
+      reusedBroadcasts = reused.count(reusedIs[BroadcastExchangeExec]))
   }
 
   def main(args: Array[String]): Unit = {

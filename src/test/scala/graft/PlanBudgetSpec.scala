@@ -347,6 +347,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // — candidate frames are the quantity under audit, results one row
     // per config.
     "q139_lsh_recall_audit" -> 7,
+    // q140: ONE |classes|-sized groupBy over the QI projection + the
+    // one-row conditional-sum aggregate all k-thresholds explode from
+    // (q138's shape) — the final single-partition exchange under that
+    // one-row agg is the second shuffle.
+    "q140_k_anonymity" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

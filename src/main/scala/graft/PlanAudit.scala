@@ -47,14 +47,21 @@ object PlanAudit {
       broadcasts: Int, reusedBroadcasts: Int)
 
   def executedAudit(df: DataFrame): ExecAudit = {
-    df.write.format("noop").mode("overwrite").save()
+    // Execute through df's OWN QueryExecution: a df.write would build a
+    // SEPARATE QueryExecution, leaving this one's AdaptiveSparkPlanExec
+    // unexecuted (isFinalPlan=false) — an un-replanned tree where stage
+    // reuse has not resolved, so reusedShuffles would always read 0
+    // (the round-9 audit bug). toRdd.count() runs the plan distributed
+    // without serializing rows to the driver.
+    val qe = df.queryExecution
+    qe.toRdd.count()
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case _: ReusedExchangeExec => Seq(p)
       case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
       case q: QueryStageExec => p +: walk(q.plan)
       case _ => p +: p.children.flatMap(walk)
     }
-    val nodes = walk(df.queryExecution.executedPlan)
+    val nodes = walk(qe.executedPlan)
     def reusedIs[T: scala.reflect.ClassTag](r: ReusedExchangeExec) =
       scala.reflect.classTag[T].runtimeClass.isInstance(r.child)
     val reused = nodes.collect { case r: ReusedExchangeExec => r }

@@ -18,15 +18,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Environment fingerprint + per-query wall time alongside the dump
+    // (verify_meta.json — an EXTRA file; the driver contract reads only
+    // the parquet dirs and oracle_sql.json). When a hash flakes a round,
+    // this localizes "which engine/what timing changed" immediately —
+    // the q122 lesson, where the missing fingerprint cost three rounds.
+    val times = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        times += (name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    val meta = {
+      val qt = times.sortBy(_._1)
+        .map { case (n, t) => f""""$n": $t%.3f""" }.mkString("{", ", ", "}")
+      s"""{"spark_version": "${spark.version}", "scala_version": "${scala.util.Properties.versionNumberString}", """ +
+        s""""java_version": "${System.getProperty("java.version")}", """ +
+        s""""sf_dir": "$sfDir", "wall_sec": $qt}"""
+    }
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -65,4 +65,79 @@ object Blocking {
       .select(col("id_a"), col("id_b"), col("k_a"), col("k_b"),
         (col("pos_b") - col("pos_a")).as("dist"))
   }
+
+  /** Entity-resolution quality audit: linkage needs match-quality metrics
+    * the way ANN has recall gates. Ground truth is the canonical
+    * sorted-token name key — word-permuted names are TRUE matches that
+    * Jaro-Winkler (order-sensitive) can score low and first-token
+    * blocking can even fail to pair, so both the blocking stage
+    * (truth_in_candidates vs n_truth = pair completeness) and the scorer
+    * (per-threshold precision/recall) get audited against a label
+    * neither of them computes.
+    *
+    * `records` must carry (id, name). One pass over the blocked pair
+    * stream computes every threshold's conditional sums; the per-
+    * threshold report explodes from the ONE aggregate row — threshold-
+    * count-independent shuffles. All-BIGINT output (ppm integral
+    * division), ordered by threshold.
+    *
+    * `spread` re-partitions the probe side before the self-join (pass
+    * e.g. QueryDef.spreadIfNarrow when the input is one parquet split —
+    * the Jaro-Winkler scoring is compute-bound and must not run on one
+    * core).
+    */
+  def erAudit(records: DataFrame, thresholds: Seq[Long],
+      spread: DataFrame => DataFrame = identity): DataFrame =
+    erAuditWithTruth(
+      records.select(col("id"), col("name"),
+        concat_ws(" ", sort_array(split(col("name"), " "))).as("truth_key")),
+      thresholds, spread)
+
+  /** [[erAudit]] with a CALLER-SUPPLIED ground truth: `records` must
+    * carry (id, name, truth_key) where equal truth_key = same entity.
+    * The sorted-token default above audits permutation noise; a
+    * perturbed-fixture truth (e.g. typo twins keyed by their source id)
+    * audits realistic character noise, where the block key itself is
+    * dirty and pair completeness genuinely degrades.
+    */
+  def erAuditWithTruth(records: DataFrame, thresholds: Seq[Long],
+      spread: DataFrame => DataFrame = identity): DataFrame = {
+    require(thresholds.nonEmpty, "at least one score threshold")
+    val p = records.select(col("id"), col("name"),
+        col("truth_key").as("ck"))
+      .withColumn("blk", split(col("name"), " ").getItem(0))
+    val nTruth = p.groupBy(col("ck")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("n_truth"))
+    val cand = spread(
+        p.select(col("blk"), col("id").as("id_a"),
+          col("name").as("name_a"), col("ck").as("ck_a")))
+      .join(p.select(col("blk"), col("id").as("id_b"),
+        col("name").as("name_b"), col("ck").as("ck_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(Stats.micro(graft.functions.JaroWinklerSim
+          .jaro_winkler(col("name_a"), col("name_b"))).cast("long").as("jw"),
+        (col("ck_a") === col("ck_b")).as("is_true"))
+    val perT = thresholds.flatMap { t =>
+      Seq(sum(when(col("jw") >= t, 1L).otherwise(0L)).as(s"pred_$t"),
+        sum(when(col("jw") >= t && col("is_true"), 1L).otherwise(0L)).as(s"tp_$t"))
+    }
+    val one = cand.agg(count(lit(1)).as("n_candidates"),
+      (sum(when(col("is_true"), 1L).otherwise(0L)).as("truth_in_candidates") +: perT): _*)
+    one.crossJoin(broadcast(nTruth))
+      .select(col("n_candidates"), col("truth_in_candidates"), col("n_truth"),
+        explode(array(thresholds.map { t =>
+          struct(lit(t).as("threshold"), col(s"pred_$t").as("n_predicted"),
+            col(s"tp_$t").as("tp"))
+        }: _*)).as("r"))
+      .select(col("r.threshold").as("threshold"), col("n_candidates"),
+        col("truth_in_candidates"), col("n_truth"),
+        col("r.n_predicted").as("n_predicted"), col("r.tp").as("tp"),
+        (col("r.n_predicted") - col("r.tp")).as("fp"),
+        (col("n_truth") - col("r.tp")).as("fn"),
+        when(col("r.n_predicted") > 0,
+          expr("(r.tp * 1000000) div r.n_predicted")).as("precision_ppm"),
+        when(col("n_truth") > 0,
+          expr("(r.tp * 1000000) div n_truth")).as("recall_ppm"))
+      .orderBy(col("threshold"))
+  }
 }

@@ -573,6 +573,22 @@ object Dedup {
       .orderBy(col("bands"))
   }
 
+  /** Pick the production band configuration from an [[lshBandAudit]]
+    * frame: the CHEAPEST config (fewest candidate pairs — candidate count
+    * IS the cost of the downstream verify join) whose measured recall
+    * meets the floor; ties break toward fewer bands (cheaper banding
+    * explode). Closes the audit→production loop: q97/CurationStream's
+    * hard-coded (k, bands) becomes a measured choice re-derivable from
+    * any corpus sample. Pure DataFrame over the |configs|-sized audit
+    * output — zero extra scans of the corpus. Empty result = NO audited
+    * config meets the floor (widen bands or raise k; silently falling
+    * back to "best effort" would ship an under-recall dedup).
+    */
+  def recommendBandConfig(audit: DataFrame, recallFloorPpm: Long): DataFrame =
+    audit.filter(col("recall_ppm") >= recallFloorPpm)
+      .orderBy(col("n_candidates"), col("bands"))
+      .limit(1)
+
   /** [[minhashSignature]] with a pluggable per-shingle hash (the
     * [[simhash64]] pattern): production keeps xxhash64, audits pass
     * [[auditableTokenHash]] so any SQL engine can replay the signature.

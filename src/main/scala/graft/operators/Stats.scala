@@ -83,7 +83,13 @@ object Stats {
     // the raw input a second time just to count rows.
     val n = byV.agg(sum(col("da")).as("n_a"), sum(col("db")).as("n_b"))
     val dec = "cast(%s as decimal(38,0))"
-    local.join(broadcast(offsets), Seq("band"))
+    // band joins with <=> for the same reason as orderStatsPermille's cum
+    // join: a plain equi-join infers isnotnull(FLOOR(v/w)) into THIS
+    // branch's scan only, de-canonicalizing the shared byV subtree and
+    // silently disabling AQE stage reuse (band is never null — v is
+    // filtered non-null — so the semantics are identical).
+    local.join(broadcast(offsets.withColumnRenamed("band", "band_o")),
+        col("band") <=> col("band_o"))
       .select((col("oa") + col("la")).as("ca"), (col("ob") + col("lb")).as("cb"))
       .crossJoin(broadcast(n))
       .agg(max(abs(expr(dec.format("ca") + " * " + dec.format("n_b")) -
@@ -165,7 +171,17 @@ object Stats {
     // sized, n is #groups-sized — so broadcast explicitly: the estimator
     // can't see that through the agg-over-agg lineage, and a sort-merge
     // join here would re-shuffle the full distinct-value frame.
-    val cum = local.join(broadcast(offsets), Seq("g", "band"))
+    // band joins with <=> — semantically identical (band = floor(v/w) of
+    // a non-null v is never null) but it stops InferFiltersFromConstraints
+    // from pushing an isnotnull(FLOOR(v/w)) predicate into THIS branch's
+    // scan only, which made the three byV subtrees canonicalize
+    // differently and silently disabled AQE stage reuse: measured 3 full
+    // input scans + 3 identical (g,v) shuffles per call on the round-8
+    // plans, vs 1 scan + 1 with reuse restored.
+    val cum = local.join(
+        broadcast(offsets.withColumnRenamed("g", "g_o")
+          .withColumnRenamed("band", "band_o")),
+        col("g") === col("g_o") && col("band") <=> col("band_o"))
       .select(col("g"), col("v"), (col("off") + col("lc")).as("c"))
       .join(broadcast(n), Seq("g"))
     def loRank(k: Int) = expr(s"((n - 1) * $k) div 1000") + lit(1L)

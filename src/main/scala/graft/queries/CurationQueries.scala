@@ -679,7 +679,8 @@ object CurationQueries {
       Some("""WITH RECURSIVE p AS (SELECT p_partkey AS id, p_name AS name FROM part),
              |g AS (SELECT name, MIN(id) AS rep_id FROM p GROUP BY name),
              |reps AS (SELECT rep_id AS id, name FROM g),
-             |r AS (SELECT id, name, ROW_NUMBER() OVER (ORDER BY name, id) AS pos FROM reps),
+             |r AS (SELECT id, COALESCE(name, '') AS name,
+             |    ROW_NUMBER() OVER (ORDER BY COALESCE(name, ''), id) AS pos FROM reps),
              |sn AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
              |  FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos <= 5),
              |blk AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
@@ -719,52 +720,74 @@ object CurationQueries {
     // (ppm integral division — the hash discipline).
     QueryDef(
       "q138_er_audit",
-      (spark, dir) => {
-        val thresholds = Seq(800000L, 900000L, 950000L, 990000L, 1000000L)
-        val p = Tables.part(spark, dir)
-          .select(col("p_partkey").as("id"), col("p_name").as("name"))
-          .withColumn("blk", split(col("name"), " ").getItem(0))
-          .withColumn("ck", concat_ws(" ", sort_array(split(col("name"), " "))))
-        val nTruth = p.groupBy(col("ck")).agg(count(lit(1)).as("c"))
-          .agg(sum(expr("c * (c - 1) div 2")).as("n_truth"))
+      (spark, dir) =>
         // Spread the probe side (the q119/q50 lesson): the dim scan is one
         // parquet split at test SF, and under a broadcast join that one
         // split would score every blocked pair's Jaro-Winkler serially.
-        val cand = QueryDef.spreadIfNarrow(
-            p.select(col("blk"), col("id").as("id_a"),
-              col("name").as("name_a"), col("ck").as("ck_a")))
-          .join(p.select(col("blk"), col("id").as("id_b"),
-            col("name").as("name_b"), col("ck").as("ck_b")), Seq("blk"))
-          .filter(col("id_a") < col("id_b"))
-          .select(graft.operators.Stats.micro(graft.functions.JaroWinklerSim
-              .jaro_winkler(col("name_a"), col("name_b"))).cast("long").as("jw"),
-            (col("ck_a") === col("ck_b")).as("is_true"))
-        val perT = thresholds.flatMap { t =>
-          Seq(sum(when(col("jw") >= t, 1L).otherwise(0L)).as(s"pred_$t"),
-            sum(when(col("jw") >= t && col("is_true"), 1L).otherwise(0L)).as(s"tp_$t"))
-        }
-        val one = cand.agg(count(lit(1)).as("n_candidates"),
-          (sum(when(col("is_true"), 1L).otherwise(0L)).as("truth_in_candidates") +: perT): _*)
-        one.crossJoin(broadcast(nTruth))
-          .select(col("n_candidates"), col("truth_in_candidates"), col("n_truth"),
-            explode(array(thresholds.map { t =>
-              struct(lit(t).as("threshold"), col(s"pred_$t").as("n_predicted"),
-                col(s"tp_$t").as("tp"))
-            }: _*)).as("r"))
-          .select(col("r.threshold").as("threshold"), col("n_candidates"),
-            col("truth_in_candidates"), col("n_truth"),
-            col("r.n_predicted").as("n_predicted"), col("r.tp").as("tp"),
-            (col("r.n_predicted") - col("r.tp")).as("fp"),
-            (col("n_truth") - col("r.tp")).as("fn"),
-            when(col("r.n_predicted") > 0,
-              expr("(r.tp * 1000000) div r.n_predicted")).as("precision_ppm"),
-            when(col("n_truth") > 0,
-              expr("(r.tp * 1000000) div n_truth")).as("recall_ppm"))
-          .orderBy(col("threshold"))
-      },
+        graft.operators.Blocking.erAudit(
+          Tables.part(spark, dir)
+            .select(col("p_partkey").as("id"), col("p_name").as("name")),
+          thresholds = Seq(800000L, 900000L, 950000L, 990000L, 1000000L),
+          spread = QueryDef.spreadIfNarrow),
       Some("""WITH p AS (SELECT p_partkey AS id, p_name AS name,
              |    string_split(p_name, ' ')[1] AS blk,
              |    array_to_string(list_sort(string_split(p_name, ' ')), ' ') AS ck FROM part),
+             |tt AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_truth
+             |  FROM (SELECT COUNT(*) AS c FROM p GROUP BY ck)),
+             |cand AS (SELECT
+             |    CAST(FLOOR(jaro_winkler_similarity(a.name, b.name) * 1000000.0 + 0.5) AS BIGINT) AS jw,
+             |    CASE WHEN a.ck = b.ck THEN 1 ELSE 0 END AS is_true
+             |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id),
+             |t(threshold) AS (VALUES (800000), (900000), (950000), (990000), (1000000)),
+             |ag AS (SELECT t.threshold,
+             |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             |    CAST(SUM(is_true) AS BIGINT) AS truth_in_candidates,
+             |    CAST(SUM(CASE WHEN jw >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_predicted,
+             |    CAST(SUM(CASE WHEN jw >= t.threshold AND is_true = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+             |  FROM cand, t GROUP BY t.threshold)
+             |SELECT CAST(threshold AS BIGINT) AS threshold, n_candidates, truth_in_candidates,
+             |  tt.n_truth, n_predicted, tp, n_predicted - tp AS fp, tt.n_truth - tp AS fn,
+             |  CASE WHEN n_predicted > 0 THEN (tp * 1000000) // n_predicted END AS precision_ppm,
+             |  CASE WHEN tt.n_truth > 0 THEN (tp * 1000000) // tt.n_truth END AS recall_ppm
+             |FROM ag, tt ORDER BY threshold""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // ER audit under REALISTIC noise (q138's ground truth is exact-
+    // permutation only — the round-8 stretch item): every part name gets
+    // a deterministic typo twin (the character at position id mod
+    // length(name) + 1 is deleted), truth is id-linkage (record, twin),
+    // and the SAME blocked-JW audit measures how first-token blocking
+    // and each JW threshold degrade when the block key itself can carry
+    // the typo. This is the standard perturbed-duplicate linkage
+    // benchmark (Hernández–Stolfo's corruptor shape) computed fully
+    // in-engine; the oracle replays the corruption, the blocking, the
+    // scoring and every ratio. All-BIGINT across the hash.
+    QueryDef(
+      "q142_noisy_er_audit",
+      (spark, dir) => {
+        val base = Tables.part(spark, dir)
+          .select(col("p_partkey").as("id"), col("p_name").as("name"),
+            col("p_partkey").as("truth_key"))
+        // Delete the char at 1-based position (id % length) + 1 — both
+        // engines compute the identical prefix/suffix split.
+        val noisy = base.select((col("id") + lit(10000000L)).as("id"),
+          expr("concat(substr(name, 1, cast(id % length(name) as int)), " +
+            "substr(name, cast(id % length(name) as int) + 2))").as("name"),
+          col("truth_key"))
+        graft.operators.Blocking.erAuditWithTruth(
+          base.unionByName(noisy),
+          thresholds = Seq(800000L, 900000L, 950000L, 990000L, 1000000L),
+          spread = QueryDef.spreadIfNarrow)
+      },
+      Some("""WITH base AS (SELECT p_partkey AS id, p_name AS name,
+             |    p_partkey AS truth_key FROM part),
+             |noisy AS (SELECT b.id + 10000000 AS id,
+             |    substr(b.name, 1, CAST(b.id % length(b.name) AS INT)) ||
+             |      substr(b.name, CAST(b.id % length(b.name) AS INT) + 2) AS name,
+             |    b.truth_key FROM base b),
+             |p AS (SELECT id, name, string_split(name, ' ')[1] AS blk, truth_key AS ck
+             |  FROM (SELECT * FROM base UNION ALL SELECT * FROM noisy)),
              |tt AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_truth
              |  FROM (SELECT COUNT(*) AS c FROM p GROUP BY ck)),
              |cand AS (SELECT

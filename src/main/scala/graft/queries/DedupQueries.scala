@@ -394,6 +394,30 @@ object DedupQueries {
           tokenHasher = Dedup.auditableTokenHash),
       Some(lshAuditOracle(k = 16, bandConfigs = Seq(1, 2, 4, 8))),
     ),
+
+    // ----------------------------------------------------------------
+    // Audit→production loop closed (the round-8 advice): q139 measures
+    // the banding S-curve, recommendBandConfig PICKS from it — cheapest
+    // config (candidate count is the verify-join cost) whose measured
+    // recall clears the 80% floor, ties to fewer bands. The oracle
+    // replays the full q139 audit and applies the same filter/order/
+    // limit — the CHOICE itself is under the driver hash, so a recall
+    // regression in any stage flips the recommended config and fails
+    // the gate.
+    QueryDef(
+      "q141_band_choice",
+      (spark, dir) =>
+        Dedup.recommendBandConfig(
+          Dedup.lshBandAudit(QueryDef.spreadIfNarrow(Tables.documents(spark, dir)),
+            idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5,
+            k = 16, bandConfigs = Seq(1, 2, 4, 8),
+            tokenHasher = Dedup.auditableTokenHash),
+          recallFloorPpm = 800000L),
+      Some(s"""SELECT * FROM (
+              |${lshAuditOracle(k = 16, bandConfigs = Seq(1, 2, 4, 8))}
+              |) aud WHERE recall_ppm >= 800000
+              |ORDER BY n_candidates, bands LIMIT 1""".stripMargin),
+    ),
   )
 
   /** Oracle for [[Dedup.lshBandAudit]]: replays the signature (embedding

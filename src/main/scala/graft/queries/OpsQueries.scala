@@ -642,30 +642,11 @@ object OpsQueries {
     // All-BIGINT output.
     QueryDef(
       "q140_k_anonymity",
-      (spark, dir) => {
-        val ks = Seq(2L, 5L, 10L)
-        val classes = Tables.documents(spark, dir)
-          .select(col("source"), col("lang"),
-            floor(col("n_chars") / lit(500)).as("len_bucket"))
-          .groupBy(col("source"), col("lang"), col("len_bucket"))
-          .agg(count(lit(1)).as("cnt"))
-        val perK = ks.flatMap { k =>
-          Seq(sum(when(col("cnt") < k, 1L).otherwise(0L)).as(s"g_$k"),
-            sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as(s"r_$k"))
-        }
-        val one = classes.agg(count(lit(1)).as("n_classes"),
-          (sum(col("cnt")).as("n_rows") +: perK): _*)
-        one.select(col("n_classes"), col("n_rows"),
-            explode(array(ks.map { k =>
-              struct(lit(k).as("k"), col(s"g_$k").as("classes_below_k"),
-                col(s"r_$k").as("rows_below_k"))
-            }: _*)).as("t"))
-          .select(col("t.k").as("k"), col("n_classes"), col("n_rows"),
-            col("t.classes_below_k").as("classes_below_k"),
-            col("t.rows_below_k").as("rows_below_k"),
-            expr("(t.rows_below_k * 1000000) div n_rows").as("rows_below_ppm"))
-          .orderBy(col("k"))
-      },
+      (spark, dir) =>
+        graft.operators.Privacy.kAnonymityAudit(Tables.documents(spark, dir),
+          qi = Seq(col("source"), col("lang"),
+            floor(col("n_chars") / lit(500)).as("len_bucket")),
+          ks = Seq(2L, 5L, 10L)),
       Some("""WITH q AS (SELECT source, lang,
              |    CAST(FLOOR(n_chars / 500) AS BIGINT) AS len_bucket FROM documents),
              |c AS (SELECT source, lang, len_bucket, CAST(COUNT(*) AS BIGINT) AS cnt

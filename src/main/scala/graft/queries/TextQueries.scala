@@ -183,6 +183,50 @@ object TextQueries {
     ),
 
     // ----------------------------------------------------------------
+    // REAL container-header probing under the oracle gate: a valid PNG
+    // blob (8-byte signature + IHDR, per the public spec) is ASSEMBLED
+    // in-engine with per-row planted dimensions, a third of the rows get
+    // a deliberately wrong declared format, and MediaProbe parses the
+    // binary back. The oracle replays only the PLANTING arithmetic — so
+    // if the byte-level parse (BE-32 extraction, signature match) drifts
+    // by even one bit, detected dims ≠ planted dims and the hash gate
+    // fails. Narrow end to end: build → mapPartitions probe → sort.
+    QueryDef(
+      "q143_media_probe",
+      (spark, dir) => {
+        implicit val s = spark
+        import spark.implicits._
+        val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+        val w = (col("n_chars") % 4096 + lit(1)).cast("int")
+        val h = (col("doc_id") % 2160 + lit(1)).cast("int")
+        def be32(c: Column) = to_binary(lpad(hex(c), 8, "0"), lit("hex"))
+        val blob = concat(
+          // PNG signature + IHDR length(13) + "IHDR" (16 bytes), then the
+          // two planted big-endian 32-bit dimensions.
+          to_binary(lit("89504E470D0A1A0A0000000D49484452"), lit("hex")),
+          be32(w), be32(h))
+        val media = docs.select(col("doc_id").as("media_id"), blob.as("media"),
+            when(col("doc_id") % 3 === 0, "image/jpeg").otherwise("image/png")
+              .as("format"),
+            w.as("width"), h.as("height"), lit(24L).as("n_bytes"))
+          .as[Multimodal.MediaRow]
+        Multimodal.probeMetadata(media).toDF()
+          .select(col("media_id"), col("declared_format"), col("detected_format"),
+            col("detected_width").cast("long").as("detected_width"),
+            col("detected_height").cast("long").as("detected_height"),
+            col("meta_consistent"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' ELSE 'image/png' END AS declared_format,
+             |  'image/png' AS detected_format,
+             |  CAST(n_chars % 4096 + 1 AS BIGINT) AS detected_width,
+             |  CAST(doc_id % 2160 + 1 AS BIGINT) AS detected_height,
+             |  (doc_id % 3 <> 0) AS meta_consistent
+             |FROM documents ORDER BY media_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Order-SENSITIVE document fingerprint: polynomial rolling hash
     // (Rabin-Karp shape) over the token stream — unlike q31's normalized
     // md5, swapping two tokens changes this fingerprint. Uses the
@@ -701,7 +745,7 @@ object TextQueries {
           .select(col("id_a"), col("id_b"), col("dist"), col("jw_micro"))
           .orderBy(col("jw_micro").desc, col("id_a"), col("id_b"))
           .limit(100),
-      Some("""WITH p AS (SELECT p_partkey AS id, p_name AS k FROM part),
+      Some("""WITH p AS (SELECT p_partkey AS id, COALESCE(p_name, '') AS k FROM part),
              |r AS (SELECT id, k, ROW_NUMBER() OVER (ORDER BY k, id) AS pos FROM p),
              |j AS (SELECT a.id AS id_a, b.id AS id_b, b.pos - a.pos AS dist,
              |    CAST(FLOOR(jaro_winkler_similarity(a.k, b.k) * 1000000.0 + 0.5) AS BIGINT) AS jw_micro

@@ -151,13 +151,9 @@ object ManifestCommit {
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val target = manifestPath(root, version)
-    // Guard BEFORE the rename: HDFS rename is atomic create-if-absent,
-    // but Hadoop's local FileSystem delegates to File.renameTo, which on
-    // POSIX silently OVERWRITES an existing destination — a racing loser
-    // would clobber the winner's manifest instead of failing. The check
-    // makes every serialized racer (the realistic torn-orchestrator
-    // double-commit) fail loudly on any store; on HDFS-like stores the
-    // rename itself still closes the remaining sub-millisecond window.
+    // Guard BEFORE publishing: fast, loud failure for the realistic
+    // serialized racer (a torn orchestrator double-committing) on any
+    // store.
     if (hfs.exists(target)) {
       hfs.delete(tmp, false)
       throw new IllegalStateException(
@@ -165,9 +161,32 @@ object ManifestCommit {
           "— losing commit aborted, nothing was published; re-read the " +
           "current manifest and retry")
     }
-    require(hfs.rename(tmp, target),
-      s"manifest commit lost the rename to version $version " +
-        "(concurrent committer?) — nothing was published")
+    if (hfs.getScheme == "file") {
+      // POSIX rename(2) silently OVERWRITES an existing destination (and
+      // Files.move+ATOMIC_MOVE maps to rename), so on the local store two
+      // TRULY concurrent writers could both pass the exists() check and
+      // the later rename would clobber the winner. link(2) is the atomic
+      // create-if-absent primitive POSIX does provide: hard-linking the
+      // temp file onto the target fails with EEXIST if any other writer
+      // got there first — the window is closed, not just narrowed.
+      val q = (p: Path) => java.nio.file.Paths.get(
+        hfs.makeQualified(p).toUri.getPath)
+      try java.nio.file.Files.createLink(q(target), q(tmp))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          hfs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"manifest version $version lost the publish race to a " +
+              "concurrent writer — nothing was published; re-read the " +
+              "current manifest and retry")
+      }
+      hfs.delete(tmp, false)
+    } else {
+      // HDFS-like stores: rename is atomic create-if-absent already.
+      require(hfs.rename(tmp, target),
+        s"manifest commit lost the rename to version $version " +
+          "(concurrent committer?) — nothing was published")
+    }
     version
   }
 

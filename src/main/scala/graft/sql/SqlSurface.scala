@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Blocking, Dedup, Privacy, Stats, TextAnalysis}
 
 /** The engine's capabilities as a SQL surface.
   *
@@ -61,5 +61,52 @@ object SqlSurface {
     Dedup.duplicateClusters(docs.select(col("doc_id")), "doc_id",
         pairs.select(col("id_a"), col("id_b")))
       .createOrReplaceTempView("dup_clusters")
+  }
+
+  /** Register the governance/linkage AUDIT operators as views (call after
+    * [[registerTables]]) — the reference's sql/ posture extended to the
+    * engine's own quality loop:
+    *
+    *  - `lsh_band_audit` — per-band-config recall/precision vs exact
+    *    Jaccard truth (q139's operator); `SELECT ... WHERE recall_ppm >=
+    *    floor ORDER BY n_candidates LIMIT 1` IS the production config
+    *    chooser ([[Dedup.recommendBandConfig]]).
+    *  - `er_audit`       — per-threshold linkage precision/recall +
+    *    blocking pair-completeness (q138's operator, over `part` names).
+    *  - `k_anonymity`    — per-k QI equivalence classes/rows below k
+    *    (q140's operator, over document (source, lang, length-bucket)).
+    *  - `event_value_permilles` — exact integer-interpolated p50/p90/p99
+    *    of event values per type, micro-units (the orderStatsPermille
+    *    primitive behind every exact-percentile query).
+    *
+    * Same lazy-DataFrame posture as [[registerCapabilities]]: each view
+    * is the operator's own plan; nothing runs at registration.
+    */
+  def registerAudits(spark: SparkSession, sfDir: String,
+      lshK: Int = 16, lshBands: Seq[Int] = Seq(1, 2, 4, 8),
+      jaccard: Double = 0.5,
+      erThresholds: Seq[Long] = Seq(800000L, 900000L, 950000L, 990000L, 1000000L),
+      anonymityKs: Seq[Long] = Seq(2L, 5L, 10L)): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.lshBandAudit(docs, "doc_id", "text", n = 3, threshold = jaccard,
+        k = lshK, bandConfigs = lshBands,
+        tokenHasher = Dedup.auditableTokenHash)
+      .createOrReplaceTempView("lsh_band_audit")
+    Blocking.erAudit(
+        Tables.part(spark, sfDir)
+          .select(col("p_partkey").as("id"), col("p_name").as("name")),
+        thresholds = erThresholds)
+      .createOrReplaceTempView("er_audit")
+    Privacy.kAnonymityAudit(docs,
+        qi = Seq(col("source"), col("lang"),
+          floor(col("n_chars") / lit(500)).as("len_bucket")),
+        ks = anonymityKs)
+      .createOrReplaceTempView("k_anonymity")
+    Stats.orderStatsPermille(Tables.events(spark, sfDir), col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 3))
+          * lit(1000)).cast("long"),
+        permilles = Seq(500, 900, 990), bandWidth = 50000L)
+      .withColumnRenamed("g", "event_type")
+      .createOrReplaceTempView("event_value_permilles")
   }
 }

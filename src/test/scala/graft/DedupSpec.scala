@@ -94,6 +94,32 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.lshBands(sigs, "id", "sig", 3).count() == 3)
   }
 
+  test("recommendBandConfig: cheapest config meeting the recall floor, loud empty when none does") {
+    val audit = Dedup.lshBandAudit(corpus, "doc_id", "text", n = 3,
+      threshold = 0.5, k = 16, bandConfigs = Seq(1, 2, 4, 8),
+      tokenHasher = Dedup.auditableTokenHash)
+    val rows = audit.collect().map(r =>
+      (r.getLong(r.fieldIndex("bands")),
+        r.getLong(r.fieldIndex("n_candidates")),
+        Option(r.get(r.fieldIndex("recall_ppm"))).map(_.asInstanceOf[Long])))
+    // The exact dup (1,4) collides in every band of every config, so some
+    // config always reaches the floor on this fixture.
+    val floor = 500000L
+    val chosen = Dedup.recommendBandConfig(audit, floor).collect()
+    assert(chosen.length === 1)
+    val c = chosen.head
+    val cBands = c.getLong(c.fieldIndex("bands"))
+    val cCand = c.getLong(c.fieldIndex("n_candidates"))
+    assert(c.getLong(c.fieldIndex("recall_ppm")) >= floor)
+    // Minimality: no qualifying config has fewer candidates (or equal
+    // candidates with fewer bands).
+    val qualifying = rows.filter(_._3.exists(_ >= floor))
+    assert(qualifying.forall { case (b, n, _) =>
+      n > cCand || (n == cCand && b >= cBands) })
+    // An unreachable floor yields an EMPTY frame, not a best-effort row.
+    assert(Dedup.recommendBandConfig(audit, 1000001L).collect().isEmpty)
+  }
+
   test("simhash: exact dup at Hamming 0; near-dup within 16; unrelated far") {
     val sims = corpus.select(col("doc_id"),
       Dedup.simhash64(Dedup.tokens(col("text"))).as("s"))

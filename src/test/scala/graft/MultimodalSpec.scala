@@ -40,6 +40,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.head.feature.length === 4)
   }
 
+  // Hand-assembled REAL container headers, byte-exact per the public
+  // format specs — the probe parses these, not fixtures of itself.
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(32)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    bb.array()
+  }
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte, 0x00, 0x10) ++
+      Array.fill[Byte](14)(0)                               // APP0, len 16
+    val sof0 = Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08,
+      ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+      ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte, 0x03)
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++ sof0
+  }
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ Array[Byte](
+      (w & 0xFF).toByte, ((w >> 8) & 0xFF).toByte,
+      (h & 0xFF).toByte, ((h >> 8) & 0xFF).toByte, 0, 0, 0)
+  private def wavBytes(channels: Int, rate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(channels.toShort).putInt(rate)
+    bb.array()
+  }
+
+  test("MediaProbe parses real PNG/JPEG/GIF/WAV headers byte-exactly") {
+    assert(Multimodal.MediaProbe.probe(pngBytes(640, 480)) ===
+      (("image/png", 640, 480)))
+    assert(Multimodal.MediaProbe.probe(jpegBytes(128, 64)) ===
+      (("image/jpeg", 128, 64)))
+    assert(Multimodal.MediaProbe.probe(gifBytes(320, 200)) ===
+      (("image/gif", 320, 200)))
+    assert(Multimodal.MediaProbe.probe(wavBytes(2, 44100)) ===
+      (("audio/wav", 2, 44100)))
+    // Malformed/unknown blobs degrade, never throw.
+    assert(Multimodal.MediaProbe.probe(Array[Byte](1, 2, 3))._1 ===
+      "application/octet-stream")
+    assert(Multimodal.MediaProbe.probe(pngBytes(1, 1).take(10))._1 ===
+      "application/octet-stream")
+    // Truncated JPEG (no SOF reached) still detects the format, dims 0.
+    assert(Multimodal.MediaProbe.probe(
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)) ===
+      (("image/jpeg", 0, 0)))
+  }
+
+  test("probeMetadata flags mislabeled media before any decode runs") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, pngBytes(640, 480), "image/png", 640, 480, 32L),
+      Multimodal.MediaRow(2L, pngBytes(640, 480), "image/jpeg", 640, 480, 32L), // wrong format
+      Multimodal.MediaRow(3L, jpegBytes(128, 64), "image/jpeg", 128, 99, 30L),  // wrong height
+    ).toDS()
+    val out = Multimodal.probeMetadata(rows).collect().sortBy(_.media_id)
+    assert(out(0).meta_consistent)
+    assert(!out(1).meta_consistent && out(1).detected_format === "image/png")
+    assert(!out(2).meta_consistent && out(2).detected_height === 64)
+  }
+
   test("LSH embedding near-dup pairs find planted duplicates (scale path)") {
     // 3 tight clusters of 5 + 50 random-ish vectors; within-cluster cosine ≈ 1.
     val dims = 16

@@ -167,6 +167,44 @@ class PipelinesSpec extends AnyFunSuite {
         Set("base", "writer-a", "writer-b"))
   }
 
+  test("TRULY concurrent committers: barrier-released racers, exactly one publish wins") {
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft-race-hot").toString
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // 16 writers all pass the exists() pre-check simultaneously (the
+    // barrier releases them together), so only the link(2)-based
+    // create-if-absent in publish() can arbitrate — this is the window
+    // the serialized test above cannot reach.
+    val writers = 16
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val threads = (0 until writers).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          ManifestCommit.publish(hfs, root, 1L, Map("t" -> Seq(s"t/delta-$i")))
+          results.put(i, true)
+        } catch { case _: IllegalStateException => results.put(i, false) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+
+    val winners = (0 until writers).filter(results.get(_))
+    assert(winners.size === 1, s"expected exactly one winner, got $winners")
+    // The surviving manifest is the WINNER's body, bit-for-bit — no loser
+    // overwrote it after the fact.
+    val m = ManifestCommit.currentManifest(spark, root).get
+    assert(m.version === 1L)
+    assert(m.tables("t") === Seq(s"t/delta-${winners.head}"))
+    // No stray temp files leaked from the losing publishes.
+    val leftovers = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/_graft_manifest"))
+      .map(_.getPath.getName).filter(_.startsWith(".graft-tmp-"))
+    assert(leftovers.isEmpty, s"leaked temp manifests: ${leftovers.toSeq}")
+  }
+
   test("backfill: 30-day batches, MERGE keeps reruns idempotent") {
     val path = Files.createTempDirectory("graft-backfill").resolve("t").toString
     def fetchBatch(from: java.time.LocalDate, to: java.time.LocalDate) = {

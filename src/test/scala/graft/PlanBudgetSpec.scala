@@ -352,6 +352,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     // (q138's shape) — the final single-partition exchange under that
     // one-row agg is the second shuffle.
     "q140_k_anonymity" -> 2,
+    // q141: q139's audit plan verbatim (the chooser is a filter +
+    // TakeOrdered over the |configs|-sized audit frame — no new
+    // exchange).
+    "q141_band_choice" -> 7,
+    // q142: q138's audit shape over the typo-twin union (the union is
+    // narrow — no extra exchange).
+    "q142_noisy_er_audit" -> 4,
+    // q143: blob assembly + mapPartitions probe are narrow; the only
+    // exchange is the output sort.
+    "q143_media_probe" -> 1,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -387,6 +397,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q139_lsh_recall_audit", // band-table self-joins: both sides are the
                          // corpus signature bands (no broadcast-able
                          // side; collisions are the audited quantity)
+    "q141_band_choice",  // q139's plan verbatim under the chooser
     "q132_kl_divergence" // full-outer train⋈eval vocabulary merge: both
                          // sides scale with the vocabulary (full outer
                          // cannot broadcast) — the q12/q59 shape

@@ -32,6 +32,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     SparkSession.setActiveSession(base)
     SqlSurface.registerTables(s, sfDir)
     SqlSurface.registerCapabilities(s, sfDir)
+    SqlSurface.registerAudits(s, sfDir)
     s
   }
 
@@ -94,6 +95,66 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .select(col("id_a"), col("id_b"), col("jw_micro"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(viaSql.nonEmpty && viaSql === viaApi)
+  }
+
+  test("band chooser in pure SQL: the audit view + WHERE/ORDER/LIMIT is recommendBandConfig") {
+    val viaSql = sql.sql(
+      """SELECT bands, rows_per_band, n_candidates, n_true, n_recovered,
+        |  recall_ppm, precision_ppm
+        |FROM lsh_band_audit WHERE recall_ppm >= 500000
+        |ORDER BY n_candidates, bands LIMIT 1""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.operators.Dedup.recommendBandConfig(
+        graft.operators.Dedup.lshBandAudit(Tables.documents(sql, sfDir),
+          "doc_id", "text", n = 3, threshold = 0.5, k = 16,
+          bandConfigs = Seq(1, 2, 4, 8),
+          tokenHasher = graft.operators.Dedup.auditableTokenHash),
+        recallFloorPpm = 500000L)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql.nonEmpty && viaSql === viaApi)
+  }
+
+  test("linkage audit in pure SQL: er_audit threshold row matches the operator") {
+    val viaSql = sql.sql(
+      """SELECT threshold, n_candidates, truth_in_candidates, n_truth,
+        |  n_predicted, tp, fp, fn, precision_ppm, recall_ppm
+        |FROM er_audit WHERE threshold = 950000""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.operators.Blocking.erAudit(
+        Tables.part(sql, sfDir)
+          .select(col("p_partkey").as("id"), col("p_name").as("name")),
+        thresholds = Seq(800000L, 900000L, 950000L, 990000L, 1000000L))
+      .filter(col("threshold") === 950000L)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql.nonEmpty && viaSql === viaApi)
+  }
+
+  test("k-anonymity in pure SQL: governance gate as a WHERE clause") {
+    val viaSql = sql.sql(
+      """SELECT k, n_classes, n_rows, classes_below_k, rows_below_k, rows_below_ppm
+        |FROM k_anonymity WHERE rows_below_ppm > 0 ORDER BY k""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.operators.Privacy.kAnonymityAudit(
+        Tables.documents(sql, sfDir),
+        qi = Seq(col("source"), col("lang"),
+          floor(col("n_chars") / lit(500)).as("len_bucket")),
+        ks = Seq(2L, 5L, 10L))
+      .filter(col("rows_below_ppm") > 0).orderBy(col("k"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaApi)
+  }
+
+  test("exact percentiles in pure SQL: event_value_permilles view") {
+    val viaSql = sql.sql(
+      """SELECT event_type, n, p500_x1000, p900_x1000, p990_x1000
+        |FROM event_value_permilles ORDER BY event_type""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql.nonEmpty)
+    // Monotone by construction: p50 <= p90 <= p99 within every type.
+    viaSql.foreach { r =>
+      assert(r(2).asInstanceOf[Long] <= r(3).asInstanceOf[Long])
+      assert(r(3).asInstanceOf[Long] <= r(4).asInstanceOf[Long])
+    }
   }
 
   test("ANN in pure SQL: dot_product cosine top-k over the embeddings view") {

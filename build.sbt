@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 143 queries × several whole-stage-codegen units each approaches the
+  // JDK-17 default 240m code cache over a full bench/verify run; when it
+  // fills, HotSpot silently stops JIT-compiling and compute-bound
+  // queries (JW scoring, tokenizers) degrade several-fold with a flat
+  // CPU sentinel. Same headroom spark-submit's defaults give real
+  // clusters.
+  "-XX:ReservedCodeCacheSize=512m",
 )

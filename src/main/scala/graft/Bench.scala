@@ -38,6 +38,20 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Cumulative stop-the-world GC milliseconds across all collectors.
+    * Recorded as a per-query DELTA: the r8/r9 inflation pattern (flat
+    * arithmetic sentinel + slow allocation-heavy queries mid-suite) is
+    * the signature of heap debris — accumulated broadcast blocks and
+    * codegen classes — not CPU contention, and the sentinel cannot see
+    * it because `sum(id*3+1)` allocates nothing per row. gc_ms beside
+    * each timing makes "12s query, 9s of it GC" readable off the JSON.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   /** 1-minute load average from /proc/loadavg — the environment
     * fingerprint the r8 postmortem lacked: a contended host shows
     * load >> the benchmark's own core count while the sentinel drifts,
@@ -97,7 +111,8 @@ object Bench {
     loads += ("start" -> loadAvg1m())
     val ordered = selected.toSeq.sortBy(_._1)
     val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
-      def runOnce(): (Double, Boolean) = {
+      def runOnce(): (Double, Boolean, Long) = {
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -112,8 +127,21 @@ object Bench {
         // its own cache would time RAM, not the plan. Clear between EVERY
         // execution: per-execution isolation is the honest measurement.
         spark.catalog.clearCache()
-        ((System.nanoTime() - t0) / 1e9, ok)
+        ((System.nanoTime() - t0) / 1e9, ok, gcMillis() - gc0)
       }
+      // Measurement isolation at the QUERY boundary (the JMH posture):
+      // broadcast blocks and codegen classes from PRIOR queries stay
+      // live until their driver-side references are collected —
+      // ContextCleaner only unpersists a broadcast after the JVM GCs
+      // the variable. Without a forced collection the debt lands as
+      // stop-the-world pauses inside whoever allocates next, which is
+      // how r8's contiguous q75–q89 inflation block formed (and this
+      // round's q119 10–17s) while the allocation-free sentinel stayed
+      // flat. Once per query, not per iteration: a full GC also unloads
+      // cold codegen nmethods, so collecting between iterations forces
+      // iterative queries (BPE, PageRank) to re-JIT mid-measurement —
+      // measured +1–4s each when gc() ran inside the iteration loop.
+      System.gc()
       var timings = (1 to iters).map(_ => runOnce())
       // Variance guard: when the successful iterations disagree by >2×
       // (the r8 contention signature — q124 swung 31s→2.9s), neither min
@@ -121,7 +149,7 @@ object Bench {
       // report the MEDIAN of the successes: a single outlier (either
       // direction) can no longer set the query's number. The full
       // per-iteration record stays in "iters" so the spread is auditable.
-      def okT = timings.collect { case (t, true) => t }
+      def okT = timings.collect { case (t, true, _) => t }
       val spread = okT.size >= 2 && okT.max / okT.min.max(1e-9) > 2.0
       if (spread && iters >= 2) timings = timings :+ runOnce()
       if ((idx + 1) % 10 == 0 || idx == ordered.size - 1) {
@@ -145,8 +173,11 @@ object Bench {
     val qs = results.map { case (k, v, _, ok) =>
       "\"" + k + "\":" + (if (ok) v else -v) }.mkString("{", ",", "}")
     val allIters = results.map { case (k, _, ts, _) =>
-      "\"" + k + "\":" + ts.map { case (t, ok) => if (ok) t else -t }
+      "\"" + k + "\":" + ts.map { case (t, ok, _) => if (ok) t else -t }
         .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val gcJson = results.map { case (k, _, ts, _) =>
+      "\"" + k + "\":" + ts.map(_._3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val sentinelJson = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -155,7 +186,7 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$allIters,"sentinel":$sentinelJson,"loadavg":$loadJson,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$allIters,"gc_ms":$gcJson,"sentinel":$sentinelJson,"loadavg":$loadJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only the tail of stdout, which truncated
     // r7's per-query times to the last ~30 queries. Persist the FULL line

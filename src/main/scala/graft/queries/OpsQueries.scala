@@ -662,5 +662,83 @@ object OpsQueries {
              |  (rows_below_k * 1000000) // n_rows AS rows_below_ppm
              |FROM ag ORDER BY k""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // l-diversity audit (Machanavajjhala et al.) — q140's successor
+    // attack: a k-anonymous class whose members all share ONE sensitive
+    // value (here: source) discloses it regardless of class size. Per
+    // l ∈ {5, 10, 15}: QI classes spanning fewer than l distinct sources,
+    // the rows they cover, and the corpus fraction as exact ppm. Two
+    // pair-sized aggregates + one scalar aggregate; the per-l rows
+    // explode from the single aggregate row (q140's shape). All-BIGINT.
+    QueryDef(
+      "q144_l_diversity",
+      (spark, dir) =>
+        graft.operators.Privacy.lDiversityAudit(Tables.documents(spark, dir),
+          qi = Seq(col("lang"), floor(col("n_chars") / lit(100)).as("len_bucket")),
+          sensitive = col("source"), ls = Seq(5L, 10L, 15L)),
+      Some("""WITH q AS (SELECT lang,
+             |    CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket, source FROM documents),
+             |c AS (SELECT lang, len_bucket,
+             |    CAST(COUNT(DISTINCT source) AS BIGINT) AS ndv,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM q GROUP BY lang, len_bucket),
+             |t(l) AS (VALUES (5), (10), (15)),
+             |ag AS (SELECT t.l,
+             |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |    CAST(SUM(CASE WHEN ndv < t.l THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+             |    CAST(SUM(CASE WHEN ndv < t.l THEN cnt ELSE 0 END) AS BIGINT) AS rows_below_l
+             |  FROM c, t GROUP BY t.l)
+             |SELECT CAST(l AS BIGINT) AS l, n_classes, n_rows, classes_below_l, rows_below_l,
+             |  (rows_below_l * 1000000) // n_rows AS rows_below_ppm
+             |FROM ag ORDER BY l""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // t-closeness audit (Li, Li & Venkatasubramanian) — the attack BOTH
+    // q140 and q144 miss: a class can be large and source-diverse yet
+    // leak through a skewed source mix. Per class, the exact total
+    // variation distance between its source distribution and the
+    // corpus-wide one, as integer ppm (cross-multiplied BIGINT/DECIMAL
+    // counts, absent sensitive values folded in closed form — no
+    // class×domain densify, no float anywhere); per threshold, classes
+    // and rows exceeding it. Oracle replays the identical integer
+    // arithmetic over a DuckDB window.
+    QueryDef(
+      "q145_t_closeness",
+      (spark, dir) =>
+        graft.operators.Privacy.tClosenessAudit(Tables.documents(spark, dir),
+          qi = Seq(col("lang"), floor(col("n_chars") / lit(100)).as("len_bucket")),
+          sensitive = col("source"),
+          thresholdsPpm = Seq(300000L, 500000L, 700000L)),
+      Some("""WITH q AS (SELECT lang,
+             |    CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket, source FROM documents),
+             |p AS (SELECT lang, len_bucket, source,
+             |    CAST(COUNT(*) AS HUGEINT) AS c_s FROM q GROUP BY 1, 2, 3),
+             |g AS (SELECT source, CAST(SUM(c_s) AS HUGEINT) AS g_s FROM p GROUP BY source),
+             |n AS (SELECT CAST(SUM(g_s) AS HUGEINT) AS n_total FROM g),
+             |p2 AS (SELECT *, SUM(c_s) OVER (PARTITION BY lang, len_bucket) AS m FROM p),
+             |cl AS (SELECT lang, len_bucket, ANY_VALUE(m) AS m,
+             |    ANY_VALUE(n.n_total) AS n_total,
+             |    SUM(ABS(c_s * n.n_total - g_s * m)) AS present_dev,
+             |    SUM(g_s) AS g_present
+             |  FROM p2 JOIN g USING (source), n GROUP BY lang, len_bucket),
+             |tv AS (SELECT CAST(m AS BIGINT) AS m,
+             |    CAST(((present_dev + m * (n_total - g_present)) * 1000000)
+             |      // (m * n_total * 2) AS BIGINT) AS tvd_ppm FROM cl),
+             |t(t_ppm) AS (VALUES (300000), (500000), (700000)),
+             |ag AS (SELECT t.t_ppm,
+             |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |    CAST(SUM(m) AS BIGINT) AS n_rows,
+             |    CAST(MAX(tvd_ppm) AS BIGINT) AS max_tvd_ppm,
+             |    CAST(SUM(CASE WHEN tvd_ppm > t.t_ppm THEN 1 ELSE 0 END) AS BIGINT) AS classes_above_t,
+             |    CAST(SUM(CASE WHEN tvd_ppm > t.t_ppm THEN m ELSE 0 END) AS BIGINT) AS rows_above_t
+             |  FROM tv, t GROUP BY t.t_ppm)
+             |SELECT CAST(t_ppm AS BIGINT) AS t_ppm, n_classes, n_rows, max_tvd_ppm,
+             |  classes_above_t, rows_above_t,
+             |  (rows_above_t * 1000000) // n_rows AS rows_above_ppm
+             |FROM ag ORDER BY t_ppm""".stripMargin),
+    ),
   )
 }

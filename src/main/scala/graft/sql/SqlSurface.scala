@@ -102,6 +102,15 @@ object SqlSurface {
           floor(col("n_chars") / lit(500)).as("len_bucket")),
         ks = anonymityKs)
       .createOrReplaceTempView("k_anonymity")
+    Privacy.lDiversityAudit(docs,
+        qi = Seq(col("lang"), floor(col("n_chars") / lit(100)).as("len_bucket")),
+        sensitive = col("source"), ls = Seq(5L, 10L, 15L))
+      .createOrReplaceTempView("l_diversity")
+    Privacy.tClosenessAudit(docs,
+        qi = Seq(col("lang"), floor(col("n_chars") / lit(100)).as("len_bucket")),
+        sensitive = col("source"),
+        thresholdsPpm = Seq(300000L, 500000L, 700000L))
+      .createOrReplaceTempView("t_closeness")
     Stats.orderStatsPermille(Tables.events(spark, sfDir), col("event_type"),
         (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 3))
           * lit(1000)).cast("long"),

@@ -362,6 +362,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q143: blob assembly + mapPartitions probe are narrow; the only
     // exchange is the output sort.
     "q143_media_probe" -> 1,
+    // q144: (QI,s)-pair agg + QI class agg + the one-row conditional-sum
+    // aggregate's single-partition exchange (q140's shape with one extra
+    // pair-sized hop for the exact distinct count).
+    "q144_l_diversity" -> 3,
+    // q145: pair agg (reused by the broadcast global-counts branch), the
+    // sensitive-domain agg + its one-row total, the QI window (whose hash
+    // partitioning the class agg then rides exchange-free), and the
+    // one-row threshold aggregate — everything past the first aggregate
+    // is pair-sized, the per-threshold report explodes from one row.
+    "q145_t_closeness" -> 8,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

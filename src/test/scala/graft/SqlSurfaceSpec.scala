@@ -144,6 +144,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql === viaApi)
   }
 
+  test("l-diversity and t-closeness in pure SQL: the q144/q145 audits as views") {
+    val ld = sql.sql(
+      """SELECT l, classes_below_l, rows_below_ppm
+        |FROM l_diversity ORDER BY l""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val ldApi = graft.operators.Privacy.lDiversityAudit(
+        Tables.documents(sql, sfDir),
+        qi = Seq(col("lang"), floor(col("n_chars") / lit(100)).as("len_bucket")),
+        sensitive = col("source"), ls = Seq(5L, 10L, 15L))
+      .select(col("l"), col("classes_below_l"), col("rows_below_ppm"))
+      .orderBy(col("l")).collect().map(_.toSeq).toSeq
+    assert(ld.nonEmpty && ld === ldApi)
+    val tc = sql.sql(
+      """SELECT t_ppm, max_tvd_ppm, classes_above_t
+        |FROM t_closeness ORDER BY t_ppm""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val tcApi = graft.operators.Privacy.tClosenessAudit(
+        Tables.documents(sql, sfDir),
+        qi = Seq(col("lang"), floor(col("n_chars") / lit(100)).as("len_bucket")),
+        sensitive = col("source"),
+        thresholdsPpm = Seq(300000L, 500000L, 700000L))
+      .select(col("t_ppm"), col("max_tvd_ppm"), col("classes_above_t"))
+      .orderBy(col("t_ppm")).collect().map(_.toSeq).toSeq
+    assert(tc.nonEmpty && tc === tcApi)
+  }
+
   test("exact percentiles in pure SQL: event_value_permilles view") {
     val viaSql = sql.sql(
       """SELECT event_type, n, p500_x1000, p900_x1000, p990_x1000

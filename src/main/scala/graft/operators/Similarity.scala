@@ -376,4 +376,87 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
+
+  /** Embedding-space label-noise triage: for each label, the vectors
+    * farthest from their OWN label's centroid, ranked by the exact ratio
+    * of their squared distance to the label's mean squared distance
+    * (ppm). A vector sitting several× farther out than its label-mates
+    * is the classic mislabeling signature (Northcutt et al.'s confident-
+    * learning intuition applied geometrically) — the audit a labeled
+    * embedding set runs before the labels train anything.
+    *
+    * Exact integer arithmetic end to end: components quantize to e4-unit
+    * BIGINT once, and the squared distance to the (rational!) centroid
+    * s/n is carried cross-multiplied as d2n2 = n²·‖x‖² − 2n·(x·s) + ‖s‖²
+    * = n²·‖x − s/n‖² — never a float division. The reported ratio
+    * divides out the shared n² factor exactly:
+    * ratio_ppm = d2n2·n·10⁶ div Σ d2n2. Products ride DECIMAL(38,0)
+    * (n²·‖x‖² passes 2⁶³ once a label holds ~200k e4-quantized vectors).
+    *
+    * Scale shape: one posexplode pass (n·dim rows, map-side combined)
+    * → a (label, dim)-keyed sum aggregate (|labels|·dim rows, broadcast
+    * back) → one vec_id-keyed aggregate for per-vector sufficient stats
+    * → label-sized broadcasts for totals → per-label top-k window over
+    * frames already reduced to one row per vector. Nothing pairwise,
+    * nothing densified, no global sort.
+    */
+  def labelOutlierAudit(embeddings: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, topK: Int,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = embeddings
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(asDoubles(col(vecCol))).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        floor(col("x") * lit(10000.0) + lit(0.5)).cast("long").as("q"))
+    // Cached, not recomputed: three branches (the per-vector join's
+    // broadcast, s2, n) consume this frame with DIFFERENT pruned
+    // columns, so their subtrees canonicalize differently and
+    // ReuseExchange never fires — uncached, each branch re-scanned the
+    // corpus (4 scans measured). The frame is |labels|·dim rows — cache
+    // cost is nil at any scale.
+    val sums = scope.cached(e.groupBy(col("label"), col("i"))
+      .agg(sum(col("q")).as("sv"), count(lit(1)).as("cnt")))
+    val s2 = sums.groupBy(col("label"))
+      .agg(sum(col("sv").cast(dec) * col("sv")).as("s2"))
+    // n rides the component aggregate (every component appears once per
+    // vector, so any single i's count IS the label's vector count) — no
+    // separate scan of the input.
+    val n = sums.filter(col("i") === 0)
+      .select(col("label"), col("cnt").as("n"))
+    val perVec = e.join(broadcast(sums), Seq("label", "i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("q").cast(dec) * col("q")).as("xx"),
+        sum(col("q").cast(dec) * col("sv")).as("xsv"))
+    val d2 = perVec
+      .join(broadcast(n), "label").join(broadcast(s2), "label")
+      .select(col("vec_id"), col("label"), col("n"),
+        (col("n").cast(dec) * col("n") * col("xx")
+          - lit(2).cast(dec) * col("n") * col("xsv")
+          + col("s2")).as("d2n2"))
+    // The label total rides a whole-partition window instead of a
+    // separate aggregate + join-back: a tot-frame join would duplicate
+    // the ENTIRE d2 subtree in the plan (the q79/q89 lesson — measured
+    // here as 8 static scans before the rewrite), while the window
+    // shares its label hash partitioning with the rank window below —
+    // one exchange serves both.
+    val ranked = d2
+      .withColumn("sum_d2",
+        sum(col("d2n2")).over(Window.partitionBy(col("label"))))
+      // exact integral quotient (IntegralDivide) — `/` on decimals can
+      // round the last digit and break the integer hash contract. A
+      // degenerate all-identical label (sum_d2 = 0) reports null ratios
+      // rather than dividing by zero.
+      .withColumn("ratio_ppm",
+        when(col("sum_d2") > 0,
+          expr("CAST((d2n2 * n * 1000000) div sum_d2 AS BIGINT)")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("ratio_ppm").desc_nulls_last, col("vec_id"))))
+      .filter(col("rank") <= topK)
+    ranked.select(col("label"), col("n"), col("rank"), col("vec_id"),
+        col("ratio_ppm"))
+      .orderBy(col("label"), col("rank"))
+  }
 }

@@ -297,6 +297,48 @@ object SimilarityQueries {
           .orderBy(col("rank")),
       Some(kCenterOracle(k = 8)),
     ),
+
+    // ----------------------------------------------------------------
+    // Embedding-space label-noise triage: per label, the top-3 vectors
+    // by exact ratio of their squared centroid distance to the label
+    // mean (ppm) — the geometric mislabeling signature. The centroid
+    // s/n is rational, so the distance is carried cross-multiplied
+    // (d2n2 = n²·‖x‖² − 2n·x·s + ‖s‖²) and the shared n² factor divides
+    // out of the reported ratio EXACTLY — e4 quantization at ingest is
+    // the only rounding anywhere, and the oracle replays it.
+    QueryDef(
+      "q146_label_outliers",
+      (spark, dir) =>
+        Similarity.labelOutlierAudit(Tables.embeddings(spark, dir),
+          idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+          topK = 3),
+      Some("""WITH p AS (SELECT vec_id, label,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |      x -> CAST(FLOOR(x * 10000.0 + 0.5) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |u AS (SELECT vec_id, label, unnest(q) AS v,
+             |    generate_subscripts(q, 1) AS i FROM p),
+             |s AS (SELECT label, i, CAST(SUM(v) AS HUGEINT) AS sv FROM u GROUP BY 1, 2),
+             |s2 AS (SELECT label, SUM(sv * sv) AS s2 FROM s GROUP BY label),
+             |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY label),
+             |pv AS (SELECT vec_id, u.label,
+             |    SUM(CAST(v AS HUGEINT) * v) AS xx,
+             |    SUM(CAST(v AS HUGEINT) * sv) AS xsv
+             |  FROM u JOIN s USING (label, i) GROUP BY 1, 2),
+             |d AS (SELECT vec_id, pv.label, n.n,
+             |    CAST(n AS HUGEINT) * n * xx - 2 * CAST(n AS HUGEINT) * xsv + s2.s2 AS d2n2
+             |  FROM pv JOIN n USING (label) JOIN s2 USING (label)),
+             |t AS (SELECT label, SUM(d2n2) AS sum_d2 FROM d GROUP BY label),
+             |r AS (SELECT d.label, d.n, vec_id,
+             |    CASE WHEN sum_d2 > 0
+             |      THEN CAST((d2n2 * n * 1000000) // sum_d2 AS BIGINT) END AS ratio_ppm
+             |  FROM d JOIN t USING (label)),
+             |rk AS (SELECT label, n, vec_id, ratio_ppm,
+             |    ROW_NUMBER() OVER (PARTITION BY label
+             |      ORDER BY ratio_ppm DESC NULLS LAST, vec_id) AS rank FROM r)
+             |SELECT label, n, rank, vec_id, ratio_ppm FROM rk
+             |WHERE rank <= 3 ORDER BY label, rank""".stripMargin),
+    ),
   )
 
   /** Iterative k-center oracle: m<i> carries each point's running

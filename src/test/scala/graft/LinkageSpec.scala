@@ -112,4 +112,40 @@ class LinkageSpec extends AnyFunSuite {
     assert(cells === Set((0L, 0L, true), (1L, 0L, false),
       (100L, 100L, true), (101L, 100L, false)))
   }
+
+  test("labelOutlierAudit: cross-multiplied centroid distances match by hand") {
+    // Label A: (1,0), (1,0), (0,1) → quantized (10000,0)×2, (0,10000);
+    // s=(20000,10000), ‖s‖²=5·10⁸, n=3. d2n2 = n²‖x‖² − 2n·x·s + ‖s‖²:
+    // the two (1,0)s get 9·10⁸ − 1.2·10⁹ + 5·10⁸ = 2·10⁸, the (0,1)
+    // gets 9·10⁸ − 6·10⁸ + 5·10⁸ = 8·10⁸. Σ = 1.2·10⁹, so ratios are
+    // 8·10⁸·3·10⁶ div 1.2·10⁹ = 2,000,000 and 500,000 exactly.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),
+      (2L, Seq(1.0f, 0.0f), "A"),
+      (3L, Seq(0.0f, 1.0f), "A"),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutlierAudit(df, "vec_id", "embedding",
+        "label", topK = 3)
+      .select(col("n"), col("rank"), col("vec_id"), col("ratio_ppm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out === Seq((3L, 1, 3L, 2000000L), (3L, 2, 1L, 500000L),
+      (3L, 3, 2L, 500000L)))
+  }
+
+  test("labelOutlierAudit: labels are independent and degenerate labels yield null ratios") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"), (2L, Seq(0.0f, 1.0f), "A"),
+      (3L, Seq(5.0f, 5.0f), "B"), (4L, Seq(5.0f, 5.0f), "B"),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutlierAudit(df, "vec_id", "embedding",
+        "label", topK = 1)
+      .select(col("label"), col("vec_id"), col("ratio_ppm"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // A's two symmetric vectors tie at exactly the mean (10⁶ ppm), min-id
+    // wins rank 1; B's identical vectors have zero total distance → null
+    // ratio (never a division by zero).
+    assert(out === Seq(("A", 1L, 1000000L), ("B", 3L, -1L)))
+  }
 }

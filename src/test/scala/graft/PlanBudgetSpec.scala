@@ -366,6 +366,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // aggregate's single-partition exchange (q140's shape with one extra
     // pair-sized hop for the exact distinct count).
     "q144_l_diversity" -> 3,
+    // q146: exploded component agg (cached — three consumers with
+    // different pruned columns would otherwise each re-scan the corpus),
+    // per-vector agg, the shared label window exchange (ratio total +
+    // rank ride ONE partitioning), output sort.
+    "q146_label_outliers" -> 4,
     // q145: pair agg (reused by the broadcast global-counts branch), the
     // sensitive-domain agg + its one-row total, the QI window (whose hash
     // partitioning the class agg then rides exchange-free), and the

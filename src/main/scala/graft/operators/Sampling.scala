@@ -225,4 +225,73 @@ object Sampling {
       .filter(col("sample_rank") <= kPerGroup)
       .drop("sample_rank")
   }
+
+  /** Token-budget mixture allocation by exact water-filling: given one
+    * row per source with available tokens and a mixture weight, allocate
+    * a global token budget proportionally to weight, EXCEPT that no
+    * source may exceed its repeat cap (availability × epochsMilli/1000 —
+    * the data-constrained-scaling discipline of Muennighoff et al. 2023:
+    * past a few epochs, repeated tokens stop buying loss). Freed budget
+    * from capped sources redistributes to the rest at a common water
+    * level. This is the planning step BEFORE [[mixtureSample]] /
+    * [[repeatFactorOversample]] draw rows: those enforce a mix, this
+    * derives the mix the budget can actually fund.
+    *
+    * Exact integer arithmetic end to end, so the allocation itself can
+    * sit under a replay oracle: sources sort ascending by the integral
+    * cap/weight key (cap·10¹² div weight, source tie-break); under that
+    * order the saturated set is a prefix, so each row's "capped" test is
+    * ONE cross-multiplied comparison (cap·rw ≤ r·w, DECIMAL(38,0) —
+    * never a float water level) against prefix-sum remainders, and every
+    * uncapped source allocates r*·w div rw* from the first uncapped
+    * row's remainders. All rows ride ONE bounded single-partition window
+    * (|sources| rows — the q27 recall-gate posture), one pass, no
+    * iteration, no driver state.
+    */
+  def tokenBudgetWaterfill(sources: DataFrame, sourceCol: String,
+      availCol: String, weightCol: String,
+      budgetMilli: Long, epochsMilli: Long): DataFrame = {
+    require(budgetMilli >= 0, s"budgetMilli must be >= 0, got $budgetMilli")
+    require(epochsMilli >= 1, s"epochsMilli must be >= 1, got $epochsMilli")
+    val s = sources.select(col(sourceCol).as("source"),
+      col(availCol).cast("long").as("avail"),
+      col(weightCol).cast("long").as("w"))
+    val tot = s.agg(sum(col("avail")).as("ta"), sum(col("w")).as("tw"))
+    val base = s.crossJoin(broadcast(tot))
+      .withColumn("cap", expr(s"(avail * ${epochsMilli}L) div 1000"))
+      .withColumn("b", expr(s"(ta * ${budgetMilli}L) div 1000"))
+      .withColumn("key",
+        expr("(CAST(cap AS DECIMAL(38,0)) * 1000000000000) div w"))
+    val ord = Window.orderBy(col("key"), col("source"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val whole = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    base
+      .withColumn("r", col("b") - coalesce(sum(col("cap")).over(prev), lit(0L)))
+      .withColumn("rw", col("tw") - coalesce(sum(col("w")).over(prev), lit(0L)))
+      .withColumn("flag",
+        expr("CAST(cap AS DECIMAL(38,0)) * rw <= CAST(r AS DECIMAL(38,0)) * w"))
+      // prefix_ok: every source BEFORE this one saturated — the water
+      // level is read off the first row breaking the chain, and rows
+      // after it (flag values there are against stale remainders) are
+      // uncapped by the prefix property.
+      .withColumn("prefix_ok",
+        coalesce(min(when(col("flag"), 1).otherwise(0)).over(prev), lit(1)) === 1)
+      .withColumn("capped", col("flag") && col("prefix_ok"))
+      .withColumn("rs",
+        max(when(!col("flag") && col("prefix_ok"), col("r"))).over(whole))
+      .withColumn("rws",
+        max(when(!col("flag") && col("prefix_ok"), col("rw"))).over(whole))
+      .withColumn("allocated", when(col("capped"), col("cap")).otherwise(
+        expr("CAST((CAST(rs AS DECIMAL(38,0)) * w) div rws AS BIGINT)")))
+      .withColumn("share_ppm", when(col("b") > 0,
+        expr("CAST((CAST(allocated AS DECIMAL(38,0)) * 1000000) div b AS BIGINT)")))
+      .withColumn("epochs_milli_used", when(col("avail") > 0,
+        expr("CAST((CAST(allocated AS DECIMAL(38,0)) * 1000) div avail AS BIGINT)")))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("w").as("weight"), col("cap").as("cap_tokens"),
+        col("allocated").as("allocated_tokens"), col("capped"),
+        col("share_ppm"), col("epochs_milli_used"))
+      .orderBy(col("source"))
+  }
 }

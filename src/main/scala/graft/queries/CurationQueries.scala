@@ -255,6 +255,64 @@ object CurationQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Token-budget MIXTURE planning by exact water-filling (Muennighoff
+    // et al.'s data-constrained discipline): allocate half the corpus's
+    // tokens across sources proportional to lexical diversity (distinct
+    // tokens), but no source past 0.55 epochs of its own supply — freed
+    // budget redistributes at a common water level. The whole allocation
+    // is integer arithmetic under a replay oracle: sort by the integral
+    // cap/weight key, prefix-sum remainders, one cross-multiplied
+    // saturation test per source, uncapped shares from the first
+    // uncapped row's remainders. This derives the mix that q77/q84/q99
+    // then enforce row-wise. Token/weight stats are one corpus aggregate
+    // + one pair-sized aggregate; the waterfill rides a bounded
+    // |sources|-row window.
+    QueryDef(
+      "q147_mixture_waterfill",
+      (spark, dir) => {
+        val pairs = Tables.documents(spark, dir)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        val s = pairs.groupBy(col("source"))
+          .agg(sum(col("c")).as("avail"), count(lit(1)).as("w"))
+        Sampling.tokenBudgetWaterfill(s, "source", "avail", "w",
+          budgetMilli = 500, epochsMilli = 550)
+      },
+      Some("""WITH toks AS (SELECT source,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+             |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS avail,
+             |    CAST(COUNT(DISTINCT tok) AS BIGINT) AS w FROM toks GROUP BY source),
+             |tot AS (SELECT SUM(avail) AS ta, SUM(w) AS tw FROM s),
+             |base AS (SELECT source, avail, w, (avail * 550) // 1000 AS cap,
+             |    (SELECT (ta * 500) // 1000 FROM tot) AS b,
+             |    (SELECT tw FROM tot) AS tw2 FROM s),
+             |o AS (SELECT *, (CAST(cap AS HUGEINT) * 1000000000000) // w AS key FROM base),
+             |c AS (SELECT *,
+             |    b - COALESCE(SUM(cap) OVER (ORDER BY key, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r,
+             |    tw2 - COALESCE(SUM(w) OVER (ORDER BY key, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rw FROM o),
+             |f AS (SELECT *, (CAST(cap AS HUGEINT) * rw <= CAST(r AS HUGEINT) * w) AS flag FROM c),
+             |g AS (SELECT *, COALESCE(MIN(CASE WHEN flag THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY key, source
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1) = 1 AS prefix_ok FROM f),
+             |h AS (SELECT *, (flag AND prefix_ok) AS capped,
+             |    ((NOT flag) AND prefix_ok) AS fu FROM g),
+             |lvl AS (SELECT MAX(CASE WHEN fu THEN r END) AS rs,
+             |    MAX(CASE WHEN fu THEN rw END) AS rws FROM h),
+             |a AS (SELECT source, avail, w, cap, capped, b,
+             |    CASE WHEN capped THEN cap
+             |      ELSE CAST((CAST((SELECT rs FROM lvl) AS HUGEINT) * w)
+             |        // (SELECT rws FROM lvl) AS BIGINT) END AS allocated FROM h)
+             |SELECT source, avail AS avail_tokens, w AS weight, cap AS cap_tokens,
+             |  allocated AS allocated_tokens, capped,
+             |  CASE WHEN b > 0 THEN CAST((CAST(allocated AS HUGEINT) * 1000000) // b AS BIGINT) END AS share_ppm,
+             |  CASE WHEN avail > 0 THEN CAST((CAST(allocated AS HUGEINT) * 1000) // avail AS BIGINT) END AS epochs_milli_used
+             |FROM a ORDER BY source""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Token-budget corpus selection: rank by an integer-quantized quality
     // score (alphabetic-character density · 1e6, integral division — no
     // float ordering), walk in (score desc, doc_id) order, keep documents

@@ -414,4 +414,45 @@ class CurationSpec extends AnyFunSuite {
     // rare_one: tf=2, df=1 → 2·(ln(4/2)+1)≈3.39; common: tf=1, df=3 → 1.0
     assert(out.getString(2) === "rare_one")
   }
+
+  private def waterfill(rows: Seq[(String, Long, Long)], bm: Long, em: Long) =
+    Sampling.tokenBudgetWaterfill(
+        rows.toDF("source", "avail", "w"), "source", "avail", "w",
+        budgetMilli = bm, epochsMilli = em)
+      .select(col("source"), col("allocated_tokens"), col("capped"),
+        col("share_ppm"), col("epochs_milli_used"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
+  test("tokenBudgetWaterfill: capped prefix saturates, rest absorbs at the water level") {
+    // A(100,w1) B(100,w1) C(1000,w2), budget 25% of 1200 = 300, caps at
+    // 0.5 epochs: A=B=50 (capped — 50·remaining_w ≤ remaining·1), C
+    // uncapped takes the entire remaining 200. Exact by hand.
+    val out = waterfill(Seq(("A", 100L, 1L), ("B", 100L, 1L), ("C", 1000L, 2L)),
+      bm = 250, em = 500)
+    assert(out === Seq(
+      ("A", 50L, true, 166666L, 500L),
+      ("B", 50L, true, 166666L, 500L),
+      ("C", 200L, false, 666666L, 200L)))
+  }
+
+  test("tokenBudgetWaterfill: high-weight source saturates first, freed budget flows on") {
+    // A(100,w10) caps at its full availability despite the 10× weight;
+    // B(1000,w1) absorbs the remaining 450 of b=550.
+    val out = waterfill(Seq(("A", 100L, 10L), ("B", 1000L, 1L)),
+      bm = 500, em = 1000)
+    assert(out === Seq(
+      ("A", 100L, true, 181818L, 1000L),
+      ("B", 450L, false, 818181L, 450L)))
+  }
+
+  test("tokenBudgetWaterfill: budget beyond all caps leaves the surplus unallocated") {
+    val out = waterfill(Seq(("A", 100L, 10L), ("B", 1000L, 1L)),
+      bm = 1000, em = 500)
+    // b = 1100 but caps total 550 — every source capped, nothing invents
+    // tokens past its repeat cap.
+    assert(out === Seq(
+      ("A", 50L, true, 45454L, 500L),
+      ("B", 500L, true, 454545L, 500L)))
+  }
 }

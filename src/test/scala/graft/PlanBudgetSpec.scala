@@ -371,6 +371,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // per-vector agg, the shared label window exchange (ratio total +
     // rank ride ONE partitioning), output sort.
     "q146_label_outliers" -> 4,
+    // q147: (source, token) pair agg + |sources| agg + the one-row
+    // totals agg's single-partition exchange + the bounded |sources|-row
+    // waterfill window + output sort. Data-sized work is the first
+    // aggregate only.
+    "q147_mixture_waterfill" -> 6,
     // q145: pair agg (reused by the broadcast global-counts branch), the
     // sensitive-domain agg + its one-row total, the QI window (whose hash
     // partitioning the class agg then rides exchange-free), and the

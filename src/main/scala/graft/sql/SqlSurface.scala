@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Blocking, Dedup, Privacy, Stats, TextAnalysis}
+import graft.operators.{Blocking, Dedup, Privacy, Sampling, Similarity, Stats, TextAnalysis}
 
 /** The engine's capabilities as a SQL surface.
   *
@@ -75,6 +75,12 @@ object SqlSurface {
     *    blocking pair-completeness (q138's operator, over `part` names).
     *  - `k_anonymity`    — per-k QI equivalence classes/rows below k
     *    (q140's operator, over document (source, lang, length-bucket)).
+    *  - `l_diversity` / `t_closeness` — the homogeneity and skew
+    *    follow-up audits (q144/q145's operators).
+    *  - `label_outliers` — per-label embedding centroid-distance
+    *    outlier ranking (q146's operator).
+    *  - `mixture_waterfill` — token-budget mixture allocation across
+    *    sources (q147's operator).
     *  - `event_value_permilles` — exact integer-interpolated p50/p90/p99
     *    of event values per type, micro-units (the orderStatsPermille
     *    primitive behind every exact-percentile query).
@@ -111,6 +117,18 @@ object SqlSurface {
         sensitive = col("source"),
         thresholdsPpm = Seq(300000L, 500000L, 700000L))
       .createOrReplaceTempView("t_closeness")
+    Similarity.labelOutlierAudit(Tables.embeddings(spark, sfDir),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", topK = 3)
+      .createOrReplaceTempView("label_outliers")
+    val tokPairs = docs
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    Sampling.tokenBudgetWaterfill(
+        tokPairs.groupBy(col("source"))
+          .agg(sum(col("c")).as("avail"), count(lit(1)).as("w")),
+        "source", "avail", "w", budgetMilli = 500, epochsMilli = 550)
+      .createOrReplaceTempView("mixture_waterfill")
     Stats.orderStatsPermille(Tables.events(spark, sfDir), col("event_type"),
         (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 3))
           * lit(1000)).cast("long"),

@@ -170,6 +170,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(tc.nonEmpty && tc === tcApi)
   }
 
+  test("label outliers and mixture waterfill in pure SQL: q146/q147 as views") {
+    val lo = sql.sql(
+      """SELECT label, rank, vec_id, ratio_ppm
+        |FROM label_outliers WHERE rank = 1 ORDER BY label""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val loApi = graft.operators.Similarity.labelOutlierAudit(
+        Tables.embeddings(sql, sfDir), "vec_id", "embedding", "label", topK = 3)
+      .filter(col("rank") === 1)
+      .select(col("label"), col("rank"), col("vec_id"), col("ratio_ppm"))
+      .orderBy(col("label")).collect().map(_.toSeq).toSeq
+    assert(lo.nonEmpty && lo === loApi)
+    val mw = sql.sql(
+      """SELECT source, allocated_tokens, capped
+        |FROM mixture_waterfill ORDER BY source""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(mw.nonEmpty)
+    // The waterfill invariant SQL consumers rely on: allocation never
+    // exceeds the repeat cap, and capped rows sit exactly at it.
+    sql.sql(
+      """SELECT count(*) FROM mixture_waterfill
+        |WHERE allocated_tokens > cap_tokens
+        |   OR (capped AND allocated_tokens <> cap_tokens)""".stripMargin)
+      .collect().map(_.getLong(0)).foreach(n => assert(n === 0L))
+  }
+
   test("exact percentiles in pure SQL: event_value_permilles view") {
     val viaSql = sql.sql(
       """SELECT event_type, n, p500_x1000, p900_x1000, p990_x1000

@@ -118,6 +118,60 @@ object Dedup {
       .filter(coalesce(greatest(col("cont_a"), col("cont_b")) >= threshold, lit(false)))
       .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
 
+  /** Cross-source contamination matrix: near-dup PAIR counts aggregated
+    * to (source, source) cells — the feed-level view the per-pair stream
+    * can't give. q133's vocabulary overlap says two feeds *sound* alike;
+    * this says they *ship the same documents* (mirror detection, scraped
+    * re-posts, a benchmark leaking into a crawl feed). Cells are
+    * canonical (src_a ≤ src_b, within-source on the diagonal) and carry
+    * an exact pair-density: pairs per POSSIBLE pair, ppb integral —
+    * n_a·n_b cross, n·(n−1)/2 within (DECIMAL(38,0) products — doc
+    * counts square past 2⁶³ at corpus scale).
+    *
+    * The threshold is integer milli-Jaccard cross-multiplied against the
+    * shared/union counts (shared·1000 ≥ union·t), so no float exists
+    * anywhere — the matrix is exact-integer end to end. Shape: the
+    * inverted-index pair stream (work ∝ gram instances, never doc×doc),
+    * two doc_id-keyed joins to attach sources, one |sources|²-bounded
+    * aggregate, broadcast per-source counts.
+    */
+  def crossSourceContamination(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, n: Int, thresholdMilli: Long,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(thresholdMilli >= 1 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in [1, 1000], got $thresholdMilli")
+    val pairs = cooccurrenceCounts(df, idCol, textCol, lit(1), n, scope)
+      .filter(col("shared") * 1000 >=
+        (col("sz_a") + col("sz_b") - col("shared")) * thresholdMilli)
+      .select(col("id_a"), col("id_b"))
+    val src = df.select(col(idCol).as("doc_id"), col(sourceCol).as("src"))
+    val cells = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("src").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("src").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val counts = df.groupBy(col(sourceCol).as("src"))
+      .agg(count(lit(1)).as("nd"))
+    cells
+      .join(broadcast(counts.select(col("src").as("src_a"), col("nd").as("n_docs_a"))), "src_a")
+      .join(broadcast(counts.select(col("src").as("src_b"), col("nd").as("n_docs_b"))), "src_b")
+      .withColumn("possible_pairs",
+        when(col("src_a") === col("src_b"),
+          expr("CAST(n_docs_a AS DECIMAL(38,0)) * (n_docs_a - 1) div 2"))
+          .otherwise(expr("CAST(n_docs_a AS DECIMAL(38,0)) * n_docs_b")))
+      .withColumn("density_ppb", when(col("possible_pairs") > 0,
+        expr("CAST((CAST(n_pairs AS DECIMAL(38,0)) * 1000000000) div possible_pairs AS BIGINT)")))
+      // possible_pairs stays internal: as a DECIMAL it would widen the
+      // output off the hash discipline, and as a BIGINT it overflows
+      // exactly when doc counts square past 2⁶³ — density + doc counts
+      // carry the same information safely.
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"), col("density_ppb"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ---------------------------------------------- exact substring dedup
 
   /** Exact duplicated-substring statistics — the suffix-array dedup family

@@ -418,6 +418,50 @@ object DedupQueries {
               |) aud WHERE recall_ppm >= 800000
               |ORDER BY n_candidates, bands LIMIT 1""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Cross-source contamination matrix: q22's near-dup pair stream
+    // aggregated to (source, source) cells — mirror/re-post detection at
+    // the feed level, where q133's vocabulary overlap only says two
+    // feeds *sound* alike. The Jaccard threshold is cross-multiplied
+    // integer milli-units (shared·1000 ≥ union·500), densities are exact
+    // ppb integral divisions over possible pairs — no float anywhere.
+    // The oracle replays the shingle/intersection pair stream doc×doc
+    // (oracle-side only; the engine runs the inverted index) and the
+    // same canonical-cell aggregation.
+    QueryDef(
+      "q148_contamination_matrix",
+      (spark, dir) =>
+        Dedup.crossSourceContamination(
+          QueryDef.spreadIfNarrow(Tables.documents(spark, dir)),
+          idCol = "doc_id", textCol = "text", sourceCol = "source",
+          n = 3, thresholdMilli = 500),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+             |    list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s
+             |  FROM toks),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.s, b.s)) * 1000 >=
+             |    len(list_distinct(list_concat(a.s, b.s))) * 500),
+             |cells AS (SELECT LEAST(da.source, db.source) AS src_a,
+             |    GREATEST(da.source, db.source) AS src_b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |  FROM pairs
+             |  JOIN documents da ON pairs.id_a = da.doc_id
+             |  JOIN documents db ON pairs.id_b = db.doc_id
+             |  GROUP BY 1, 2),
+             |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source)
+             |SELECT c.src_a, c.src_b, c.n_pairs,
+             |  na.n AS n_docs_a, nb.n AS n_docs_b,
+             |  CAST((CAST(c.n_pairs AS HUGEINT) * 1000000000) //
+             |    (CASE WHEN c.src_a = c.src_b
+             |       THEN CAST(na.n AS HUGEINT) * (na.n - 1) // 2
+             |       ELSE CAST(na.n AS HUGEINT) * nb.n END) AS BIGINT) AS density_ppb
+             |FROM cells c JOIN nd na ON c.src_a = na.source
+             |JOIN nd nb ON c.src_b = nb.source
+             |ORDER BY c.src_a, c.src_b""".stripMargin),
+    ),
   )
 
   /** Oracle for [[Dedup.lshBandAudit]]: replays the signature (embedding

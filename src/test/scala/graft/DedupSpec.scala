@@ -286,4 +286,22 @@ class DedupSpec extends AnyFunSuite {
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
       "using() must release scope caches on the failure path too")
   }
+
+  test("crossSourceContamination: canonical cells, exact densities, diagonal combinatorics") {
+    // Docs 1, 2, 4 are verbatim copies (pairs 1-2, 1-4, 2-4); doc 3
+    // shares nothing. Sources: X={1,3,4}, Y={2} → cells: (X,X) holds
+    // pair 1-4 over C(3,2)=3 possible; (X,Y) holds 1-2 and 2-4 over
+    // 3·1=3 possible.
+    val docs = Seq(
+      (1L, "a b c d e", "X"), (2L, "a b c d e", "Y"),
+      (3L, "z z z q q w w", "X"), (4L, "a b c d e", "X"),
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceContamination(docs, "doc_id", "text",
+        "source", n = 3, thresholdMilli = 500)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out === Seq(
+      ("X", "X", 1L, 3L, 3L, 333333333L),
+      ("X", "Y", 2L, 3L, 1L, 666666666L)))
+  }
 }

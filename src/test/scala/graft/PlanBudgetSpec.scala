@@ -371,6 +371,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // per-vector agg, the shared label window exchange (ratio total +
     // rank ride ONE partitioning), output sort.
     "q146_label_outliers" -> 4,
+    // q148: the q22 inverted-index pair machinery (postings agg +
+    // candidate join) + the narrow-scan spread + two doc_id source
+    // joins + the |sources|²-bounded cell agg + output sort; per-source
+    // doc counts ride broadcasts.
+    "q148_contamination_matrix" -> 9,
     // q147: (source, token) pair agg + |sources| agg + the one-row
     // totals agg's single-partition exchange + the bounded |sources|-row
     // waterfill window + output sort. Data-sized work is the first

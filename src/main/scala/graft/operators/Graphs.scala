@@ -214,4 +214,62 @@ object Graphs {
       // class; callers divide at display time if they want units).
       .select(col("x"), col("y"), col("common_neighbors"), col("aa_micros"))
   }
+
+  /** Newman modularity (Newman & Girvan 2004, eq. 5) of a NODE PARTITION
+    * over an undirected pair graph, in exact integer arithmetic — "does
+    * this attribute explain where the edges are?". For the near-dup pair
+    * graph partitioned by source this is duplication assortativity:
+    * Q near its maximum means duplication is a within-feed phenomenon
+    * (mirrors, re-posts inside one crawl); Q near 0 means cross-feed
+    * contamination dominates and per-source dedup would miss most of it.
+    *
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ] is reported in parts-per-billion via
+    * the common denominator (2m)²: with m2 = 2m (endpoint count) and
+    * e2_c = 2·e_c, each part's numerator is m2·e2_c − d_c² and
+    * Q_ppb = (Σ_c num_c)·10⁹ / m2². Numerators can be negative, and the
+    * two engines' integer divisions disagree on negative operands
+    * (truncate-toward-zero vs floor), so the division is sign-split:
+    * both engines divide non-negative magnitudes and re-apply the sign.
+    *
+    * Scale: two id-keyed attribute joins onto the edge stream, one
+    * |parts|-sized endpoint aggregation, one one-row totals aggregate
+    * broadcast back. DECIMAL(38,0) intermediates hold to ~5·10¹¹ edges.
+    * Partition-less nodes drop out of the graph (inner joins); parts
+    * with no edge endpoints don't appear (their contribution is 0).
+    *
+    * `attrs` must have columns (id, part). Output, one row per part:
+    * part, degree_sum (d_c), intra_pairs (e_c), contrib_ppb, plus the
+    * whole-graph constants n_edges (m) and modularity_ppb.
+    */
+  def partitionModularity(pairs: DataFrame, attrs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val labeled = e
+      .join(attrs.select(col("id").as("u"), col("part").as("pa")), Seq("u"))
+      .join(attrs.select(col("id").as("v"), col("part").as("pb")), Seq("v"))
+    val ends = labeled
+      .select(col("pa").as("part"), (col("pa") === col("pb")).as("intra"))
+      .unionAll(labeled
+        .select(col("pb").as("part"), (col("pa") === col("pb")).as("intra")))
+    val parts = ends.groupBy(col("part")).agg(
+      count(lit(1)).as("degree_sum"),
+      sum(when(col("intra"), 1L).otherwise(0L)).as("e2"))
+    val tot = parts.agg(
+      sum(col("degree_sum")).as("m2"),
+      sum(col("e2")).as("se2"),
+      sum(expr("cast(degree_sum as decimal(38,0)) * degree_sum")).as("sd2"))
+    // Sign-split exact ppb division: num/den are DECIMAL(38,0) exprs.
+    def ppb(num: String, den: String) =
+      when(expr(num) >= 0,
+        expr(s"cast((($num) * 1000000000) div ($den) as bigint)"))
+        .otherwise(-expr(s"cast(((-($num)) * 1000000000) div ($den) as bigint)"))
+    parts.crossJoin(broadcast(tot))
+      .select(col("part"), col("degree_sum"),
+        expr("e2 div 2").as("intra_pairs"),
+        ppb("cast(m2 as decimal(38,0)) * e2 - cast(degree_sum as decimal(38,0)) * degree_sum",
+          "cast(m2 as decimal(38,0)) * m2").as("contrib_ppb"),
+        expr("m2 div 2").as("n_edges"),
+        ppb("cast(m2 as decimal(38,0)) * se2 - sd2",
+          "cast(m2 as decimal(38,0)) * m2").as("modularity_ppb"))
+      .orderBy(col("part"))
+  }
 }

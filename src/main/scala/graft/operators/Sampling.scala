@@ -294,4 +294,60 @@ object Sampling {
         col("share_ppm"), col("epochs_milli_used"))
       .orderBy(col("source"))
   }
+
+  /** Leakage-free train/val/test split audit: assign every document the
+    * split of its duplicate-CLUSTER root (so near-duplicate documents can
+    * never straddle train and eval — the classic contamination channel a
+    * per-document hash split leaves wide open, Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better", §5),
+    * and measure the difference. `clusters` is
+    * [[Dedup.duplicateClusters]]' output (id, cluster_root, is_survivor);
+    * `pairs` is the near-dup pair relation (id_a, id_b) the clusters
+    * were built from.
+    *
+    * Output, one row per split: n_docs, n_clusters, n_survivors, plus
+    * two whole-corpus constants that ARE the audit:
+    *  - leak_pairs_cluster — near-dup pairs straddling two splits under
+    *    the cluster-aware assignment. Structurally 0 (a pair's endpoints
+    *    share a connected component, hence a root, hence a split);
+    *    emitting it puts the guarantee itself under the driver hash.
+    *  - leak_pairs_naive — the same count under the per-document hash
+    *    split ([[trainValTestSplit]]): the contamination a naive split
+    *    WOULD have shipped.
+    *
+    * Scale: split assignment is a pure column over the doc-sized cluster
+    * frame; the leak probe is two id-keyed equi-joins of the pair stream
+    * against that frame, then one global one-row aggregate broadcast
+    * back onto the 3-row per-split frame. Nothing is quadratic; no
+    * driver state beyond what duplicateClusters already bounds.
+    */
+  def clusterSplitAudit(clusters: DataFrame, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    def splitOf(b: Column) =
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test")
+    val assigned = clusters.select(col("id"), col("cluster_root"),
+      col("is_survivor"),
+      splitOf(idBucket(col("cluster_root"), 100)).as("split"),
+      splitOf(idBucket(col("id"), 100)).as("naive_split"))
+    val perSplit = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_root")).as("n_clusters"),
+        sum(when(col("is_survivor"), 1L).otherwise(0L)).as("n_survivors"))
+    val ends = pairs.select(col("id_a"), col("id_b"))
+      .join(assigned.select(col("id").as("id_a"),
+        col("split").as("split_a"), col("naive_split").as("naive_a")),
+        Seq("id_a"))
+      .join(assigned.select(col("id").as("id_b"),
+        col("split").as("split_b"), col("naive_split").as("naive_b")),
+        Seq("id_b"))
+    val leaks = ends.agg(
+      coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+        .otherwise(0L)), lit(0L)).as("leak_pairs_cluster"),
+      coalesce(sum(when(col("naive_a") =!= col("naive_b"), 1L)
+        .otherwise(0L)), lit(0L)).as("leak_pairs_naive"))
+    perSplit.crossJoin(broadcast(leaks)).orderBy(col("split"))
+  }
 }

@@ -345,4 +345,79 @@ object TextAnalysis {
         expr("(cast(shared as decimal(38,0)) * 1000000) div " +
           "cast(sz_a + sz_b - shared as decimal(38,0))").as("jaccard_ppm"))
   }
+
+  /** Out-of-vocabulary audit: token-level OOV rate of a held-out slice
+    * under top-V train vocabularies, for several V in one pass — the
+    * standard "is V big enough" curve read before fixing a tokenizer /
+    * embedding-table budget. The corpus is split train/eval by the
+    * deterministic id-hash bucket ([[Sampling.idBucket]] < trainPct);
+    * the train vocabulary is ranked by (train frequency DESC, token ASC)
+    * and, for each requested size V, the eval tokens whose word ranks
+    * beyond V — or never occurs in train at all — count as OOV.
+    *
+    * Scale: one (token)-keyed aggregation over the exploded corpus
+    * carries train and eval counts together (conditional sums — the
+    * corpus is scanned once, not once per side). The frequency rank is
+    * NEVER a global single-partition sort over the vocabulary: it is the
+    * banded two-phase prefix sum ([[Stats.orderStatsPermille]]'s shape)
+    * with band = (train_n, 2-char token prefix) — row_number inside each
+    * band plus broadcast offsets from the bounded per-band totals frame.
+    * The prefix sub-banding is what keeps the count=1 band (the Zipf
+    * tail, roughly half the vocabulary) from becoming one giant window
+    * partition. Per-V results are conditional sums over the ranked
+    * frame, exploded from ONE aggregate row — V-count-independent
+    * shuffles. All outputs exact BIGINT (ppm by integer division).
+    */
+  def oovAudit(df: DataFrame, idCol: String, textCol: String,
+      vocabSizes: Seq[Int], trainPct: Int = 80,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    require(vocabSizes.nonEmpty && vocabSizes.forall(_ > 0),
+      "vocabSizes must be positive")
+    require(trainPct > 0 && trainPct < 100, "trainPct must be in (0, 100)")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+        (Sampling.idBucket(col(idCol), 100) < trainPct).as("is_train"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    // Three consumers (totals, band-local ranks, band offsets) — cache
+    // the one data-sized aggregation instead of re-scanning per branch.
+    val wc = scope.cached(toks.groupBy(col("tok")).agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("train_n"),
+      sum(when(col("is_train"), 0L).otherwise(1L)).as("eval_n")))
+    val tot = wc.agg(
+      sum(col("train_n")).as("n_train_tokens"),
+      sum(col("eval_n")).as("n_eval_tokens"),
+      sum(when(col("train_n") > 0, 1L).otherwise(0L)).as("n_vocab_words"))
+    val vocab = wc.filter(col("train_n") > 0)
+      .withColumn("pfx", substring(col("tok"), 1, 2))
+    val wLocal = Window.partitionBy(col("train_n"), col("pfx"))
+      .orderBy(col("tok"))
+    val local = vocab.withColumn("rn", row_number().over(wLocal))
+    // Single-partition window over the BOUNDED (train_n × prefix)
+    // band-totals frame only — never over the vocabulary itself.
+    val wBand = Window.orderBy(col("train_n").desc, col("pfx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vocab.groupBy(col("train_n"), col("pfx"))
+      .agg(count(lit(1)).as("t"))
+      .select(col("train_n"), col("pfx"),
+        coalesce(sum(col("t")).over(wBand), lit(0L)).as("off"))
+    val ranked = local.join(broadcast(offsets), Seq("train_n", "pfx"))
+      .select(col("eval_n"), (col("off") + col("rn")).as("rank"))
+    val ivAggs = vocabSizes.map(v =>
+      sum(when(col("rank") <= v, col("eval_n")).otherwise(0L)).as(s"iv_$v"))
+    val inVocab = ranked.agg(ivAggs.head, ivAggs.tail: _*)
+    val perV = vocabSizes.map(v =>
+      struct(lit(v.toLong).as("vocab_size"),
+        coalesce(col(s"iv_$v"), lit(0L)).as("iv")))
+    tot.crossJoin(broadcast(inVocab))
+      .select(col("n_train_tokens"), col("n_eval_tokens"),
+        col("n_vocab_words"), explode(array(perV: _*)).as("r"))
+      .select(col("r.vocab_size").as("vocab_size"),
+        col("n_train_tokens"), col("n_eval_tokens"), col("n_vocab_words"),
+        (col("n_eval_tokens") - col("r.iv")).as("n_oov"),
+        when(col("n_eval_tokens") > 0,
+          expr("((n_eval_tokens - r.iv) * 1000000) div n_eval_tokens"))
+          .as("oov_ppm"))
+      .orderBy(col("vocab_size"))
+  }
 }

@@ -10,10 +10,11 @@ import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
 object CurationQueries {
 
   /** Recursive-CTE transitive closure over the exact 3-gram Jaccard pair
-    * set — the oracle for duplicate clusters.
+    * set — the shared CTE prefix (ending in `p` = the pair set and `cc` =
+    * per-doc cluster roots) for the cluster-family oracles (q36, q149).
     */
-  private val clustersOracle =
-    """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+  private val clustersCte =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
       |  list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s FROM toks),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -24,7 +25,10 @@ object CurationQueries {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-      |cc AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id)
+      |cc AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id)""".stripMargin
+
+  private val clustersOracle =
+    s"""WITH RECURSIVE $clustersCte
       |SELECT id AS doc_id, cluster_root, id = cluster_root AS is_survivor
       |FROM cc ORDER BY doc_id""".stripMargin
 
@@ -864,6 +868,52 @@ object CurationQueries {
              |  CASE WHEN n_predicted > 0 THEN (tp * 1000000) // n_predicted END AS precision_ppm,
              |  CASE WHEN tt.n_truth > 0 THEN (tp * 1000000) // tt.n_truth END AS recall_ppm
              |FROM ag, tt ORDER BY threshold""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Leakage-free split: documents are split train/val/test by their
+    // duplicate-CLUSTER root's hash, never their own — near-duplicates
+    // can then never straddle train and eval (Lee et al. 2022's
+    // contamination channel). The output carries BOTH leak counters
+    // under the driver hash: leak_pairs_cluster (structurally 0 — the
+    // guarantee itself is verified) and leak_pairs_naive (the pairs a
+    // per-document hash split WOULD have leaked across the boundary).
+    // The near-dup pair stream is consumed twice (clustering + the leak
+    // probe), so it is materialized once via localCheckpoint — the
+    // inverted-index pair generation is the data-sized cost and must
+    // not replay per branch.
+    QueryDef(
+      "q149_leakage_split",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.ngramJaccardPairs(
+            QueryDef.spreadIfNarrow(docs), "doc_id", "text", lit(1), 3, 0.5)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        val clusters = Dedup.duplicateClusters(
+          docs.select(col("doc_id")), "doc_id", pairs)
+        Sampling.clusterSplitAudit(clusters, pairs)
+      },
+      Some(s"""WITH RECURSIVE $clustersCte,
+              |bk AS (SELECT id, cluster_root, id = cluster_root AS is_survivor,
+              |    ((cluster_root % 2147483647) * 2654435761) % 2147483647 % 100 AS cb,
+              |    ((id % 2147483647) * 2654435761) % 2147483647 % 100 AS nb
+              |  FROM cc),
+              |spl AS (SELECT id, cluster_root, is_survivor,
+              |    CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END AS split,
+              |    CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'val' ELSE 'test' END AS naive_split
+              |  FROM bk),
+              |lk AS (SELECT
+              |    CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS leak_pairs_cluster,
+              |    CAST(COALESCE(SUM(CASE WHEN sa.naive_split <> sb.naive_split THEN 1 ELSE 0 END), 0) AS BIGINT) AS leak_pairs_naive
+              |  FROM p JOIN spl sa ON p.id_a = sa.id JOIN spl sb ON p.id_b = sb.id)
+              |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(COUNT(DISTINCT cluster_root) AS BIGINT) AS n_clusters,
+              |  CAST(SUM(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+              |  lk.leak_pairs_cluster, lk.leak_pairs_naive
+              |FROM spl, lk
+              |GROUP BY split, lk.leak_pairs_cluster, lk.leak_pairs_naive
+              |ORDER BY split""".stripMargin),
     ),
   )
 }

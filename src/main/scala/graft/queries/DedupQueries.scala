@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Relational, TextAnalysis}
+import graft.operators.{Dedup, Graphs, Relational, TextAnalysis}
 
 /** Deduplication capability queries over the `documents` corpus. The corpus
   * plants ~25 near-duplicate pairs (3-gram Jaccard ≥ 0.9) in an otherwise
@@ -461,6 +461,59 @@ object DedupQueries {
              |FROM cells c JOIN nd na ON c.src_a = na.source
              |JOIN nd nb ON c.src_b = nb.source
              |ORDER BY c.src_a, c.src_b""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Duplication assortativity: Newman modularity of the SOURCE
+    // partition over the near-dup pair graph — the one-number companion
+    // to q148's contamination matrix ("is duplication a within-feed
+    // phenomenon?"). Q_ppb ≈ 10⁹ ⇒ per-source dedup would catch nearly
+    // everything; Q_ppb ≈ 0 ⇒ cross-feed mirrors dominate and dedup
+    // must stay global. Exact integer geometry throughout: the sign-
+    // split ppb division keeps both engines' negative-division
+    // semantics out of the hash. The oracle replays the pair stream
+    // doc×doc (oracle-side only) and the same endpoint aggregation.
+    QueryDef(
+      "q151_dup_modularity",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.ngramJaccardPairs(
+            QueryDef.spreadIfNarrow(docs), "doc_id", "text", lit(1), 3, 0.5)
+          .select(col("id_a"), col("id_b"))
+        Graphs.partitionModularity(pairs,
+            docs.select(col("doc_id").as("id"), col("source").as("part")))
+          .withColumnRenamed("part", "source")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+             |    list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s
+             |  FROM toks),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+             |lab AS (SELECT da.source AS pa, db.source AS pb FROM p
+             |  JOIN documents da ON p.id_a = da.doc_id
+             |  JOIN documents db ON p.id_b = db.doc_id),
+             |ends AS (SELECT pa AS part, pa = pb AS intra FROM lab
+             |  UNION ALL SELECT pb, pa = pb FROM lab),
+             |parts AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS degree_sum,
+             |    CAST(SUM(CASE WHEN intra THEN 1 ELSE 0 END) AS BIGINT) AS e2
+             |  FROM ends GROUP BY part),
+             |tot AS (SELECT CAST(SUM(degree_sum) AS BIGINT) AS m2,
+             |    CAST(SUM(e2) AS HUGEINT) AS se2,
+             |    SUM(CAST(degree_sum AS HUGEINT) * degree_sum) AS sd2 FROM parts),
+             |w AS (SELECT part, degree_sum, e2,
+             |    CAST(m2 AS HUGEINT) * e2 - CAST(degree_sum AS HUGEINT) * degree_sum AS num,
+             |    CAST(m2 AS HUGEINT) * se2 - sd2 AS qnum,
+             |    CAST(m2 AS HUGEINT) * m2 AS den, m2
+             |  FROM parts, tot)
+             |SELECT part AS source, degree_sum, e2 // 2 AS intra_pairs,
+             |  CAST(CASE WHEN num >= 0 THEN (num * 1000000000) // den
+             |    ELSE -(((-num) * 1000000000) // den) END AS BIGINT) AS contrib_ppb,
+             |  m2 // 2 AS n_edges,
+             |  CAST(CASE WHEN qnum >= 0 THEN (qnum * 1000000000) // den
+             |    ELSE -(((-qnum) * 1000000000) // den) END AS BIGINT) AS modularity_ppb
+             |FROM w ORDER BY source""".stripMargin),
     ),
   )
 

@@ -1016,6 +1016,42 @@ object TextQueries {
              |  END AS flesch_milli
              |FROM c ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Out-of-vocabulary curve: eval-slice OOV token rate under top-V
+    // train vocabularies for V ∈ {100, 1k, 10k} in one pass — the
+    // vocabulary-budget read (tokenizer / embedding-table sizing)
+    // q126's BPE trainer and q132's KL check both presuppose. The
+    // frequency rank is the banded two-phase prefix sum with band =
+    // (train_n, 2-char prefix) — never a global sort of the vocabulary;
+    // the oracle replays results with a plain ROW_NUMBER. All-BIGINT.
+    QueryDef(
+      "q150_oov_audit",
+      (spark, dir) =>
+        TextAnalysis.oovAudit(Tables.documents(spark, dir),
+          "doc_id", "text", vocabSizes = Seq(100, 1000, 10000)),
+      Some("""WITH t AS (SELECT ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 80 AS is_train,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+             |tt AS (SELECT * FROM t WHERE len(tok) > 0),
+             |wc AS (SELECT tok, SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS train_n,
+             |    SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS eval_n FROM tt GROUP BY tok),
+             |tot AS (SELECT CAST(SUM(train_n) AS BIGINT) AS n_train_tokens,
+             |    CAST(SUM(eval_n) AS BIGINT) AS n_eval_tokens,
+             |    CAST(SUM(CASE WHEN train_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_words FROM wc),
+             |v AS (SELECT eval_n, ROW_NUMBER() OVER (ORDER BY train_n DESC, tok) AS rank
+             |  FROM wc WHERE train_n > 0),
+             |s(vocab_size) AS (VALUES (100), (1000), (10000)),
+             |iv AS (SELECT s.vocab_size,
+             |    CAST(COALESCE(SUM(CASE WHEN v.rank <= s.vocab_size THEN v.eval_n ELSE 0 END), 0) AS BIGINT) AS iv
+             |  FROM s LEFT JOIN v ON TRUE GROUP BY s.vocab_size)
+             |SELECT CAST(iv.vocab_size AS BIGINT) AS vocab_size,
+             |  tot.n_train_tokens, tot.n_eval_tokens, tot.n_vocab_words,
+             |  tot.n_eval_tokens - iv.iv AS n_oov,
+             |  CASE WHEN tot.n_eval_tokens > 0
+             |    THEN ((tot.n_eval_tokens - iv.iv) * 1000000) // tot.n_eval_tokens
+             |  END AS oov_ppm
+             |FROM iv, tot ORDER BY vocab_size""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

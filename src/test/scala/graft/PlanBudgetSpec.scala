@@ -387,6 +387,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     // one-row threshold aggregate — everything past the first aggregate
     // is pair-sized, the per-threshold report explodes from one row.
     "q145_t_closeness" -> 8,
+    // q149: the q22 pair machinery runs EAGERLY inside localCheckpoint
+    // (not in this audited plan); what remains is the compute-spread
+    // repartition, the per-split agg over the cluster frame, the two
+    // pair⋈assignment joins' exchanges, the one-row leak agg's
+    // single-partition exchange, and the output sort. The cluster frame
+    // is a driver parallelize at test SF (union-find path), so its
+    // branches carry no pre-AQE stats.
+    "q149_leakage_split" -> 8,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -423,9 +431,16 @@ class PlanBudgetSpec extends AnyFunSuite {
                          // corpus signature bands (no broadcast-able
                          // side; collisions are the audited quantity)
     "q141_band_choice",  // q139's plan verbatim under the chooser
-    "q132_kl_divergence" // full-outer train⋈eval vocabulary merge: both
+    "q132_kl_divergence", // full-outer train⋈eval vocabulary merge: both
                          // sides scale with the vocabulary (full outer
                          // cannot broadcast) — the q12/q59 shape
+    "q149_leakage_split" // pair-stream ⋈ split-assignment probes: the
+                         // pair side scales with near-dup density and the
+                         // assignment side with the corpus — keyed merge
+                         // joins are the 100 TB shape, and the
+                         // checkpointed/parallelized sides carry no
+                         // pre-AQE stats (AQE broadcasts small sides at
+                         // runtime)
   )
 
   test("every declared query stays within its audited plan budget") {

@@ -246,13 +246,21 @@ object Graphs {
     val labeled = e
       .join(attrs.select(col("id").as("u"), col("part").as("pa")), Seq("u"))
       .join(attrs.select(col("id").as("v"), col("part").as("pb")), Seq("v"))
-    val ends = labeled
-      .select(col("pa").as("part"), (col("pa") === col("pb")).as("intra"))
-      .unionAll(labeled
-        .select(col("pb").as("part"), (col("pa") === col("pb")).as("intra")))
+    // ONE edge-sized aggregation to the |parts|²-bounded cell frame;
+    // endpoint accounting then explodes from cells, not from the edge
+    // stream (a unionAll there would repeat the whole pair-generation
+    // subtree per side — 2× the data-sized work in the static plan).
+    val cells = labeled.groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+    val ends = cells.select(explode(array(
+        struct(col("pa").as("part"), col("n"),
+          (col("pa") === col("pb")).as("intra")),
+        struct(col("pb").as("part"), col("n"),
+          (col("pa") === col("pb")).as("intra")))).as("s"))
+      .select(col("s.part").as("part"), col("s.n").as("n"),
+        col("s.intra").as("intra"))
     val parts = ends.groupBy(col("part")).agg(
-      count(lit(1)).as("degree_sum"),
-      sum(when(col("intra"), 1L).otherwise(0L)).as("e2"))
+      sum(col("n")).as("degree_sum"),
+      sum(when(col("intra"), col("n")).otherwise(0L)).as("e2"))
     val tot = parts.agg(
       sum(col("degree_sum")).as("m2"),
       sum(col("e2")).as("se2"),

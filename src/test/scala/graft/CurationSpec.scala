@@ -457,27 +457,26 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("clusterSplitAudit: zero cluster leakage by construction, naive leakage measured") {
-    // 1↔2↔3 one cluster, 4-5 another, 6..9 singletons: ids chosen so the
-    // naive per-id hash split provably separates at least one pair's
-    // endpoints while the cluster split cannot.
-    val ids = (1L to 9L).toDF("doc_id")
-    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    // idBucket: 15→69 (train), 16→83 (val), 1→14, 2→28 (train). The
+    // near-dup pair (15,16) therefore straddles train/val under the
+    // naive per-id split, but rides its cluster root 15 into train
+    // under the cluster-aware split.
+    val ids = Seq(15L, 16L, 1L, 2L).toDF("doc_id")
+    val pairs = Seq((15L, 16L)).toDF("id_a", "id_b")
     val clusters = Dedup.duplicateClusters(ids, "doc_id", pairs)
     val out = Sampling.clusterSplitAudit(clusters, pairs).collect()
-    // Every near-dup pair stays inside one split under the cluster
-    // assignment — the audit's structural guarantee.
-    assert(out.forall(_.getAs[Long]("leak_pairs_cluster") === 0L))
-    // Totals: 9 docs across the splits, 6 clusters, 6 survivors.
-    assert(out.map(_.getAs[Long]("n_docs")).sum === 9L)
-    assert(out.map(_.getAs[Long]("n_clusters")).sum === 6L)
-    assert(out.map(_.getAs[Long]("n_survivors")).sum === 6L)
-    // The naive per-id split separates (1,2): bucket(1)=61, bucket(2)=22
-    // (both train) — but bucket(3)=83 lands in val, so the naive count
-    // catches the 2↔3 leak. The audited value is whatever the hash
-    // yields; the INVARIANT under test is naive ≥ cluster and that the
-    // constant is identical on every row.
-    val naive = out.map(_.getAs[Long]("leak_pairs_naive")).distinct
-    assert(naive.length === 1 && naive.head >= 0L)
+    // All four docs land in train (roots 15, 1, 2 hash below 80) — one
+    // output row carrying both whole-corpus leak constants.
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("split") === "train")
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_clusters") === 3L)
+    assert(r.getAs[Long]("n_survivors") === 3L)
+    // The structural guarantee, and the contamination the naive split
+    // would have shipped: (15,16) split across train/val.
+    assert(r.getAs[Long]("leak_pairs_cluster") === 0L)
+    assert(r.getAs[Long]("leak_pairs_naive") === 1L)
     // Split of every doc in a cluster equals the ROOT's split: recompute
     // directly and cross-check the per-split doc counts.
     val rootSplit = clusters
@@ -490,5 +489,45 @@ class CurationSpec extends AnyFunSuite {
     out.foreach { r =>
       assert(r.getAs[Long]("n_docs") === rootSplit(r.getAs[String]("split")))
     }
+  }
+
+  test("oovAudit: hand-computed vocabulary curve, unseen words count as OOV") {
+    // idBucket: 1→14, 2→28 (train, <80); 16→83 (eval). Train tokens:
+    // a a b | a c → vocab ranks a(1), b(2), c(3) by (freq desc, tok asc).
+    // Eval doc: a b d x → 4 tokens; d/x are never-in-train OOV.
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (16L, "a b d x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovAudit(docs, "doc_id", "text",
+        vocabSizes = Seq(1, 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out === Array(
+      // (V, n_train_tokens, n_eval_tokens, n_vocab_words, n_oov, oov_ppm)
+      (1L, 5L, 4L, 3L, 3L, 750000L),  // top-1 = {a}: b,d,x are OOV
+      (2L, 5L, 4L, 3L, 2L, 500000L))) // top-2 = {a,b}: d,x are OOV
+  }
+
+  test("partitionModularity: assortative two-cluster graph and anti-assortative edge") {
+    import graft.operators.Graphs
+    // 1,2 → A; 3,4 → B; edges (1,2) intra-A, (3,4) intra-B, (1,3) cross.
+    // m=3, m2=6: d_A=d_B=3, e2=2 each → contrib = (6·2−9)·1e9/36,
+    // Q = (6·4−18)·1e9/36 = 1/6 in ppb.
+    val attrs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("id", "part")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Graphs.partitionModularity(pairs, attrs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out === Array(
+      ("A", 3L, 1L, 83333333L, 3L, 166666666L),
+      ("B", 3L, 1L, 83333333L, 3L, 166666666L)))
+    // Single cross-partition edge: Q = −1/2 — the sign-split division
+    // path (both parts' numerators negative) must round like DuckDB.
+    val neg = Graphs.partitionModularity(
+        Seq((1L, 2L)).toDF("id_a", "id_b"),
+        Seq((1L, "A"), (2L, "B")).toDF("id", "part")).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(5)))
+    assert(neg === Array(
+      ("A", -250000000L, -500000000L), ("B", -250000000L, -500000000L)))
   }
 }

@@ -395,6 +395,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     // is a driver parallelize at test SF (union-find path), so its
     // branches carry no pre-AQE stats.
     "q149_leakage_split" -> 8,
+    // q150: the exploded-corpus (token) agg (cached — three consumers),
+    // the band-local rank window's (train_n, pfx) exchange, the bounded
+    // band-totals agg + its single-partition offsets window, and the
+    // one-row conditional-sum aggregate; per-V rows explode from one row.
+    "q150_oov_audit" -> 5,
+    // q151: the q22 pair machinery (postings agg + candidate join +
+    // narrow-scan spread), canonical-edge distinct, two attribute joins'
+    // exchanges, the cell agg, and the bounded cells→parts→totals chain
+    // + output sort — everything past the cell agg is |parts|²-sized.
+    "q151_dup_modularity" -> 10,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -405,6 +405,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // exchanges, the cell agg, and the bounded cells→parts→totals chain
     // + output sort — everything past the cell agg is |parts|²-sized.
     "q151_dup_modularity" -> 10,
+    // q152: orderStatsPermille's banded chain over the CACHED token
+    // frame (the (g,v) agg + band windows + bounded offsets/n aggs) +
+    // the gate's per-source agg + output sort; the threshold frame is
+    // an explicit broadcast, so the gate join adds no exchange of data.
+    "q152_adaptive_gate" -> 10,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

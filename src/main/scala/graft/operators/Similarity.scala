@@ -459,4 +459,165 @@ object Similarity {
         col("ratio_ppm"))
       .orderBy(col("label"), col("rank"))
   }
+
+  /** Product-quantization ADC top-k (Jégou, Douze & Schmid, TPAMI 2011,
+    * "Product Quantization for Nearest Neighbor Search"): the vector is
+    * cut into `numSubspaces` contiguous subvectors, each encoded as the
+    * id of its nearest sub-codebook centroid, and a query's distance to
+    * a database vector is approximated by the Asymmetric Distance
+    * Computation — the sum of precomputed query→centroid subdistances
+    * looked up by code. This is the memory-side scale path the IVF
+    * index ([[ivfTopK]]) doesn't cover: an encoded vector is
+    * numSubspaces small ints instead of `dim` floats (64 floats → 4
+    * codes here, a 32–64× compression), so a 100 TB embedding corpus's
+    * code table fits a fraction of the space and the scan side of ANN
+    * reads codes, never raw vectors.
+    *
+    * Deterministic and engine-replayable, the house ANN contract:
+    *  - sub-codebooks are the training-free id-seeded subsample
+    *    (`id % centroidEvery = 0` — [[ivfTopK]]'s codebook, sliced);
+    *  - all squared-L2 distances expand through the codegen'd dot
+    *    product (d² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩, the identical-operand
+    *    IEEE shape both engines compute bit-alike), are rounded to 4
+    *    decimals, and enter the hash ONLY as micro-unit BIGINTs;
+    *  - the ADC sum is a sum of those exact BIGINTs — order-free, so
+    *    the aggregation is partitioning-invariant;
+    *  - every rank breaks ties by id.
+    *
+    * Scale shape: the sub-codebook and the |queries|×subspaces×|codebook|
+    * lookup table are bounded frames — both broadcast. Encoding is one
+    * per-(vector, subspace) assignment over the broadcast codebook
+    * (map-side only); scoring joins the code table to the LUT on
+    * (subspace, code) and reduces per (query, vector) — never a raw
+    * query×corpus vector join.
+    */
+  private def d2micro(a: Column, b: Column): Column =
+    floor(round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 4) *
+      lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** The full (query, vector) → ADC distance frame for [[pqTopK]] /
+    * [[pqDistortionAudit]]: encode every corpus vector as
+    * `numSubspaces` sub-codebook ids, broadcast the per-query lookup
+    * tables, and reduce the (subspace, code)-joined stream per
+    * (query, vector). All distances are round-4 micro-unit BIGINTs; the
+    * ADC sum over them is exact and order-free.
+    */
+  private def pqAdcFrame(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      numSubspaces: Int, dim: Int, centroidEvery: Int): DataFrame = {
+    require(dim % numSubspaces == 0, "dim must divide into numSubspaces")
+    val sub = dim / numSubspaces
+    def slices(df: DataFrame, outId: String): DataFrame =
+      df.select(col("_id").as(outId), posexplode(array(
+        (0 until numSubspaces).map(j =>
+          slice(col("_v"), j * sub + 1, sub)): _*)).as(Seq("j", "sv")))
+    val v = corpus.select(col(idCol).as("_id"), asDoubles(col(vecCol)).as("_v"))
+    val cs = slices(v.filter(pmod(col("_id"), lit(centroidEvery)) === 0),
+        "centroid_id")
+      .withColumnRenamed("sv", "csv")
+    val codes = slices(v, "id").join(broadcast(cs), Seq("j"))
+      .withColumn("sd", round(dot(col("sv"), col("sv")) -
+        lit(2.0) * dot(col("sv"), col("csv")) +
+        dot(col("csv"), col("csv")), 4))
+      .groupBy(col("id"), col("j"))
+      .agg(min_by(col("centroid_id"),
+        struct(col("sd"), col("centroid_id"))).as("code"))
+    val q = queries.select(col(idCol).as("_id"), asDoubles(col(vecCol)).as("_v"))
+    val lut = slices(q, "query_id").join(broadcast(cs), Seq("j"))
+      .select(col("query_id"), col("j"), col("centroid_id").as("code"),
+        d2micro(col("sv"), col("csv")).as("sd_micro"))
+    codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("sd_micro")).as("adc_micro"))
+  }
+
+  /** Product-quantization ADC top-k (Jégou, Douze & Schmid, TPAMI 2011,
+    * "Product Quantization for Nearest Neighbor Search"): the vector is
+    * cut into `numSubspaces` contiguous subvectors, each encoded as the
+    * id of its nearest sub-codebook centroid, and a query's distance to
+    * a database vector is approximated by the Asymmetric Distance
+    * Computation — the sum of precomputed query→centroid subdistances
+    * looked up by code. This is the memory-side scale path the IVF
+    * index ([[ivfTopK]]) doesn't cover: an encoded vector is
+    * numSubspaces small ints instead of `dim` floats (64 floats → 16
+    * codes at the q153 setting, a 16× compression), so a 100 TB
+    * embedding corpus's code table fits a fraction of the space and
+    * the scan side of ANN reads codes, never raw vectors.
+    *
+    * Deterministic and engine-replayable, the house ANN contract:
+    * id-seeded training-free sub-codebooks, round-4 distances through
+    * the codegen'd dot-product expansion entering the hash only as
+    * micro BIGINTs, id tie-breaks everywhere. Sub-codebooks and the
+    * |queries|×subspaces×|codebook| LUT are bounded frames — broadcast;
+    * encoding is map-side; scoring joins codes to the LUT on
+    * (subspace, code) and reduces per (query, vector) — never a raw
+    * query×corpus vector join.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numSubspaces: Int = 16, dim: Int = 64,
+      centroidEvery: Int = 10): DataFrame = {
+    val adc = pqAdcFrame(corpus, queries, idCol, vecCol,
+      numSubspaces, dim, centroidEvery)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("adc_micro"))
+  }
+
+  /** PQ quantization-quality audit: ADC top-k plus, per query, the
+    * Pearson correlation between the ADC and exact squared-L2 distance
+    * FIELDS over the whole corpus (micro-unit BIGINT inputs, exact
+    * DECIMAL(38,0) sufficient statistics in one pass, the
+    * identical-operand IEEE finish of [[Stats.correlationMatrix]],
+    * reported as corr_micro). Distance-field correlation — not top-k
+    * recall — is the right lens here: on noise-dominated embeddings the
+    * exact top-k itself is chance-level (measured: exact-L2 and cosine
+    * top-5 on the test corpus agree with labels at ~4%), so a recall
+    * gate would pin an arbitrary number, while field correlation
+    * measures exactly what quantization is supposed to preserve.
+    * `distortion_ok` gates every query's corr_micro ≥ `minCorrMicro`.
+    */
+  def pqDistortionAudit(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numSubspaces: Int = 16, dim: Int = 64, centroidEvery: Int = 10,
+      minCorrMicro: Long = 600000L): DataFrame = {
+    val adc = pqAdcFrame(corpus, queries, idCol, vecCol,
+      numSubspaces, dim, centroidEvery)
+    val c = corpus.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDoubles(col(vecCol)).as("v_q"))
+    val exact = q.crossJoin(c)
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        d2micro(col("v_q"), col("v_c")).as("d2_micro"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stats = adc.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("adc_micro").cast(d38)).as("sx"),
+        sum(col("d2_micro").cast(d38)).as("sy"),
+        sum(col("adc_micro").cast(d38) * col("d2_micro")).as("sxy"),
+        sum(col("adc_micro").cast(d38) * col("adc_micro")).as("sxx"),
+        sum(col("d2_micro").cast(d38) * col("d2_micro")).as("syy"))
+    val corr = stats.select(col("query_id"),
+      col("n").cast("long").as("n_scored"),
+      when(expr("n * sxx - sx * sx") > 0 && expr("n * syy - sy * sy") > 0,
+        floor(expr("cast(n * sxy - sx * sy as double)") /
+          (sqrt(expr("cast(n * sxx - sx * sx as double)")) *
+            sqrt(expr("cast(n * syy - sy * sy as double)"))) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+        .as("corr_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(corr), Seq("query_id"))
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("adc_micro"), col("n_scored"), col("corr_micro"),
+        (col("corr_micro") >= minCorrMicro).as("distortion_ok"))
+  }
 }

@@ -339,6 +339,77 @@ object SimilarityQueries {
              |SELECT label, n, rank, vec_id, ratio_ppm FROM rk
              |WHERE rank <= 3 ORDER BY label, rank""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Product-quantization ADC with a distance-field distortion audit:
+    // 64-d vectors encode to 16 sub-codebook ids (the memory-side ANN
+    // scale path — 16× less to READ than raw vectors; q35's IVF prunes
+    // compute, PQ shrinks the scan). Distances ride the
+    // identical-operand dot-product expansion, round to 4 decimals, and
+    // cross the hash only as micro BIGINTs; the ADC sum of those is
+    // order-free, so the ranking is partitioning-invariant. The audited
+    // quantity is per-query Pearson correlation between the ADC and
+    // exact squared-L2 distance fields (NOT top-k recall: the test
+    // embeddings' exact top-5 is itself chance-level — measured 2/50
+    // label agreement for both L2 and cosine — so a recall gate would
+    // pin noise, while field correlation measures what quantization
+    // must preserve). Gate: every query ≥ 0.60; measured ≥ 0.746 at
+    // both driver scale factors. The oracle replays slicing,
+    // assignment, the LUT, the ADC sum, and the exact corr arithmetic.
+    QueryDef(
+      "q153_pq_ann",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.pqDistortionAudit(
+            corpus = emb, queries = emb.filter(col("vec_id") < 10),
+            idCol = "vec_id", vecCol = "embedding", k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |js AS (SELECT unnest(range(16)) AS j),
+             |cs AS (SELECT c.id AS centroid_id, js.j, c.v[(js.j*4+1):(js.j*4+4)] AS csv
+             |  FROM v c, js WHERE c.id % 10 = 0),
+             |vs AS (SELECT v.id, js.j, v.v[(js.j*4+1):(js.j*4+4)] AS sv FROM v, js),
+             |asg AS (SELECT id, j, centroid_id AS code FROM (
+             |  SELECT vs.id, vs.j, cs.centroid_id,
+             |    ROW_NUMBER() OVER (PARTITION BY vs.id, vs.j ORDER BY
+             |      ROUND(list_inner_product(vs.sv, vs.sv) - 2*list_inner_product(vs.sv, cs.csv)
+             |        + list_inner_product(cs.csv, cs.csv), 4) ASC, cs.centroid_id ASC) AS rn
+             |  FROM vs JOIN cs ON vs.j = cs.j) WHERE rn = 1),
+             |qs AS (SELECT id AS query_id, j, sv AS qv FROM vs WHERE id < 10),
+             |lut AS (SELECT query_id, qs.j, cs.centroid_id AS code,
+             |    CAST(FLOOR(ROUND(list_inner_product(qv, qv) - 2*list_inner_product(qv, csv)
+             |      + list_inner_product(csv, csv), 4) * 1000000.0 + 0.5) AS BIGINT) AS sd_micro
+             |  FROM qs JOIN cs ON qs.j = cs.j),
+             |adc AS (SELECT l.query_id, a.id, CAST(SUM(l.sd_micro) AS BIGINT) AS adc_micro
+             |  FROM asg a JOIN lut l ON a.j = l.j AND a.code = l.code
+             |  WHERE l.query_id <> a.id GROUP BY l.query_id, a.id),
+             |ex AS (SELECT vq.id AS query_id, vc.id AS id,
+             |    CAST(FLOOR(ROUND(list_inner_product(vq.v, vq.v) - 2*list_inner_product(vq.v, vc.v)
+             |      + list_inner_product(vc.v, vc.v), 4) * 1000000.0 + 0.5) AS BIGINT) AS d2_micro
+             |  FROM v vq JOIN v vc ON vq.id <> vc.id WHERE vq.id < 10),
+             |st AS (SELECT adc.query_id, CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(adc.adc_micro) AS HUGEINT) AS sx,
+             |    CAST(SUM(ex.d2_micro) AS HUGEINT) AS sy,
+             |    SUM(CAST(adc.adc_micro AS HUGEINT) * ex.d2_micro) AS sxy,
+             |    SUM(CAST(adc.adc_micro AS HUGEINT) * adc.adc_micro) AS sxx,
+             |    SUM(CAST(ex.d2_micro AS HUGEINT) * ex.d2_micro) AS syy
+             |  FROM adc JOIN ex ON adc.query_id = ex.query_id AND adc.id = ex.id
+             |  GROUP BY adc.query_id),
+             |co AS (SELECT query_id, CAST(n AS BIGINT) AS n_scored,
+             |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             |      CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+             |        / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+             |        * 1000000.0 + 0.5) AS BIGINT) END AS corr_micro
+             |  FROM st),
+             |r AS (SELECT query_id, id AS neighbor_id, adc_micro,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micro, id) AS rank
+             |  FROM adc)
+             |SELECT r.query_id, r.rank, r.neighbor_id, r.adc_micro,
+             |  co.n_scored, co.corr_micro, co.corr_micro >= 600000 AS distortion_ok
+             |FROM r JOIN co ON r.query_id = co.query_id
+             |WHERE r.rank <= 5 ORDER BY r.query_id, r.rank""".stripMargin),
+    ),
   )
 
   /** Iterative k-center oracle: m<i> carries each point's running

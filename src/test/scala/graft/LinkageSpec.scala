@@ -148,4 +148,35 @@ class LinkageSpec extends AnyFunSuite {
     // ratio (never a division by zero).
     assert(out === Seq(("A", 1L, 1000000L), ("B", 3L, -1L)))
   }
+
+  test("pqDistortionAudit: every-vector codebook makes ADC exact — corr 1e6, exact ranking") {
+    // centroidEvery=1 → every vector IS a centroid, so each subvector
+    // encodes to itself (d=0 beats everything; min-id tie-break can only
+    // pick an identical subvector) and ADC(q,x) = Σⱼ d²(qⱼ, xⱼ) = the
+    // exact squared L2: ranking must equal brute force and corr_micro
+    // must be exactly 1_000_000 on every row.
+    val rows = Seq(
+      (0L, Array(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f, 0f, 2f, 0f, 0f)),
+      (2L, Array(0f, 3f, 0f, 0f, 0f, 0f, 1f, 0f)),
+      (3L, Array(2f, 2f, 0f, 0f, 0f, 0f, 0f, 4f)),
+      (4L, Array(0f, 0f, 5f, 0f, 1f, 1f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqDistortionAudit(
+        corpus = df, queries = df.filter(col("vec_id") === 0L),
+        idCol = "vec_id", vecCol = "embedding", k = 4,
+        numSubspaces = 2, dim = 8, centroidEvery = 1)
+      .orderBy("rank").collect()
+    assert(out.forall(_.getAs[Long]("corr_micro") === 1000000L))
+    assert(out.forall(_.getAs[Boolean]("distortion_ok")))
+    assert(out.forall(_.getAs[Long]("n_scored") === 4L))
+    // Exact squared distances from q=v0: v1→1+(0-... computed by hand:
+    // d²(0,1)=1+1+1=... v1: (1-0)²+(2-1)²? dims: v0=[0,0,0,0,1,0,0,0].
+    // d²(v0,v1) = 1 + 1 + 4 = 6; d²(v0,v2) = 9+1+1 = 11;
+    // d²(v0,v3) = 4+4+1+16 = 25; d²(v0,v4) = 25+1 = 26.
+    val got = out.map(r => (r.getAs[Int]("rank"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_micro")))
+    assert(got === Array((1, 1L, 6000000L), (2, 2L, 11000000L),
+      (3, 3L, 25000000L), (4, 4L, 26000000L)))
+  }
 }

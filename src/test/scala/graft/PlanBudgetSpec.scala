@@ -410,6 +410,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the gate's per-source agg + output sort; the threshold frame is
     // an explicit broadcast, so the gate join adds no exchange of data.
     "q152_adaptive_gate" -> 10,
+    // q153: the per-(vector,subspace) code agg, the (query,vector) ADC
+    // agg + its rank window exchange (×2 — the top-k and audit branches
+    // repeat the subtree statically; runtime exchange reuse dedupes),
+    // the per-query corr agg, and the output sort. Sub-codebook and LUT
+    // are explicit broadcasts.
+    "q153_pq_ann" -> 8,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -449,6 +455,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q132_kl_divergence", // full-outer train⋈eval vocabulary merge: both
                          // sides scale with the vocabulary (full outer
                          // cannot broadcast) — the q12/q59 shape
+    "q153_pq_ann",       // ADC-field ⋈ exact-field on (query, vector):
+                         // both sides are |queries|×corpus frames (the
+                         // distortion audit compares the two distance
+                         // FIELDS) — no broadcast-able side at scale;
+                         // AQE broadcasts small query sets at runtime
     "q149_leakage_split" // pair-stream ⋈ split-assignment probes: the
                          // pair side scales with near-dup density and the
                          // assignment side with the corpus — keyed merge

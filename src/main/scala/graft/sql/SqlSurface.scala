@@ -84,6 +84,14 @@ object SqlSurface {
     *  - `event_value_permilles` — exact integer-interpolated p50/p90/p99
     *    of event values per type, micro-units (the orderStatsPermille
     *    primitive behind every exact-percentile query).
+    *  - `leakage_split`  — cluster-aware train/val/test split audit with
+    *    both leak counters (q149's operator).
+    *  - `oov_audit`      — eval OOV token rate under top-V train
+    *    vocabularies (q150's operator).
+    *  - `dup_modularity` — duplication assortativity by source over the
+    *    near-dup graph (q151's operator).
+    *  - `pq_distortion`  — PQ ADC top-k + per-query distance-field
+    *    correlation (q153's operator).
     *
     * Same lazy-DataFrame posture as [[registerCapabilities]]: each view
     * is the operator's own plan; nothing runs at registration.
@@ -135,5 +143,25 @@ object SqlSurface {
         permilles = Seq(500, 900, 990), bandWidth = 50000L)
       .withColumnRenamed("g", "event_type")
       .createOrReplaceTempView("event_value_permilles")
+    // Round-9 additions — the split/vocabulary/assortativity/compression
+    // loop (q149-q151, q153):
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1), 3,
+        jaccard)
+      .select(col("id_a"), col("id_b"))
+    Sampling.clusterSplitAudit(
+        Dedup.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs),
+        pairs)
+      .createOrReplaceTempView("leakage_split")
+    TextAnalysis.oovAudit(docs, "doc_id", "text",
+        vocabSizes = Seq(100, 1000, 10000))
+      .createOrReplaceTempView("oov_audit")
+    graft.operators.Graphs.partitionModularity(pairs,
+        docs.select(col("doc_id").as("id"), col("source").as("part")))
+      .withColumnRenamed("part", "source")
+      .createOrReplaceTempView("dup_modularity")
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.pqDistortionAudit(emb, emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      .createOrReplaceTempView("pq_distortion")
   }
 }

@@ -229,4 +229,51 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(viaSql.nonEmpty && viaSql === viaApi)
   }
+
+  test("split/vocabulary/modularity/PQ audits in pure SQL: q149-q151, q153 as views") {
+    // leakage_split: the structural zero-leak guarantee as a WHERE gate,
+    // and the naive counter it replaces exposed alongside.
+    val ls = sql.sql(
+      """SELECT split, n_docs, n_clusters, leak_pairs_cluster, leak_pairs_naive
+        |FROM leakage_split ORDER BY split""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(ls.nonEmpty)
+    ls.foreach(r => assert(r(3).asInstanceOf[Long] === 0L))
+    // oov_audit: the vocabulary curve is monotone — a bigger vocabulary
+    // can only lower OOV.
+    val oov = sql.sql(
+      """SELECT vocab_size, n_oov FROM oov_audit ORDER BY vocab_size""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(oov.nonEmpty)
+    oov.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(b <= a)
+      case _ =>
+    }
+    // dup_modularity: per-source contributions sum close to the global Q
+    // (each row floors independently, so equality holds within |rows|).
+    val dm = sql.sql(
+      """SELECT sum(contrib_ppb) AS s, any_value(modularity_ppb) AS q,
+        |  count(*) AS k FROM dup_modularity""".stripMargin).collect()
+    dm.foreach { r =>
+      if (!r.isNullAt(0))
+        assert(math.abs(r.getLong(0) - r.getLong(1)) <= r.getLong(2))
+    }
+    // pq_distortion: the quantization-quality gate as a WHERE clause —
+    // zero rows below the floor, and the view agrees with the operator.
+    val bad = sql.sql("SELECT count(*) FROM pq_distortion WHERE NOT distortion_ok")
+      .collect().head.getLong(0)
+    assert(bad === 0L)
+    val pq = sql.sql(
+      """SELECT query_id, rank, neighbor_id, adc_micro, corr_micro
+        |FROM pq_distortion ORDER BY query_id, rank""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val emb2 = Tables.embeddings(sql, sfDir)
+    val pqApi = graft.operators.Similarity.pqDistortionAudit(
+        emb2, emb2.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_micro"), col("corr_micro"))
+      .collect().map(_.toSeq).toSeq
+    assert(pq.nonEmpty && pq === pqApi)
+  }
 }

@@ -80,4 +80,49 @@ object Frequency {
       .filter(col("freq") * k > col("n_total"))
       .select(col("grp"), col("key"), col("freq"))
   }
+
+  /** Count–Min point-query audit: build ONE [[graft.functions.CountMin]]
+    * grid over the key stream (fixed depth×width state per task,
+    * mergeable by addition — the billion-key point-frequency sketch
+    * Misra–Gries's bounded key SET can't answer), then probe it with the
+    * `probeTopK` most frequent keys and report estimate vs exact.
+    *
+    * The sketch state is deterministic (sums under md5-derived buckets),
+    * so estimates are exact functions of the data — replayable by any
+    * engine — and the one-sided guarantee is STRUCTURAL: `cms_est ≥
+    * exact_n` always (`never_undercounts` puts it under the hash);
+    * `overcount_ppm` reports the collision mass each probe absorbed,
+    * the quantity the width buys down.
+    *
+    * Scale shape: the sketch is a single fixed-size aggregate (map-side
+    * partials, one grid per task on the wire); probes ride an exact
+    * (key) aggregation + TakeOrdered; estimation is `probeTopK` rows ×
+    * a broadcast one-row grid. The key stream feeds sketch + probe
+    * passes, so pass a scope (at 100 TB prefer re-reading columnar
+    * storage: the default session scope caches).
+    */
+  def countMinAudit(df: DataFrame, keyCol: Column, depth: Int, width: Int,
+      probeTopK: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(depth >= 2 && width >= 2, "need depth >= 2 and width >= 2")
+    require(probeTopK >= 1, "probeTopK must be >= 1")
+    val keyed = scope.cached(
+      df.select(keyCol.as("key")).filter(col("key").isNotNull))
+    val sk = keyed.agg(
+      graft.functions.CountMin.count_min(col("key"), depth, width).as("sk"),
+      count(lit(1)).as("n_total"))
+    val probes = keyed.groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("key")).limit(probeTopK)
+    val cells = (0 until depth).map { i =>
+      element_at(col("sk"), (lit(i * width) +
+        pmod(conv(substring(md5(concat(lit(s"$i:"), col("key"))), 1, 15),
+          16, 10).cast("long"), lit(width.toLong)) + 1).cast("int"))
+    }
+    probes.crossJoin(broadcast(sk))
+      .withColumn("cms_est", least(cells: _*))
+      .select(col("key"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overcount"),
+        expr("((cms_est - exact_n) * 1000000) div n_total").as("overcount_ppm"),
+        (col("cms_est") >= col("exact_n")).as("never_undercounts"))
+      .orderBy(col("key"))
+  }
 }

@@ -1052,6 +1052,42 @@ object TextQueries {
              |  END AS oov_ppm
              |FROM iv, tot ORDER BY vocab_size""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Count–Min point-query audit: q90's Misra–Gries answers "which
+    // keys are heavy"; the Count–Min grid answers "how often is THIS
+    // key" for ANY key in fixed depth×width space — the mergeable
+    // point-frequency sketch for a billion-key column. The grid is a
+    // native TypedImperativeAggregate whose state is DETERMINISTIC
+    // (sums under md5-derived buckets), so the oracle replays the
+    // entire sketch — counters, probe estimates, the structural
+    // never-undercount guarantee — exactly, from SQL.
+    QueryDef(
+      "q154_count_min",
+      (spark, dir) =>
+        graft.operators.Frequency.countMinAudit(
+          Tables.documents(spark, dir)
+            .select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+          col("token"), depth = 4, width = 1024, probeTopK = 20),
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS key FROM documents),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+             |wc AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY key),
+             |probes AS (SELECT key, exact_n FROM wc ORDER BY exact_n DESC, key LIMIT 20),
+             |rows_i AS (SELECT unnest(range(4)) AS i),
+             |cells AS (SELECT i, CAST(('0x' || substr(md5(i || ':' || key), 1, 15)) AS BIGINT) % 1024 AS b,
+             |    CAST(SUM(exact_n) AS BIGINT) AS c
+             |  FROM wc, rows_i GROUP BY 1, 2),
+             |est AS (SELECT p.key, p.exact_n, MIN(c.c) AS cms_est
+             |  FROM probes p, rows_i r, cells c
+             |  WHERE c.i = r.i
+             |    AND c.b = CAST(('0x' || substr(md5(r.i || ':' || p.key), 1, 15)) AS BIGINT) % 1024
+             |  GROUP BY p.key, p.exact_n)
+             |SELECT est.key, est.exact_n, est.cms_est,
+             |  est.cms_est - est.exact_n AS overcount,
+             |  ((est.cms_est - est.exact_n) * 1000000) // tot.n_total AS overcount_ppm,
+             |  est.cms_est >= est.exact_n AS never_undercounts
+             |FROM est, tot ORDER BY est.key""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

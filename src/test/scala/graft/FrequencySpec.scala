@@ -102,4 +102,35 @@ class FrequencySpec extends AnyFunSuite {
     val buf = scala.collection.mutable.HashMap("alpha" -> 3L, "βeta" -> 7L, "" -> 1L)
     assert(mg.deserialize(mg.serialize(buf)) === buf)
   }
+
+  test("countMinAudit: never undercounts, exact when collision-free, partitioning-invariant") {
+    import graft.operators.Frequency
+    val rows = Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    def audit(parts: Int) = Frequency.countMinAudit(
+        spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING)
+          .toDF("key").repartition(parts),
+        col("key"), depth = 2, width = 64, probeTopK = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(5))).toSeq
+    val one = audit(1)
+    // Structural one-sided error: every estimate ≥ the exact count.
+    assert(one.forall { case (_, exact, est, ok) => ok && est >= exact })
+    // 3 keys into depth-2 × width-64 rarely collide; when a row IS
+    // collision-free the min over rows restores the exact count — with
+    // this fixed md5 bucketing the estimates are exactly the counts.
+    assert(one.map { case (k, exact, est, _) => (k, exact, est) } ===
+      Seq(("a", 7L, 7L), ("b", 3L, 3L), ("c", 1L, 1L)))
+    // The grid is sums under fixed hashes — row order/partitioning
+    // cannot change anything.
+    assert(audit(7) === one)
+    // The grid itself merges by addition: two half-streams sketched
+    // separately sum to the full-stream grid.
+    val cm = graft.functions.CountMin.count_min(col("key"), 2, 64)
+    def grid(xs: Seq[String]) = spark.createDataset(xs)(
+        org.apache.spark.sql.Encoders.STRING).toDF("key")
+      .agg(cm.as("g")).collect().head.getSeq[Long](0)
+    val (h1, h2) = rows.splitAt(5)
+    assert(grid(h1).zip(grid(h2)).map { case (x, y) => x + y } === grid(rows))
+  }
 }

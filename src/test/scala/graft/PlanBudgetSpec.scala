@@ -416,6 +416,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the per-query corr agg, and the output sort. Sub-codebook and LUT
     // are explicit broadcasts.
     "q153_pq_ann" -> 8,
+    // q154: the one-row sketch aggregate's single-partition exchange +
+    // the exact probe-count agg (whose TakeOrdered top-20 and the
+    // 20-row output sort add no exchange); estimation is probes × a
+    // broadcast one-row grid.
+    "q154_count_min" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -675,6 +675,34 @@ object Dedup {
   def auditableTokenHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Score-driven survivor selection over [[duplicateClusters]]' output:
+    * keep the HIGHEST-scoring member of each duplicate cluster (score
+    * ties to the smaller id) instead of the structural min-id survivor —
+    * the production policy layer: min-id is an artifact of ingestion
+    * order, while "keep the longest / highest-quality member" keeps the
+    * superset document a containment-duplicate family collapsed from.
+    *
+    * `clusters` is duplicateClusters' (id, cluster_root, ...) frame;
+    * `scores` maps (id, score) with an integral score (token count,
+    * quality milli-ratio — the caller picks the policy). One id-keyed
+    * join and ONE per-cluster aggregate (max_by over a (score, −id)
+    * ordering struct — no window, no second shuffle). Output, one row
+    * per cluster: cluster_root, n_members, survivor_id, survivor_score,
+    * and `moved` — whether the policy overrode the min-id default (the
+    * rate worth monitoring: a high moved-rate means ingestion order
+    * anti-correlates with quality).
+    */
+  def survivorByScore(clusters: DataFrame, scores: DataFrame): DataFrame =
+    clusters.select(col("id"), col("cluster_root"))
+      .join(scores.select(col("id"), col("score")), Seq("id"))
+      .groupBy(col("cluster_root"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct(col("id"), col("score")),
+          struct(col("score"), (-col("id")).as("neg_id"))).as("s"))
+      .select(col("cluster_root"), col("n_members"),
+        col("s.id").as("survivor_id"), col("s.score").as("survivor_score"),
+        (col("s.id") =!= col("cluster_root")).as("moved"))
+
   /** Hamming distance between two packed 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

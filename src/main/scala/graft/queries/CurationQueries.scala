@@ -915,6 +915,41 @@ object CurationQueries {
               |GROUP BY split, lk.leak_pairs_cluster, lk.leak_pairs_naive
               |ORDER BY split""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Quality-aware survivor selection: q36 keeps each duplicate
+    // cluster's min-id member — an ingestion-order artifact. The
+    // production policy keeps the LONGEST member (the superset document
+    // a containment family collapsed from), ties to the smaller id; the
+    // `moved` column puts the min-id-vs-policy disagreement rate under
+    // the hash. One join + one max_by aggregate — no window, no extra
+    // shuffle beyond the cluster agg.
+    QueryDef(
+      "q155_quality_survivor",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.ngramJaccardPairs(
+            QueryDef.spreadIfNarrow(docs), "doc_id", "text", lit(1), 3, 0.5)
+          .select(col("id_a"), col("id_b"))
+        Dedup.survivorByScore(
+            Dedup.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs),
+            docs.select(col("doc_id").as("id"),
+              size(TextAnalysis.tokens(col("text"))).cast("long").as("score")))
+          .withColumnRenamed("survivor_score", "survivor_n_tokens")
+          .orderBy(col("cluster_root"))
+      },
+      Some(s"""WITH RECURSIVE $clustersCte,
+              |sc AS (SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS score
+              |  FROM documents),
+              |r AS (SELECT cc.cluster_root, cc.id, sc.score,
+              |    ROW_NUMBER() OVER (PARTITION BY cc.cluster_root ORDER BY sc.score DESC, cc.id) AS rn,
+              |    COUNT(*) OVER (PARTITION BY cc.cluster_root) AS n_members
+              |  FROM cc JOIN sc ON cc.id = sc.doc_id)
+              |SELECT cluster_root, CAST(n_members AS BIGINT) AS n_members,
+              |  id AS survivor_id, score AS survivor_n_tokens,
+              |  id <> cluster_root AS moved
+              |FROM r WHERE rn = 1 ORDER BY cluster_root""".stripMargin),
+    ),
   )
 }
 

@@ -491,6 +491,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("survivorByScore: highest score wins, ties to smaller id, moved flags the override") {
+    val ids = (1L to 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(ids, "doc_id", pairs)
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 2L))
+      .toDF("id", "score")
+    val out = Dedup.survivorByScore(clusters, scores)
+      .orderBy("cluster_root").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out === Array(
+      // {1,2,3}: scores 5/9/9 — the 9-tie breaks to id 2, overriding
+      // the min-id default (moved).
+      (1L, 3L, 2L, 9L, true),
+      (4L, 1L, 4L, 1L, false),
+      (5L, 1L, 5L, 2L, false)))
+  }
+
   test("oovAudit: hand-computed vocabulary curve, unseen words count as OOV") {
     // idBucket: 1→14, 2→28 (train, <80); 16→83 (eval). Train tokens:
     // a a b | a c → vocab ranks a(1), b(2), c(3) by (freq desc, tok asc).

@@ -421,6 +421,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // 20-row output sort add no exchange); estimation is probes × a
     // broadcast one-row grid.
     "q154_count_min" -> 2,
+    // q155: the q22 pair machinery runs EAGERLY inside duplicateClusters'
+    // guarded collect (not in this audited plan); what remains is the
+    // per-cluster max_by agg's exchange + the output sort (the score
+    // join rides broadcasts at test SF).
+    "q155_quality_survivor" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HmacSha256, JaroWinklerSim, MinHashSignature, MisraGries, SimHash64}
+import graft.functions.{CountMin, DotProduct, HmacSha256, JaroWinklerSim, MinHashSignature, MisraGries, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * as SQL functions at session build time —
@@ -81,6 +81,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
         // The analyzer wraps a bare AggregateFunction in AggregateExpression.
         MisraGries(exprs(0), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("count_min"),
+      info("count_min",
+        "count_min(key, depth, width) - Count-Min sketch grid (array<bigint>, row-major)"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int =
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"count_min: $name must be an integer literal, got a non-foldable expression")
+          else e.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.intValue()
+            case other => throw new IllegalArgumentException(
+              s"count_min: $name must be an integer literal, got $other")
+          }
+        CountMin(exprs(0), intLit(exprs(1), "depth"), intLit(exprs(2), "width"))
       }))
     ext.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPruning)
   }

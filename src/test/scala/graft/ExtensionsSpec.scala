@@ -38,6 +38,14 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT misra_gries(k, 2) AS c FROM VALUES ('a'),('a'),('a'),('b') t(k)"""
       ).head().getSeq[String](0)
       assert(mg.contains("a"), s"sketch lost the majority key: $mg")
+      // count_min: a depth×width grid whose row sums each equal n — the
+      // structural invariant any correct update preserves.
+      val cm = s.sql(
+        """SELECT count_min(k, 2, 8) AS g FROM VALUES ('a'),('a'),('b') t(k)"""
+      ).head().getSeq[Long](0)
+      assert(cm.length === 16)
+      assert(cm.slice(0, 8).sum === 3L && cm.slice(8, 16).sum === 3L,
+        s"row sums must equal n: $cm")
       // Optimizer-rule injection: a jaro_winkler threshold filter above
       // the 0.8 floor gains the provably-implied length-ratio conjunct...
       import s.implicits._

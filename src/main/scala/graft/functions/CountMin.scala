@@ -112,16 +112,31 @@ case class CountMin(
 
 object CountMin {
 
+  // One digest per thread, reset per call: getInstance("MD5") per ROW
+  // was the q154 hot path (4 allocations + provider lookups per token).
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Row-i bucket of `key`: first 15 hex digits of md5("i:key") as a
     * 60-bit non-negative integer, mod width — replayable in any engine
     * with an md5 function (DuckDB:
     * `CAST(('0x' || substr(md5(i || ':' || key), 1, 15)) AS BIGINT) % width`).
+    * The 15 hex digits are the top 60 bits of the digest, read
+    * big-endian — exactly the prefix of the lowercase hex rendering.
     */
   def bucket(row: Int, key: String, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$row:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString // 16 hex digits; we use 15
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % width).toInt
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s"$row:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // First 15 hex chars = first 7.5 bytes: assemble the 60-bit value
+    // directly instead of formatting hex and re-parsing it.
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+    (v % width).toInt
   }
 
   /** Column form: `count_min(key, depth, width)` → array<long> of

@@ -368,7 +368,7 @@ object SimilarityQueries {
       Some("""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |js AS (SELECT unnest(range(16)) AS j),
              |cs AS (SELECT c.id AS centroid_id, js.j, c.v[(js.j*4+1):(js.j*4+4)] AS csv
-             |  FROM v c, js WHERE c.id % 10 = 0),
+             |  FROM v c, js WHERE c.id % 10 = 0 AND c.id // 10 < 64),
              |vs AS (SELECT v.id, js.j, v.v[(js.j*4+1):(js.j*4+4)] AS sv FROM v, js),
              |asg AS (SELECT id, j, centroid_id AS code FROM (
              |  SELECT vs.id, vs.j, cs.centroid_id,

@@ -950,6 +950,53 @@ object CurationQueries {
               |  id <> cluster_root AS moved
               |FROM r WHERE rn = 1 ORDER BY cluster_root""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Dedup impact accounting: what deduplication actually COSTS each
+    // feed — docs and tokens before/after survivor selection, reduction
+    // in exact ppm. The number a curation pipeline reports to its data
+    // owners ("your feed shrank 18% — it was mirrors") and the one that
+    // justifies the dedup compute bill at 100 TB. One join of the
+    // cluster frame onto (source, n_tokens) + one per-source aggregate.
+    QueryDef(
+      "q156_dedup_impact",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.ngramJaccardPairs(
+            QueryDef.spreadIfNarrow(docs), "doc_id", "text", lit(1), 3, 0.5)
+          .select(col("id_a"), col("id_b"))
+        Dedup.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+          .join(docs.select(col("doc_id").as("id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+            Seq("id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_survivor"), 1L).otherwise(0L)).as("n_survivors"),
+            sum(col("n_tokens")).as("tokens_total"),
+            sum(when(col("is_survivor"), col("n_tokens")).otherwise(0L))
+              .as("tokens_kept"))
+          .select(col("source"), col("n_docs"), col("n_survivors"),
+            col("tokens_total"), col("tokens_kept"),
+            when(col("tokens_total") > 0,
+              expr("((tokens_total - tokens_kept) * 1000000) div tokens_total"))
+              .as("token_reduction_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE $clustersCte,
+              |d AS (SELECT doc_id, source,
+              |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+              |  FROM documents)
+              |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN cc.id = cc.cluster_root THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+              |  CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_total,
+              |  CAST(SUM(CASE WHEN cc.id = cc.cluster_root THEN d.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+              |  CASE WHEN SUM(d.n_tokens) > 0 THEN
+              |    CAST(((SUM(d.n_tokens) - SUM(CASE WHEN cc.id = cc.cluster_root THEN d.n_tokens ELSE 0 END))
+              |      * 1000000) // SUM(d.n_tokens) AS BIGINT)
+              |  END AS token_reduction_ppm
+              |FROM cc JOIN d ON cc.id = d.doc_id
+              |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    ),
   )
 }
 

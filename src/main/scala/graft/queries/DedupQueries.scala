@@ -515,6 +515,49 @@ object DedupQueries {
              |    ELSE -(((-qnum) * 1000000000) // den) END AS BIGINT) AS modularity_ppb
              |FROM w ORDER BY source""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Per-document n-gram novelty: the fraction of a document's distinct
+    // 3-grams whose FIRST corpus occurrence (min doc_id) is this
+    // document — the diversity/curriculum signal (a feed of re-posts
+    // scores near 0; genuinely new text near 10⁶ ppm) and the
+    // incremental complement to pairwise dedup: novelty decays BEFORE
+    // documents become near-duplicates. One (doc, gram) distinct frame
+    // feeds the first-seen aggregate and the per-doc roll-up (cached —
+    // one shingle pass); the gram-keyed join is the intended
+    // vocabulary-scale merge join. Docs with <3 tokens have no grams
+    // and no row, on both engines.
+    QueryDef(
+      "q157_ngram_novelty",
+      (spark, dir) => {
+        val grams = graft.core.CacheScope.session.cached(
+          QueryDef.spreadIfNarrow(Tables.documents(spark, dir))
+            .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+            .select(col("doc_id"),
+              explode(Dedup.shinglesFromTokens(col("toks"), 3)).as("g")))
+        val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        grams.join(first, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            expr("(n_novel * 1000000) div n_grams").as("novelty_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+             |    list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s
+             |  FROM toks),
+             |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+             |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g)
+             |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  CAST((SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1000000)
+             |    // COUNT(*) AS BIGINT) AS novelty_ppm
+             |FROM g JOIN f ON g.g = f.g
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+    ),
   )
 
   /** Oracle for [[Dedup.lshBandAudit]]: replays the signature (embedding

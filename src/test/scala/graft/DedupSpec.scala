@@ -304,4 +304,30 @@ class DedupSpec extends AnyFunSuite {
       ("X", "X", 1L, 3L, 3L, 333333333L),
       ("X", "Y", 2L, 3L, 1L, 666666666L)))
   }
+
+  test("ngram novelty: first occurrence wins, re-posts score zero, short docs drop out") {
+    val docs = Seq(
+      (1L, "a b c d"),       // {abc, bcd} — both first here → 1e6
+      (2L, "a b c"),         // {abc} — seen in doc 1 → 0
+      (3L, "x y z a b c"),   // {xyz, yza, zab, abc} — 3 of 4 novel
+      (4L, "q w"))           // < 3 tokens → no grams, no row
+      .toDF("doc_id", "text")
+    val grams = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("toks"), 3)).as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val out = grams.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_grams").as("novelty_ppm"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 1L, 0L, 0L),
+      (3L, 4L, 3L, 750000L)))
+  }
 }

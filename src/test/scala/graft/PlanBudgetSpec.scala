@@ -426,6 +426,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // per-cluster max_by agg's exchange + the output sort (the score
     // join rides broadcasts at test SF).
     "q155_quality_survivor" -> 2,
+    // q156: q155's shape with a per-source aggregate instead of the
+    // per-cluster argmax.
+    "q156_dedup_impact" -> 2,
+    // q157: the cached (doc, gram) frame feeds the first-seen gram agg
+    // + the per-doc roll-up agg + output sort; the gram-keyed join
+    // rides a broadcast at test SF (vocabulary-scale merge at 100 TB).
+    "q157_ngram_novelty" -> 3,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -410,6 +410,34 @@ object SimilarityQueries {
              |FROM r JOIN co ON r.query_id = co.query_id
              |WHERE r.rank <= 5 ORDER BY r.query_id, r.rank""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Embedding-norm health profile: exact p25/p50/p75 of the L2 norm
+    // per label (norms e4-quantized BIGINT through orderStatsPermille's
+    // banded integer interpolation). The degenerate-encoder check run
+    // before any cosine machinery is trusted: collapsed norms (p25≈p75≈
+    // constant) mean the encoder saturated; per-label norm shifts bias
+    // every dot-product ranking downstream (q26/q35/q153).
+    QueryDef(
+      "q159_embedding_norm_profile",
+      (spark, dir) => {
+        import graft.functions.VectorFunctions.{asDoubles, dot}
+        val v = asDoubles(col("embedding"))
+        graft.operators.Stats.orderStatsPermille(
+            Tables.embeddings(spark, dir),
+            col("label"),
+            floor(sqrt(dot(v, v)) * lit(10000.0) + lit(0.5)).cast("long"),
+            permilles = Seq(250, 500, 750), bandWidth = 1000L)
+          .withColumnRenamed("g", "label")
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH ${graft.operators.Stats.orderStatsOracleSql(
+                 "SELECT label AS g, CAST(FLOOR(SQRT(list_inner_product(" +
+                 "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 10000.0 + 0.5) AS BIGINT) AS v " +
+                 "FROM embeddings", Seq(250, 500, 750))}
+             |SELECT g AS label, n, p250_x1000, p500_x1000, p750_x1000
+             |FROM os_q ORDER BY label""".stripMargin),
+    ),
   )
 
   /** Iterative k-center oracle: m<i> carries each point's running

@@ -1088,6 +1088,42 @@ object TextQueries {
              |  est.cms_est >= est.exact_n AS never_undercounts
              |FROM est, tot ORDER BY est.key""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Tokenizer fertility by language: subword-proxy tokens per
+    // whitespace word (q30's two counters aggregated per lang) — the
+    // classic multilingual-tokenizer health read (Rust et al. 2021:
+    // high-fertility languages pay more sequence length per word, so a
+    // fertility skew IS a compute-cost and quality skew). Exact integer
+    // milli ratio; one aggregate over the corpus.
+    QueryDef(
+      "q158_tokenizer_fertility",
+      (spark, dir) =>
+        TextAnalysis.tokenCounts(
+            Tables.documents(spark, dir)
+              .select(col("lang"), col("text")), "text")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).as("ws_tokens_total"),
+            sum(col("subword_tokens")).as("subword_tokens_total"))
+          .select(col("lang"), col("n_docs"), col("ws_tokens_total"),
+            col("subword_tokens_total"),
+            when(col("ws_tokens_total") > 0,
+              expr("(subword_tokens_total * 1000) div ws_tokens_total"))
+              .as("fertility_milli"))
+          .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS sw
+             |  FROM documents)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(ws) AS BIGINT) AS ws_tokens_total,
+             |  CAST(SUM(sw) AS BIGINT) AS subword_tokens_total,
+             |  CASE WHEN SUM(ws) > 0
+             |    THEN CAST((SUM(sw) * 1000) // SUM(ws) AS BIGINT)
+             |  END AS fertility_milli
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

@@ -433,6 +433,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // + the per-doc roll-up agg + output sort; the gram-keyed join
     // rides a broadcast at test SF (vocabulary-scale merge at 100 TB).
     "q157_ngram_novelty" -> 3,
+    // q158: one per-lang aggregate + output sort.
+    "q158_tokenizer_fertility" -> 2,
+    // q159: orderStatsPermille's banded chain (q44's shape) over the
+    // e4-quantized norm projection + output sort; ReuseExchange serves
+    // the three byV subtrees from one scan at runtime.
+    "q159_embedding_norm_profile" -> 9,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides

@@ -179,6 +179,15 @@ object Bench {
     val gcJson = results.map { case (k, _, ts, _) =>
       "\"" + k + "\":" + ts.map(_._3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Per-query spread ratio (max/min over successful iterations), the
+    // one-number contention attribution: spread ≈ 1 + a slow reported
+    // time = real regression; spread >> 1 = environmental perturbation
+    // (the r9 q119/q139 signature) — readable without diffing "iters".
+    val spreadJson = results.map { case (k, _, ts, _) =>
+      val ok = ts.collect { case (t, true, _) => t }
+      val r = if (ok.size >= 2) ok.max / ok.min.max(1e-9) else 1.0
+      "\"" + k + "\":" + f"$r%.2f"
+    }.mkString("{", ",", "}")
     val sentinelJson = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loadJson = loads.map { case (k, v) => "\"" + k + "\":" + v }
@@ -186,7 +195,7 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$allIters,"gc_ms":$gcJson,"sentinel":$sentinelJson,"loadavg":$loadJson,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$allIters,"gc_ms":$gcJson,"spread":$spreadJson,"sentinel":$sentinelJson,"loadavg":$loadJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only the tail of stdout, which truncated
     // r7's per-query times to the last ~30 queries. Persist the FULL line

@@ -75,6 +75,7 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val executed = args.contains("--executed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,11 +84,19 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(f"${"query"}%-26s ${"shuffles"}%8s ${"bcast"}%6s ${"BHJ"}%4s ${"SMJ"}%4s")
+    if (executed)
+      println(f"${"query"}%-30s ${"scans"}%6s ${"shuf"}%5s ${"reuseS"}%6s ${"bcast"}%6s ${"reuseB"}%6s")
+    else
+      println(f"${"query"}%-26s ${"shuffles"}%8s ${"bcast"}%6s ${"BHJ"}%4s ${"SMJ"}%4s")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val a = audit(fn(spark, sfDir).queryExecution.executedPlan)
-        println(f"$name%-26s ${a.shuffles}%8d ${a.broadcasts}%6d ${a.bhj}%4d ${a.smj}%4d")
+        if (executed) {
+          val a = executedAudit(fn(spark, sfDir))
+          println(f"$name%-30s ${a.scans}%6d ${a.shuffles}%5d ${a.reusedShuffles}%6d ${a.broadcasts}%6d ${a.reusedBroadcasts}%6d")
+        } else {
+          val a = audit(fn(spark, sfDir).queryExecution.executedPlan)
+          println(f"$name%-26s ${a.shuffles}%8d ${a.broadcasts}%6d ${a.bhj}%4d ${a.smj}%4d")
+        }
       } catch {
         case e: Throwable => println(f"$name%-26s  audit failed: ${e.getMessage.take(60)}")
       }

@@ -51,7 +51,14 @@ object Blocking {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy(col("band")).agg(count(lit(1)).as("n"))
       .select(col("band"), coalesce(sum(col("n")).over(wBand), lit(0L)).as("off"))
-    val pos = local.join(broadcast(offsets), Seq("band"))
+    // band joins with <=> for the same reason as Stats.orderStatsPermille's
+    // cum join: a plain equi-join lets InferFiltersFromConstraints push an
+    // isnotnull(substring(k,1,n)) predicate into THIS branch's scan only,
+    // de-canonicalizing the shared `keyed` subtree and silently disabling
+    // AQE exchange/stage reuse (band is never null — k is coalesced to ''
+    // above — so the semantics are identical).
+    val pos = local.join(broadcast(offsets.withColumnRenamed("band", "band_o")),
+        col("band") <=> col("band_o"))
       .select(col("id"), col("k"), (col("off") + col("lpos")).as("pos"))
     val aSide = pos
       .select(col("id").as("id_a"), col("k").as("k_a"), col("pos").as("pos_a"))

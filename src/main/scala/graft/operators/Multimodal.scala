@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   * runs per-partition in batches.
   *
   * The Spark-side plumbing here — schema, batch shape, partition sizing —
-  * is real and tested; the actual media decode is STUBBED (no image/audio
-  * libraries in this environment) behind [[MediaDecoder]], which a
-  * deployment replaces with a JNI/FFmpeg/ImageIO-backed implementation.
+  * is real and tested. IMAGE decode is real too ([[ImageIODecoder]] /
+  * [[pixelStats]], backed by the JRE's `javax.imageio` PNG/JPEG/GIF/BMP/
+  * TIFF readers); audio/video decode remains header-probe-only
+  * ([[MediaProbe]]) behind [[MediaDecoder]], which a deployment replaces
+  * with a JNI/FFmpeg-backed implementation.
   *
   * Scale notes:
   *  - binary payloads dominate row size → cap
@@ -123,6 +125,140 @@ object Multimodal {
       (implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     media.mapPartitions(t.transformBatch _)
+  }
+
+  // ------------------------------------------------------- pixel decoding
+
+  /** REAL pixel decoder backed by `javax.imageio` (this JRE ships readers
+    * for PNG/JPEG/GIF/BMP/TIFF/WBMP — probed via
+    * `ImageIO.getReaderFormatNames`), replacing the r1–r9 "no media libs"
+    * stub posture for images. Audio/video remain header-probe-only
+    * ([[MediaProbe]]): no codec on the classpath decodes them.
+    *
+    * Features are the 4-dim mean-channel vector (R,G,B,A in [0,1]) — the
+    * deterministic pixel-content summary the stub faked from raw bytes.
+    * Decode failures (truncated/corrupt blobs, non-image payloads) yield
+    * an empty feature vector rather than an exception: a corrupt blob
+    * must not kill the partition (the [[MediaProbe]] contract).
+    */
+  object ImageIODecoder extends MediaDecoder {
+    override def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.format, r.n_bytes,
+          decodeStats(r.media).map { s =>
+            Array(s.sumR.toFloat / (255f * s.nPixels),
+              s.sumG.toFloat / (255f * s.nPixels),
+              s.sumB.toFloat / (255f * s.nPixels),
+              s.sumA.toFloat / (255f * s.nPixels))
+          }.getOrElse(Array.empty[Float]))
+      }
+  }
+
+  /** Exact integer pixel aggregates of one decoded image. All sums are
+    * over 8-bit channel values — BIGINT-exact, replayable by any engine
+    * that can reproduce the pixel values (the hash-discipline posture:
+    * no float leaves an operator).
+    */
+  final case class PixelStats(width: Int, height: Int, nPixels: Long,
+      sumR: Long, sumG: Long, sumB: Long, sumA: Long)
+
+  /** Decode a blob with the REAL ImageIO codec stack and reduce it to
+    * integer channel sums in one pass. None = not decodable as an image.
+    * `getRGB` returns non-premultiplied ARGB in the default sRGB space
+    * regardless of the source color model, so the sums are
+    * format-independent for lossless containers (PNG/BMP/GIF).
+    */
+  def decodeStats(blob: Array[Byte]): Option[PixelStats] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb, sa) = (0L, 0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val argb = img.getRGB(x, y)
+              sa += (argb >>> 24) & 0xFF
+              sr += (argb >>> 16) & 0xFF
+              sg += (argb >>> 8) & 0xFF
+              sb += argb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          PixelStats(w, h, w.toLong * h, sr, sg, sb, sa)
+        }
+    } catch { case _: Throwable => None }
+
+  final case class PixelStatsRow(media_id: Long, width: Long, height: Long,
+      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      mean_luma_milli: Long)
+
+  /** Per-image pixel statistics over a media table: REAL decode (narrow
+    * mapPartitions — the [[extractFeatures]] batch shape), integer
+    * channel sums, and Rec.601 mean luminance in milli-units
+    * ((299·ΣR + 587·ΣG + 114·ΣB) div (1000·n) — exact integer division,
+    * so the value is engine-replayable). Non-decodable blobs are
+    * DROPPED (they carry no pixels); [[probeMetadata]] is the stage that
+    * reports them.
+    */
+  def pixelStats(media: Dataset[MediaRow])
+      (implicit spark: SparkSession): Dataset[PixelStatsRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeStats(r.media).map { s =>
+        PixelStatsRow(r.media_id, s.width.toLong, s.height.toLong, s.nPixels,
+          s.sumR, s.sumG, s.sumB,
+          (299L * s.sumR + 587L * s.sumG + 114L * s.sumB) / (1000L * s.nPixels))
+      }
+    })
+  }
+
+  /** Deterministic PNG test-image synthesizer: pixel (x,y) of image `id`
+    * is the arithmetic ramp r=(7id+13x+31y)%256, g=(11id+17x+5y)%256,
+    * b=(3id+23x+29y)%256, encoded through the REAL ImageIO PNG writer.
+    * PNG is lossless, so [[pixelStats]] over these blobs must recover
+    * the ramp sums EXACTLY — which a SQL oracle can replay from the
+    * closed-form double sum without ever seeing a byte of PNG. This is
+    * the fixture generator that puts the real encode→decode roundtrip
+    * under the driver hash (the q143 "plant it arithmetically"
+    * discipline, extended from header fields to every pixel).
+    */
+  def syntheticPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = java.lang.Math.floorMod(7 * id + 13 * x + 31 * y, 256).toInt
+        val g = java.lang.Math.floorMod(11 * id + 17 * x + 5 * y, 256).toInt
+        val b = java.lang.Math.floorMod(3 * id + 23 * x + 29 * y, 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of [[syntheticPng]] blobs, one per input row: width/height
+    * ride small moduli of the id so the oracle's replay grid stays
+    * bounded. Narrow map — the encode runs distributed, one image per
+    * row, never on the driver.
+    */
+  def syntheticPngTable(df: DataFrame, idCol: String)
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id")).as[Long].map { id =>
+      val w = 2 + (id % 6).toInt
+      val h = 2 + (id % 4).toInt
+      val blob = syntheticPng(id, w, h)
+      MediaRow(id, blob, "image/png", w, h, blob.length.toLong)
+    }
   }
 
   // ------------------------------------------------------------- probing

@@ -56,7 +56,13 @@ object Packing {
       .agg(sum(col("n_tokens")).as("grp_tokens"))
       .withColumn("grp_offset", coalesce(sum(col("grp_tokens")).over(wGrp), lit(0L)))
       .select(col("grp"), col("grp_offset"))
-    local.join(broadcast(offsets), Seq("grp"))
+    // grp joins with <=> (semantically identical — doc_id is a non-null
+    // key, so floor(doc_id/groupSize) is never null): a plain equi-join
+    // infers isnotnull(FLOOR(doc_id/groupSize)) into this branch's scan
+    // only, de-canonicalizing the shared `base` subtree and silently
+    // disabling AQE exchange reuse (the q79/q89 3-scan bug shape).
+    local.join(broadcast(offsets.withColumnRenamed("grp", "grp_o")),
+        col("grp") <=> col("grp_o"))
       .withColumn("start_offset", col("grp_offset") + col("local_cum"))
       .withColumn("pack_id", floor(col("start_offset") / budget))
       .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("pack_id"))
@@ -174,7 +180,13 @@ object Packing {
       .agg(sum(col("n_tokens")).as("band_tokens"))
       .withColumn("band_offset", coalesce(sum(col("band_tokens")).over(wTot), lit(0L)))
       .select(col("band"), col("band_offset"))
-    local.join(broadcast(offsets), Seq("band"))
+    // band joins with <=> (score is cast from a non-null column, so
+    // floor(score/bandWidth) is never null — semantics identical): stops
+    // InferFiltersFromConstraints pushing isnotnull(FLOOR(score/w)) into
+    // one branch of the shared `base` subtree, which would break subtree
+    // canonicalization and AQE exchange reuse (the Stats 3-scan shape).
+    local.join(broadcast(offsets.withColumnRenamed("band", "band_o")),
+        col("band") <=> col("band_o"))
       .withColumn("cum_tokens", col("band_offset") + col("local_cum"))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))

@@ -401,7 +401,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("t"))
       .select(col("train_n"), col("pfx"),
         coalesce(sum(col("t")).over(wBand), lit(0L)).as("off"))
-    val ranked = local.join(broadcast(offsets), Seq("train_n", "pfx"))
+    // (train_n, pfx) joins with <=> — semantically identical (train_n is a
+    // filtered-positive count; pfx = substring of a non-null token): a
+    // plain equi-join would infer isnotnull(substring(tok,1,2)) into this
+    // branch's scan only, de-canonicalizing the shared `vocab` subtree and
+    // silently disabling AQE exchange reuse (the Stats 3-scan shape).
+    val ranked = local.join(
+        broadcast(offsets.withColumnRenamed("train_n", "train_n_o")
+          .withColumnRenamed("pfx", "pfx_o")),
+        col("train_n") <=> col("train_n_o") && col("pfx") <=> col("pfx_o"))
       .select(col("eval_n"), (col("off") + col("rn")).as("rank"))
     val ivAggs = vocabSizes.map(v =>
       sum(when(col("rank") <= v, col("eval_n")).otherwise(0L)).as(s"iv_$v"))

@@ -227,6 +227,41 @@ object TextQueries {
     ),
 
     // ----------------------------------------------------------------
+    // REAL pixel decoding under the oracle gate (the r9 stub posture
+    // closed — this JRE's javax.imageio ships PNG/JPEG/GIF/BMP readers):
+    // every pixel of a per-row PNG is PLANTED as an arithmetic ramp,
+    // encoded through the real ImageIO PNG writer, decoded back through
+    // the real reader, and reduced to exact integer channel sums. PNG is
+    // lossless, so the decoded sums must equal the ramp sums the oracle
+    // computes from the formula alone — one flipped bit anywhere in the
+    // encode→decode→aggregate path moves a BIGINT and fails the hash.
+    // Narrow end to end: synthesize → decode → per-image sums → sort.
+    QueryDef(
+      "q160_pixel_stats",
+      (spark, dir) => {
+        implicit val s = spark
+        Multimodal.pixelStats(Multimodal.syntheticPngTable(
+            Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+          .toDF().orderBy(col("media_id"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS media_id, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
+             |  FROM documents),
+             |xs AS (SELECT unnest(generate_series(0, 7)) AS x),
+             |ys AS (SELECT unnest(generate_series(0, 5)) AS y),
+             |ch AS (SELECT media_id, w, h,
+             |    (7*media_id + 13*x + 31*y) % 256 AS r,
+             |    (11*media_id + 17*x + 5*y) % 256 AS g,
+             |    (3*media_id + 23*x + 29*y) % 256 AS b
+             |  FROM ids, xs, ys WHERE x < w AND y < h)
+             |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(w*h AS BIGINT) AS n_pixels,
+             |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+             |  CAST(SUM(b) AS BIGINT) AS sum_b,
+             |  CAST((299*SUM(r) + 587*SUM(g) + 114*SUM(b)) // (1000*w*h) AS BIGINT) AS mean_luma_milli
+             |FROM ch GROUP BY media_id, w, h ORDER BY media_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Order-SENSITIVE document fingerprint: polynomial rolling hash
     // (Rabin-Karp shape) over the token stream — unlike q31's normalized
     // md5, swapping two tokens changes this fingerprint. Uses the

@@ -121,4 +121,38 @@ class MultimodalSpec extends AnyFunSuite {
     val recall = (exact intersect lsh).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall of ${exact.size} pairs")
   }
+
+  test("real ImageIO pixel decode: PNG roundtrip recovers planted ramp sums exactly") {
+    // The q160 contract in miniature: synthesize a ramp PNG through the
+    // real encoder, decode through the real reader, and check the integer
+    // channel sums against the formula computed independently here.
+    val id = 42L
+    val (w, h) = (2 + (id % 6).toInt, 2 + (id % 4).toInt)
+    val blob = Multimodal.syntheticPng(id, w, h)
+    // It must be a REAL PNG container, not a fake: MediaProbe agrees.
+    assert(Multimodal.MediaProbe.probe(blob) === (("image/png", w, h)))
+    val s = Multimodal.decodeStats(blob).get
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      er += java.lang.Math.floorMod(7 * id + 13 * x + 31 * y, 256)
+      eg += java.lang.Math.floorMod(11 * id + 17 * x + 5 * y, 256)
+      eb += java.lang.Math.floorMod(3 * id + 23 * x + 29 * y, 256)
+    }
+    assert((s.width, s.height, s.nPixels) === ((w, h, w.toLong * h)))
+    assert((s.sumR, s.sumG, s.sumB) === ((er, eg, eb)))
+    assert(s.sumA === 255L * w * h) // TYPE_INT_RGB decodes as opaque
+
+    // Corrupt/truncated blobs degrade to None, never an exception.
+    assert(Multimodal.decodeStats(blob.take(10)).isEmpty)
+    assert(Multimodal.decodeStats(Array[Byte](1, 2, 3)).isEmpty)
+
+    // ImageIODecoder features are the mean channels of the same sums.
+    implicit val sp = spark
+    import sp.implicits._
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(id, blob, "image/png", w, h, blob.length.toLong))
+        .toDS(), Multimodal.ImageIODecoder).collect()
+    assert(feats.head.feature.length === 4)
+    assert(math.abs(feats.head.feature(0) - er.toFloat / (255f * w * h)) < 1e-6)
+  }
 }

@@ -439,6 +439,185 @@ class PlanBudgetSpec extends AnyFunSuite {
     // e4-quantized norm projection + output sort; ReuseExchange serves
     // the three byV subtrees from one scan at runtime.
     "q159_embedding_norm_profile" -> 9,
+    // q160: synthesize → decode are narrow maps; the only exchange is the
+    // output sort.
+    "q160_pixel_stats" -> 1,
+  )
+
+
+  /** query → max FileSourceScan leaves in the EXECUTED plan (after AQE
+    * replan + exchange/stage reuse; a reused exchange hides its subtree,
+    * so a count of 1 here IS the "scans the input once" claim). The
+    * round-9 order-stats bug — an optimizer interaction silently
+    * de-canonicalizing a shared subtree and re-scanning the input 3–5× —
+    * was found by manually reading executed plans; this gate makes that
+    * class of regression mechanical. Budgets are the measured counts at
+    * HEAD; 0 means the query's inputs are served entirely from
+    * session-scope caches registered by earlier (alphabetical) queries —
+    * the iteration order below is sorted, so the cache state at each
+    * query's execution is deterministic.
+    */
+  private val scanBudget: Map[String, Int] = Map(
+    "q01_pricing_summary" -> 1,
+    "q02_load_stats" -> 1,
+    "q03_order_flatten" -> 2,
+    "q04_prefix_flatten" -> 2,
+    "q05_safe_cast" -> 1,
+    "q06_string_clamp" -> 1,
+    "q07_etl_stamp" -> 1,
+    "q08_column_intersect" -> 1,
+    "q09_join_enrich" -> 5,
+    "q100_incremental_mart" -> 4,
+    "q101_sliding_distinct" -> 2,
+    "q102_interval_coalesce" -> 1,
+    "q103_gap_fill" -> 3,
+    "q104_markov_transitions" -> 1,
+    "q105_trend_ols" -> 1,
+    "q106_scd2_dimension" -> 1,
+    "q107_overlap_join" -> 0,
+    "q108_char_entropy" -> 1,
+    "q109_zipf_slope" -> 1,
+    "q10_semi_join" -> 2,
+    "q110_scd2_incremental" -> 2,
+    "q111_winsorize" -> 2,
+    "q112_moments" -> 1,
+    "q113_kll_mergeable_quantiles" -> 2,
+    "q114_ri_audit" -> 17,
+    "q115_chi_square" -> 1,
+    "q116_unpivot" -> 1,
+    "q117_profile_any" -> 1,
+    "q118_asof_nearest" -> 2,
+    "q119_fuzzy_block_match" -> 2,
+    "q11_anti_join" -> 2,
+    "q120_triangle_stats" -> 0,
+    "q121_pagerank" -> 0,
+    "q122_ks_drift" -> 1,
+    "q123_adamic_adar" -> 0,
+    "q124_corr_matrix" -> 1,
+    "q125_bigram_backoff" -> 3,
+    "q126_bpe_vocab" -> 0,
+    "q127_hard_negatives" -> 2,
+    "q128_sorted_neighborhood" -> 2,
+    "q129_semantic_dedup" -> 0,
+    "q12_merge_upsert" -> 2,
+    "q130_bpe_compression" -> 1,
+    "q131_gopher_gate" -> 2,
+    "q132_kl_divergence" -> 2,
+    "q133_source_overlap" -> 0,
+    "q134_entity_resolution" -> 4,
+    "q135_label_agreement" -> 1,
+    "q136_kcenter_coreset" -> 0,
+    "q137_readability" -> 1,
+    "q138_er_audit" -> 3,
+    "q139_lsh_recall_audit" -> 0,
+    "q13_retention" -> 1,
+    "q140_k_anonymity" -> 1,
+    "q141_band_choice" -> 0,
+    "q142_noisy_er_audit" -> 6,
+    "q143_media_probe" -> 1,
+    "q144_l_diversity" -> 1,
+    "q145_t_closeness" -> 2,
+    "q146_label_outliers" -> 1,
+    "q147_mixture_waterfill" -> 1,
+    "q148_contamination_matrix" -> 2,
+    "q149_leakage_split" -> 3,
+    "q14_incremental_failopen" -> 1,
+    "q150_oov_audit" -> 0,
+    "q151_dup_modularity" -> 3,
+    "q152_adaptive_gate" -> 0,
+    "q153_pq_ann" -> 5,
+    "q154_count_min" -> 0,
+    "q155_quality_survivor" -> 2,
+    "q156_dedup_impact" -> 2,
+    "q157_ngram_novelty" -> 0,
+    "q158_tokenizer_fertility" -> 1,
+    "q159_embedding_norm_profile" -> 1,
+    "q15_staging_summary" -> 1,
+    "q160_pixel_stats" -> 1,
+    "q16_quality_gate" -> 6,
+    "q17_mart_daily" -> 2,
+    "q18_window_rank" -> 1,
+    "q19_hourly_events" -> 1,
+    "q20_validation" -> 4,
+    "q21_dedup_exact" -> 1,
+    "q22_ngram_jaccard" -> 0,
+    "q23_minhash_lsh" -> 0,
+    "q24_simhash" -> 0,
+    "q25_embed_neardup" -> 2,
+    "q26_ann_topk" -> 2,
+    "q27_ann_lsh" -> 4,
+    "q28_lang_id" -> 1,
+    "q29_text_quality" -> 1,
+    "q30_token_count" -> 1,
+    "q31_fingerprint" -> 1,
+    "q32_multimodal_meta" -> 1,
+    "q33_media_features" -> 1,
+    "q34_hmac_sign" -> 1,
+    "q35_ann_ivf" -> 5,
+    "q36_dedup_clusters" -> 1,
+    "q37_train_split" -> 1,
+    "q38_balanced_sample" -> 1,
+    "q39_tfidf" -> 1,
+    "q40_rollup" -> 1,
+    "q41_asof_join" -> 2,
+    "q42_sessionize" -> 1,
+    "q43_bm25" -> 1,
+    "q44_profile" -> 2,
+    "q45_grouping_sets" -> 1,
+    "q46_rolling_fp" -> 1,
+    "q47_window_suite" -> 1,
+    "q48_set_ops" -> 2,
+    "q49_pivot" -> 1,
+    "q50_fuzzy_match" -> 2,
+    "q51_range_join" -> 1,
+    "q52_skew_salted_join" -> 2,
+    "q53_collect_set" -> 1,
+    "q54_ngram_freq" -> 1,
+    "q55_anomaly" -> 2,
+    "q56_percentiles_by_group" -> 1,
+    "q57_regex_extract" -> 1,
+    "q58_zorder_key" -> 1,
+    "q59_snapshot_diff" -> 2,
+    "q60_histogram" -> 1,
+    "q61_json_parse" -> 1,
+    "q62_bucketed_join" -> 2,
+    "q63_schema_evolution" -> 2,
+    "q64_moving_window" -> 1,
+    "q65_mode_per_group" -> 1,
+    "q66_cube" -> 1,
+    "q67_approx_distinct" -> 1,
+    "q68_doc_logprob" -> 2,
+    "q69_mad_outlier" -> 3,
+    "q70_containment" -> 0,
+    "q71_funnel" -> 3,
+    "q72_pii_scrub" -> 1,
+    "q73_repetition" -> 1,
+    "q74_sketch_merge" -> 2,
+    "q75_contamination" -> 1,
+    "q76_seq_pack" -> 2,
+    "q77_mixture_sample" -> 3,
+    "q78_changelog_compact" -> 1,
+    "q79_quantile_sketch" -> 2,
+    "q80_kmeans_refine" -> 1,
+    "q81_bloom_prefilter" -> 2,
+    "q82_cdc_chunks" -> 1,
+    "q83_cohort_retention" -> 2,
+    "q84_temperature_mixture" -> 4,
+    "q85_substring_dedup" -> 1,
+    "q86_span_removal" -> 2,
+    "q87_length_batching" -> 1,
+    "q88_delta_neardup" -> 1,
+    "q89_skew_report" -> 1,
+    "q90_heavy_hitters" -> 0,
+    "q91_token_budget" -> 2,
+    "q92_epoch_shuffle" -> 1,
+    "q93_priority_sample" -> 1,
+    "q94_pmi_collocations" -> 0,
+    "q95_stratified_priority" -> 1,
+    "q96_topk_agg" -> 1,
+    "q97_curation_pipeline" -> 3,
+    "q98_heavy_hitters_by_source" -> 0,
+    "q99_repeat_oversample" -> 2,
   )
 
   /** Queries where a SortMergeJoin is the INTENDED strategy (both sides
@@ -513,5 +692,26 @@ class PlanBudgetSpec extends AnyFunSuite {
         s"$n: ${a.smj} SortMergeJoin(s)" }
     assert(smjRegressions.isEmpty,
       s"broadcast→sort-merge regressions:\n  ${smjRegressions.mkString("\n  ")}")
+  }
+
+  test("every declared query stays within its executed scan-leaf budget") {
+    // Executes every query (sf0.001) through its own QueryExecution so
+    // AQE finalizes and reuse resolves — the static plan cannot answer
+    // "how many times did this input really get scanned".
+    val audits = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> PlanAudit.executedAudit(fn(spark, sfDir))
+    }
+    val missing = audits.collect {
+      case (n, _) if !scanBudget.contains(n) => n }
+    assert(missing.isEmpty,
+      s"new queries without a scan budget (add to scanBudget): ${missing.mkString(", ")}")
+    val stale = scanBudget.keySet -- audits.map(_._1)
+    assert(stale.isEmpty,
+      s"scan-budget entries for removed/renamed queries: ${stale.mkString(", ")}")
+    val over = audits.collect {
+      case (n, a) if a.scans > scanBudget(n) =>
+        s"$n: ${a.scans} executed scans > budget ${scanBudget(n)}" }
+    assert(over.isEmpty,
+      s"executed-scan regressions (a shared subtree stopped being reused?):\n  ${over.mkString("\n  ")}")
   }
 }

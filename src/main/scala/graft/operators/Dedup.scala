@@ -509,6 +509,16 @@ object Dedup {
     * (never invent them); with the default k=128/bands=32 recall at
     * jac≥0.5 is ≈ 1-(1-0.5⁴)³² ≈ 0.87 and at jac≥0.9, ≈ 1-5e-6.
     */
+  /** [[minhashNearDupPairs]] parameterized by a [[CurationConfig]]: the
+    * corpus-scale near-dup operator consuming the q141 chooser's measured
+    * (k, bands) pick — via [[CurationConfig.pinned]] or a fresh
+    * [[CurationConfig.fromAudit]] — instead of hand-typed constants.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      config: CurationConfig): DataFrame =
+    minhashNearDupPairs(df, idCol, textCol, config.n,
+      config.jaccardThreshold, config.minhashK, config.bands)
+
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, k: Int = 128, bands: Int = 32,
       scope: CacheScope = CacheScope.session): DataFrame = {

@@ -436,8 +436,13 @@ object CurationQueries {
     QueryDef(
       "q97_curation_pipeline",
       (spark, dir) => {
+        // The dedup knobs come from the PRODUCTION config — the q141
+        // chooser's pinned pick (CurationConfigSpec re-derives it), the
+        // same value CurationStream consumes — not per-query constants.
+        val cfg = graft.operators.CurationConfig.pinned
         val docs = Tables.documents(spark, dir).filter(col("n_chars") >= 100)
-        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1), 3, 0.5)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1),
+          cfg.n, cfg.jaccardThreshold)
         val survivors = Dedup
           .duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
           .filter(col("is_survivor")).select(col("id").as("doc_id"))

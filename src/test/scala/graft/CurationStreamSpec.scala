@@ -34,7 +34,10 @@ class CurationStreamSpec extends AnyFunSuite {
     // Batch 1: A, its in-batch near-dup, an unrelated B, and a too-short doc.
     val r1 = CurationStream.curateBatch(
       df(doc(1, textA), doc(2, textAEnd), doc(3, textB), (4L, "tiny", 4L)), root)
-    assert(r1 === CurationStream.BatchReport(4, 3, 1, 0, 2, Some(1L)))
+    // privacyBelowKPpm = 1000000: the two accepted docs land in distinct
+    // 100-char length buckets (199 → 1, 224 → 2), so both QI classes are
+    // singletons below k=5.
+    assert(r1 === CurationStream.BatchReport(4, 3, 1, 0, 2, Some(1L), 1000000L))
     assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
       .get.select("doc_id").as[Long].collect().sorted === Array(1L, 3L))
 
@@ -43,7 +46,7 @@ class CurationStreamSpec extends AnyFunSuite {
     // (survives in-batch, rejected by the corpus gate), and a fresh doc.
     val r2 = CurationStream.curateBatch(
       df(doc(5, textAFront), doc(1, textA), doc(6, textC)), root)
-    assert(r2 === CurationStream.BatchReport(3, 3, 1, 1, 1, Some(2L)))
+    assert(r2 === CurationStream.BatchReport(3, 3, 1, 1, 1, Some(2L), 1000000L))
     assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
       .get.select("doc_id").as[Long].collect().sorted === Array(1L, 3L, 6L))
 
@@ -52,6 +55,7 @@ class CurationStreamSpec extends AnyFunSuite {
     val r3 = CurationStream.curateBatch(
       df(doc(5, textAFront), doc(1, textA), doc(6, textC)), root)
     assert(r3.accepted === 0L && r3.version.isEmpty)
+    assert(r3.privacyBelowKPpm === 0L) // nothing accepted → nothing exposed
     assert(ManifestCommit.currentManifest(spark, root).get.version === 2L)
 
     // Gram-free docs (< n tokens) are accepted once and replay-idempotent
@@ -95,5 +99,23 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
       .get.select("doc_id").as[Long].collect().sorted === Array(1L, 3L, 6L))
     assert(reports.map(_.accepted).sum === 3L)
+  }
+
+  test("in-cycle privacy gate: k-anonymity ppm over the accepted frame") {
+    val root = Files.createTempDirectory("graft-curation-priv").toString
+    // 5 mutually-distinct docs in ONE 100-char length bucket (6-char
+    // words x 25 = 174 chars -> bucket 1): a full k=5 class, nothing
+    // below k.
+    val five = (0 until 5).map(d =>
+      doc(10 + d, ('a' to 'y').map(c => s"p${d}x$c$c$c").mkString(" ")))
+    val r1 = CurationStream.curateBatch(df(five: _*), root)
+    assert(r1.accepted === 5L && r1.privacyBelowKPpm === 0L)
+
+    // Add a singleton bucket: 1 of 6 accepted rows is below k -> exact
+    // integer ppm 166666 (1000000 div 6).
+    val root2 = Files.createTempDirectory("graft-curation-priv2").toString
+    val longDoc = doc(99, ('a' to 'y').map(c => s"qzz${c}wide$c$c$c").mkString(" "))
+    val r2 = CurationStream.curateBatch(df((five :+ longDoc): _*), root2)
+    assert(r2.accepted === 6L && r2.privacyBelowKPpm === 166666L)
   }
 }

@@ -46,6 +46,26 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(cm.length === 16)
       assert(cm.slice(0, 8).sum === 3L && cm.slice(8, 16).sum === 3L,
         s"row sums must equal n: $cm")
+      // GROUP BY parity (SQL ≡ Scala for the injected AGGREGATE): the
+      // grouped sketch through spark.sql must equal the column-API
+      // aggregate on the same data — exercising the TypedImperativeAggregate
+      // through partial/merge under hash aggregation, not just one point
+      // call.
+      locally {
+        import s.implicits._
+        val rows = Seq(("x", "a"), ("x", "a"), ("x", "b"), ("y", "c"))
+        val viaSql = s.sql(
+          """SELECT g, count_min(k, 2, 8) AS grid
+            |FROM VALUES ('x','a'),('x','a'),('x','b'),('y','c') t(g, k)
+            |GROUP BY g ORDER BY g""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+        val viaApi = rows.toDF("g", "k").groupBy($"g")
+          .agg(graft.functions.CountMin.count_min($"k", 2, 8).as("grid"))
+          .orderBy($"g")
+          .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+        assert(viaSql === viaApi)
+        assert(viaSql.map(_._1) === Seq("x", "y"))
+      }
       // Optimizer-rule injection: a jaro_winkler threshold filter above
       // the 0.8 floor gains the provably-implied length-ratio conjunct...
       import s.implicits._

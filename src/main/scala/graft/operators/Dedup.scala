@@ -730,18 +730,42 @@ object Dedup {
     // Lifecycle is the caller's CacheScope.
     val withSim = scope.cached(df.select(col(idCol).as("id"),
       simhash64(tokens(col(textCol)), tokenHasher).as("sim")))
-    val chunked = withSim.select(col("id"), col("sim"), posexplode(
-      array((0 until 4).map(c =>
-        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .toDF("id", "sim", "chunk_idx", "chunk_val")
-    val a = chunked.select(col("id").as("id_a"), col("sim").as("sim_a"),
+    hammingNearDupPairs(withSim, "id", col("sim"), maxHamming)
+  }
+
+  /** Generic Hamming-ball near-dup pairs over ANY packed-bits hash column
+    * (SimHash, perceptual image dHash, audio fingerprints): block on
+    * `chunks` equal-width bit chunks — a pair within Hamming ≤ chunks−1
+    * must agree on ≥1 chunk (pigeonhole; Manku et al., WWW'07) — then
+    * verify exact `bit_count(xor)`. `maxHamming` is capped at chunks−1:
+    * a larger radius would need more chunks, and silently losing pairs
+    * past the guarantee is the bug this require prevents.
+    *
+    * Scale shape: |df|×chunks exploded rows, an equi-join on
+    * (chunk_idx, chunk_val) whose collision count IS the candidate cost,
+    * exact verification on the colliding pairs only — never doc×doc.
+    */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: Column,
+      maxHamming: Int, chunks: Int = 4, chunkBits: Int = 16): DataFrame = {
+    require(chunks >= 2 && chunkBits >= 1 && chunks * chunkBits <= 64,
+      s"chunks ($chunks) × chunkBits ($chunkBits) must pack into 64 bits")
+    require(maxHamming >= 0 && maxHamming <= chunks - 1,
+      s"maxHamming ($maxHamming) beyond the $chunks-chunk pigeonhole " +
+        "guarantee (<= chunks-1) would silently lose pairs")
+    val mask = (1L << chunkBits) - 1
+    val chunked = df.select(col(idCol).as("id"), hashCol.as("h"))
+      .select(col("id"), col("h"), posexplode(
+        array((0 until chunks).map(c =>
+          shiftright(col("h"), c * chunkBits).bitwiseAND(mask)): _*)))
+      .toDF("id", "h", "chunk_idx", "chunk_val")
+    val a = chunked.select(col("id").as("id_a"), col("h").as("h_a"),
       col("chunk_idx"), col("chunk_val"))
-    val b = chunked.select(col("id").as("id_b"), col("sim").as("sim_b"),
+    val b = chunked.select(col("id").as("id_b"), col("h").as("h_b"),
       col("chunk_idx"), col("chunk_val"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
-      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", hamming64(col("h_a"), col("h_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

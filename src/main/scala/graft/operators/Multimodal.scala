@@ -215,6 +215,165 @@ object Multimodal {
     })
   }
 
+  /** 56-bit perceptual difference hash (dHash; Krawetz's public
+    * algorithm) from REALLY decoded pixels: 8×8 grid of
+    * nearest-neighbor-sampled gray values (x_i = i·w div 8,
+    * y_j = j·h div 8; Rec.601 integer luma), bit j·7+i set when
+    * gray(i+1, j) > gray(i, j) — 7 horizontal-gradient bits per row ×
+    * 8 rows. 56 bits keeps the packed hash comfortably inside a signed
+    * BIGINT in any engine (the q24 SimHash discipline, where bits 60–63
+    * stay zero for the same reason). Nearest-neighbor (not
+    * area-average) sampling is the deterministic, integer-exact choice
+    * an oracle can replay pixel-for-pixel; production would swap an
+    * area filter in HERE without touching the blocking machinery.
+    * None = blob not decodable as an image.
+    */
+  def dhash56(blob: Array[Byte]): Option[Long] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          def gray(i: Int, j: Int): Long = {
+            val argb = img.getRGB(i * w / 8, j * h / 8)
+            (299L * ((argb >>> 16) & 0xFF) + 587L * ((argb >>> 8) & 0xFF) +
+              114L * (argb & 0xFF)) / 1000L
+          }
+          var bits = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 7) {
+              if (gray(i + 1, j) > gray(i, j)) bits |= 1L << (j * 7 + i)
+              i += 1
+            }
+            j += 1
+          }
+          bits
+        }
+    } catch { case _: Throwable => None }
+
+  final case class DhashRow(media_id: Long, dhash: Long)
+
+  /** Per-image perceptual hash over a media table (narrow mapPartitions;
+    * non-decodable blobs drop — [[probeMetadata]] reports them). Feed the
+    * output to [[Dedup.hammingNearDupPairs]] (Hamming-ball blocking) or
+    * group on `dhash` for exact perceptual duplicates.
+    */
+  def imageDhash(media: Dataset[MediaRow])
+      (implicit spark: SparkSession): Dataset[DhashRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      dhash56(r.media).map(DhashRow(r.media_id, _))))
+  }
+
+  // ------------------------------------------------------- audio decoding
+
+  /** Exact integer sample aggregates of one decoded PCM16 mono WAV. All
+    * BIGINT-exact: sample count, Σ|s|, max|s|, sign-change count
+    * (zero-crossings, zero treated as positive), and clipped-sample
+    * count (s = ±32767/−32768) — the silence/clipping/energy triage a
+    * corpus audio gate runs before any model sees a waveform.
+    */
+  final case class PcmStats(nSamples: Long, sumAbs: Long, maxAbs: Long,
+      zeroCrossings: Long, clipCount: Long)
+
+  /** Decode a WAV blob through the REAL `javax.sound.sampled` parser (the
+    * JRE's WAVE reader — header walk, fmt validation, PCM extraction)
+    * and reduce the samples in one pass. None = not parseable, or not
+    * the PCM16 mono little-endian layout this reducer handles (a corrupt
+    * blob must not kill the partition).
+    */
+  def decodeWavStats(blob: Array[Byte]): Option[PcmStats] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+            f.isBigEndian || f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          var (sumAbs, maxAbs, zc, clip) = (0L, 0L, 0L, 0L)
+          var prevNeg = false
+          var i = 0
+          while (i < n) {
+            val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            val a = math.abs(s.toLong)
+            sumAbs += a
+            if (a > maxAbs) maxAbs = a
+            if (s == 32767 || s == -32768) clip += 1
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          Some(PcmStats(n.toLong, sumAbs, maxAbs, zc, clip))
+        }
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  final case class PcmStatsRow(media_id: Long, n_samples: Long,
+      sum_abs: Long, max_abs: Long, zero_crossings: Long, clip_count: Long,
+      mean_abs_milli: Long)
+
+  /** Per-clip PCM statistics over a media table of WAV blobs (narrow;
+    * non-decodable or non-PCM16-mono blobs drop). `mean_abs_milli` =
+    * (1000·Σ|s|) div n — exact integer milli-units.
+    */
+  def audioPcmStats(media: Dataset[MediaRow])
+      (implicit spark: SparkSession): Dataset[PcmStatsRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWavStats(r.media).map { s =>
+        PcmStatsRow(r.media_id, s.nSamples, s.sumAbs, s.maxAbs,
+          s.zeroCrossings, s.clipCount, 1000L * s.sumAbs / s.nSamples)
+      }
+    })
+  }
+
+  /** Deterministic WAV test-clip synthesizer: sample t of clip `id` is
+    * the wrapping sawtooth s_t = (((31·id + 1009·t) mod 4001) − 2000)·16
+    * — full PCM16 dynamic range with ~one sign change per two samples
+    * (the 1009 stride wraps the modulus often, so zero-crossing counting
+    * is actually exercised), replayable in SQL — encoded
+    * through the REAL `javax.sound.sampled` WAVE writer (RIFF header,
+    * fmt chunk, little-endian PCM16 mono). The [[syntheticPng]]
+    * discipline for audio: decode must recover the formula exactly.
+    */
+  def syntheticWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var t = 0
+    while (t < nSamples) {
+      val s = ((java.lang.Math.floorMod(31 * id + 1009L * t, 4001) - 2000) * 16).toInt
+      pcm(2 * t) = (s & 0xFF).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table of [[syntheticWav]] blobs, one per input row; clip
+    * length rides a small modulus of the id (100–149 samples) so the
+    * oracle's replay grid stays bounded. Narrow map, encode distributed.
+    */
+  def syntheticWavTable(df: DataFrame, idCol: String)
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id")).as[Long].map { id =>
+      val n = 100 + (id % 50).toInt
+      val blob = syntheticWav(id, n)
+      MediaRow(id, blob, "audio/wav", 1, 8000, blob.length.toLong)
+    }
+  }
+
   /** Deterministic PNG test-image synthesizer: pixel (x,y) of image `id`
     * is the arithmetic ramp r=(7id+13x+31y)%256, g=(11id+17x+5y)%256,
     * b=(3id+23x+29y)%256, encoded through the REAL ImageIO PNG writer.

@@ -262,6 +262,105 @@ object TextQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Perceptual image hashing from REAL decoded pixels: 56-bit dHash
+    // (horizontal-gradient sign bits over an 8×8 nearest-neighbor
+    // grayscale grid) of the q160 ramp PNGs. The oracle replays the
+    // ramp → sample → luma → gradient → bit-pack chain arithmetically,
+    // so a one-bit drift anywhere in decode, sampling, or packing flips
+    // a BIGINT. This is the image counterpart of q24's SimHash — the
+    // hash that makes image dedup a 64-bit problem instead of a pixel
+    // problem.
+    QueryDef(
+      "q161_image_dhash",
+      (spark, dir) => {
+        implicit val s = spark
+        Multimodal.imageDhash(Multimodal.syntheticPngTable(
+            Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+          .toDF().orderBy(col("media_id"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS media_id, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h FROM documents),
+             |gs AS (SELECT unnest(generate_series(0, 7)) AS gi),
+             |g AS (SELECT media_id, i.gi AS gx, j.gi AS gy,
+             |    (299*((7*media_id + 13*((i.gi*w)//8) + 31*((j.gi*h)//8)) % 256)
+             |   + 587*((11*media_id + 17*((i.gi*w)//8) + 5*((j.gi*h)//8)) % 256)
+             |   + 114*((3*media_id + 23*((i.gi*w)//8) + 29*((j.gi*h)//8)) % 256)) // 1000 AS gray
+             |  FROM ids, gs i, gs j),
+             |bits AS (SELECT a.media_id,
+             |    CASE WHEN b.gray > a.gray THEN (CAST(1 AS BIGINT) << (a.gy*7 + a.gx)) ELSE 0 END AS bit
+             |  FROM g a JOIN g b ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
+             |  WHERE a.gx < 7)
+             |SELECT media_id, CAST(SUM(bit) AS BIGINT) AS dhash
+             |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Exact perceptual-duplicate groups: q161's hashes grouped — the
+    // first stage of production image dedup (identical dHash = same
+    // image up to the hash's invariances; the Hamming-ball NEAR-dup pass
+    // rides Dedup.hammingNearDupPairs on the same column, spec-covered).
+    // One |distinct-hash|-sized aggregate; canonical = min id (the q36
+    // survivor convention).
+    QueryDef(
+      "q162_perceptual_dups",
+      (spark, dir) => {
+        implicit val s = spark
+        Multimodal.imageDhash(Multimodal.syntheticPngTable(
+            Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+          .toDF()
+          .groupBy(col("dhash"))
+          .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("canonical_id"))
+          .orderBy(col("dhash"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS media_id, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h FROM documents),
+             |gs AS (SELECT unnest(generate_series(0, 7)) AS gi),
+             |g AS (SELECT media_id, i.gi AS gx, j.gi AS gy,
+             |    (299*((7*media_id + 13*((i.gi*w)//8) + 31*((j.gi*h)//8)) % 256)
+             |   + 587*((11*media_id + 17*((i.gi*w)//8) + 5*((j.gi*h)//8)) % 256)
+             |   + 114*((3*media_id + 23*((i.gi*w)//8) + 29*((j.gi*h)//8)) % 256)) // 1000 AS gray
+             |  FROM ids, gs i, gs j),
+             |bits AS (SELECT a.media_id,
+             |    CASE WHEN b.gray > a.gray THEN (CAST(1 AS BIGINT) << (a.gy*7 + a.gx)) ELSE 0 END AS bit
+             |  FROM g a JOIN g b ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
+             |  WHERE a.gx < 7),
+             |dh AS (SELECT media_id, CAST(SUM(bit) AS BIGINT) AS dhash
+             |  FROM bits GROUP BY media_id)
+             |SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
+             |  CAST(min(media_id) AS BIGINT) AS canonical_id
+             |FROM dh GROUP BY dhash ORDER BY dhash""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // REAL audio decode under the oracle gate: per-row WAV clips whose
+    // PCM16 samples are a planted wrapping sawtooth, encoded through the
+    // real javax.sound.sampled WAVE writer and decoded through the real
+    // parser; the silence/energy/clipping triage metrics (Σ|s|, max|s|,
+    // zero-crossings, clip count) come out BIGINT-exact and the oracle
+    // replays them from the formula alone — the audio counterpart of
+    // q160's pixel gate.
+    QueryDef(
+      "q163_audio_pcm_stats",
+      (spark, dir) => {
+        implicit val s = spark
+        Multimodal.audioPcmStats(Multimodal.syntheticWavTable(
+            Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+          .toDF().orderBy(col("media_id"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS media_id, 100 + doc_id % 50 AS n FROM documents),
+             |ts AS (SELECT unnest(generate_series(0, 149)) AS t),
+             |s AS (SELECT media_id, n, t, ((31*media_id + 1009*t) % 4001 - 2000) * 16 AS v
+             |  FROM ids, ts WHERE t < n),
+             |w AS (SELECT media_id, n, t, v,
+             |    lag(v) OVER (PARTITION BY media_id ORDER BY t) AS pv FROM s)
+             |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+             |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+             |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+             |  CAST(SUM(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS clip_count,
+             |  CAST((1000 * SUM(ABS(v))) // n AS BIGINT) AS mean_abs_milli
+             |FROM w GROUP BY media_id, n ORDER BY media_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // Order-SENSITIVE document fingerprint: polynomial rolling hash
     // (Rabin-Karp shape) over the token stream — unlike q31's normalized
     // md5, swapping two tokens changes this fingerprint. Uses the

@@ -155,4 +155,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.head.feature.length === 4)
     assert(math.abs(feats.head.feature(0) - er.toFloat / (255f * w * h)) < 1e-6)
   }
+
+  test("dHash + WAV decode: perceptual hash bits and PCM edge cases") {
+    // dHash of a hand-built 2x1 image: left gray < right gray -> exactly
+    // bit 0 of row 0 set, all other rows sample the same y (h=1).
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val dh = Multimodal.dhash56(bos.toByteArray).get
+    // grid x: i*2 div 8 = 0 for i<4, 1 for i>=4 -> gradient fires at i=3
+    // in every row j (gray jumps 0 -> 254): bits j*7+3.
+    assert(dh === (0 until 8).map(j => 1L << (j * 7 + 3)).sum)
+    assert(Multimodal.dhash56(Array[Byte](9, 9, 9)).isEmpty)
+
+    // WAV: clipping and zero-crossing edge cases on handcrafted samples.
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xFF).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // signs walk +,-,+,-,0(+) -> 4 changes (zero counts as non-negative);
+    // both rail values count as clipped.
+    val s1 = Multimodal.decodeWavStats(wav(Seq(100, -200, 32767, -32768, 0))).get
+    assert(s1 === Multimodal.PcmStats(5, 100 + 200 + 32767 + 32768 + 0,
+      32768, 4, 2))
+    assert(Multimodal.decodeWavStats(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("hammingNearDupPairs blocks and verifies any packed-bit hash") {
+    import spark.implicits._
+    // 0x0F and 0x0E differ by 1 bit; 0xF000000000000L is far from both.
+    val df = Seq((1L, 0x0FL), (2L, 0x0EL), (3L, 0xF0F0F0F0F0F0FL))
+      .toDF("id", "h")
+    val pairs = Dedup.hammingNearDupPairs(df, "id", col("h"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue()))
+    assert(pairs.toSeq === Seq((1L, 2L, 1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(df, "id", col("h"), maxHamming = 4)
+    }
+  }
 }

@@ -442,6 +442,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q160: synthesize → decode are narrow maps; the only exchange is the
     // output sort.
     "q160_pixel_stats" -> 1,
+    // q161/q163: same shape — synthesize → decode → sort.
+    "q161_image_dhash" -> 1,
+    "q163_audio_pcm_stats" -> 1,
+    // q162: the |distinct-hash|-sized group agg + the output sort.
+    "q162_perceptual_dups" -> 2,
   )
 
 
@@ -534,6 +539,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q159_embedding_norm_profile" -> 1,
     "q15_staging_summary" -> 1,
     "q160_pixel_stats" -> 1,
+    "q161_image_dhash" -> 1,
+    "q162_perceptual_dups" -> 1,
+    "q163_audio_pcm_stats" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -724,14 +724,15 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int,
       tokenHasher: Column => Column = t => xxhash64(t),
-      scope: CacheScope = CacheScope.session): DataFrame = {
-    // Cached: both chunk-join branches read this frame — without the cache
-    // each branch re-runs tokenize + per-token hash + the 64-bit sign sum.
-    // Lifecycle is the caller's CacheScope.
-    val withSim = scope.cached(df.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol)), tokenHasher).as("sim")))
-    hammingNearDupPairs(withSim, "id", col("sim"), maxHamming)
-  }
+      scope: CacheScope = CacheScope.session): DataFrame =
+    // The signature frame is cached INSIDE hammingNearDupPairs (both
+    // chunk-join branches read it — without the cache each branch re-runs
+    // tokenize + per-token hash + the 64-bit sign sum), under this
+    // caller's CacheScope.
+    hammingNearDupPairs(
+      df.select(col(idCol).as("id"),
+        simhash64(tokens(col(textCol)), tokenHasher).as("sim")),
+      "id", col("sim"), maxHamming, scope = scope)
 
   /** Generic Hamming-ball near-dup pairs over ANY packed-bits hash column
     * (SimHash, perceptual image dHash, audio fingerprints): block on
@@ -744,16 +745,21 @@ object Dedup {
     * Scale shape: |df|×chunks exploded rows, an equi-join on
     * (chunk_idx, chunk_val) whose collision count IS the candidate cost,
     * exact verification on the colliding pairs only — never doc×doc.
+    * The (id, hash) frame is CACHED (caller's `scope` owns the
+    * lifecycle): both self-join branches read it, and the hash is
+    * typically the expensive part — a media decode or a full tokenize —
+    * that must not run twice per input.
     */
   def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: Column,
-      maxHamming: Int, chunks: Int = 4, chunkBits: Int = 16): DataFrame = {
+      maxHamming: Int, chunks: Int = 4, chunkBits: Int = 16,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(chunks >= 2 && chunkBits >= 1 && chunks * chunkBits <= 64,
       s"chunks ($chunks) × chunkBits ($chunkBits) must pack into 64 bits")
     require(maxHamming >= 0 && maxHamming <= chunks - 1,
       s"maxHamming ($maxHamming) beyond the $chunks-chunk pigeonhole " +
         "guarantee (<= chunks-1) would silently lose pairs")
     val mask = (1L << chunkBits) - 1
-    val chunked = df.select(col(idCol).as("id"), hashCol.as("h"))
+    val chunked = scope.cached(df.select(col(idCol).as("id"), hashCol.as("h")))
       .select(col("id"), col("h"), posexplode(
         array((0 until chunks).map(c =>
           shiftright(col("h"), c * chunkBits).bitwiseAND(mask)): _*)))

@@ -314,6 +314,35 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Throwable => None }
 
+  /** Decode a WAV blob to its raw PCM16 samples through the REAL
+    * `javax.sound.sampled` parser. Same format guard as
+    * [[decodeWavStats]]; unlike it, this materializes the sample array —
+    * the fingerprint windowing needs n before it can place any sample,
+    * so a one-pass stream would need two decodes instead.
+    */
+  def decodeWavSamples(blob: Array[Byte]): Option[Array[Int]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+            f.isBigEndian || f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            i += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
   final case class PcmStatsRow(media_id: Long, n_samples: Long,
       sum_abs: Long, max_abs: Long, zero_crossings: Long, clip_count: Long,
       mean_abs_milli: Long)
@@ -343,19 +372,34 @@ object Multimodal {
     * discipline for audio: decode must recover the formula exactly.
     */
   def syntheticWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
-    val pcm = new Array[Byte](nSamples * 2)
+    val pcm = new Array[Int](nSamples)
     var t = 0
     while (t < nSamples) {
-      val s = ((java.lang.Math.floorMod(31 * id + 1009L * t, 4001) - 2000) * 16).toInt
-      pcm(2 * t) = (s & 0xFF).toByte
-      pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      pcm(t) = ((java.lang.Math.floorMod(31 * id + 1009L * t, 4001) - 2000) * 16).toInt
+      t += 1
+    }
+    encodeWavPcm16(pcm, sampleRate)
+  }
+
+  /** PCM16-mono-little-endian WAVE encode through the REAL
+    * `javax.sound.sampled` writer (RIFF header, fmt chunk). Samples must
+    * already fit in 16 bits — the synthesizers guarantee it by formula;
+    * a checked clamp here would hide a planted-formula bug from the
+    * oracle, so out-of-range wraps loudly instead.
+    */
+  def encodeWavPcm16(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var t = 0
+    while (t < samples.length) {
+      pcm(2 * t) = (samples(t) & 0xFF).toByte
+      pcm(2 * t + 1) = ((samples(t) >> 8) & 0xFF).toByte
       t += 1
     }
     val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(
       new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
@@ -372,6 +416,84 @@ object Multimodal {
       val blob = syntheticWav(id, n)
       MediaRow(id, blob, "audio/wav", 1, 8000, blob.length.toLong)
     }
+  }
+
+  /** Variant corpus for audio near-dup testing: clip `id` is base
+    * recording b = id mod 125 played at amplitude a = 4 + 4·(id div 125
+    * mod 4) with a tiny additive dither ((id + 53t) mod 7 − 3) — the
+    * "same master, different volume, re-encoded" family a fingerprint
+    * dedup must collapse. Length rides the BASE (n = 100 + b mod 50), so
+    * variants of one master align sample-for-sample; max |s| =
+    * 2000·16 + 3 = 32003 stays inside PCM16. Replayable in SQL.
+    */
+  def syntheticWavVariant(id: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val b = id % 125
+    val n = 100 + (b % 50).toInt
+    val amp = 4 + 4 * ((id / 125) % 4)
+    val pcm = new Array[Int](n)
+    var t = 0
+    while (t < n) {
+      pcm(t) = ((java.lang.Math.floorMod(31 * b + 1009L * t, 4001) - 2000) * amp +
+        (java.lang.Math.floorMod(id + 53L * t, 7) - 3)).toInt
+      t += 1
+    }
+    encodeWavPcm16(pcm, sampleRate)
+  }
+
+  /** Media table of [[syntheticWavVariant]] blobs, one per input row.
+    * Narrow map, encode distributed.
+    */
+  def syntheticWavVariantTable(df: DataFrame, idCol: String)
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id")).as[Long].map { id =>
+      val blob = syntheticWavVariant(id)
+      MediaRow(id, blob, "audio/wav", 1, 8000, blob.length.toLong)
+    }
+  }
+
+  /** 56-bit audio fingerprint from REALLY decoded PCM: the clip is cut
+    * into 57 equal-share windows (window of sample t = 57t div n), each
+    * reduced to its exact integer energy Σ|s|, and bit i is set when
+    * E(i+1) > E(i) — the energy-difference sign fingerprint
+    * (single-band simplification of Haitsma–Kalker's public audio
+    * fingerprint, ICMIR'02). Volume-invariant by construction: a
+    * positive gain scales every window energy equally, so the
+    * comparison bits — and therefore the near-dup blocking — survive
+    * re-mastering; only additive noise can flip a bit whose energies
+    * nearly tie. 56 bits keeps the hash inside a signed BIGINT (the
+    * dHash/SimHash discipline). None = not PCM16-mono-LE decodable.
+    */
+  def audioFingerprint56(blob: Array[Byte], windows: Int = 57): Option[Long] =
+    decodeWavSamples(blob).map { samples =>
+      val n = samples.length
+      val e = new Array[Long](windows)
+      var t = 0
+      while (t < n) {
+        e((windows.toLong * t / n).toInt) += math.abs(samples(t).toLong)
+        t += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < windows - 1) {
+        if (e(i + 1) > e(i)) bits |= 1L << i
+        i += 1
+      }
+      bits
+    }
+
+  final case class AudioFpRow(media_id: Long, fp: Long)
+
+  /** Per-clip audio fingerprint over a media table of WAV blobs (narrow;
+    * non-decodable blobs drop). Feed to [[Dedup.hammingNearDupPairs]]
+    * for Hamming-ball near-dup blocking or group on `fp` for exact
+    * fingerprint duplicates.
+    */
+  def audioFingerprints(media: Dataset[MediaRow])
+      (implicit spark: SparkSession): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      audioFingerprint56(r.media).map(AudioFpRow(r.media_id, _))))
   }
 
   /** Deterministic PNG test-image synthesizer: pixel (x,y) of image `id`

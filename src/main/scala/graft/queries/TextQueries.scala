@@ -4,10 +4,52 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.core.Tables
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 
 /** Text-analysis + multimodal capability queries over `documents`. */
 object TextQueries {
+
+  /** DuckDB replay of [[graft.operators.Multimodal.dhash56]] over the
+    * q160 synthetic ramp PNGs: ramp → nearest-neighbor sample → Rec.601
+    * integer luma → horizontal-gradient sign → bit-pack, ending in a
+    * `dh(media_id, dhash)` CTE. Shared by q161/q162/q164 so the three
+    * oracles cannot drift apart.
+    */
+  private val dhashCte =
+    """ids AS (SELECT doc_id AS media_id, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h FROM documents),
+      |gs AS (SELECT unnest(generate_series(0, 7)) AS gi),
+      |g AS (SELECT media_id, i.gi AS gx, j.gi AS gy,
+      |    (299*((7*media_id + 13*((i.gi*w)//8) + 31*((j.gi*h)//8)) % 256)
+      |   + 587*((11*media_id + 17*((i.gi*w)//8) + 5*((j.gi*h)//8)) % 256)
+      |   + 114*((3*media_id + 23*((i.gi*w)//8) + 29*((j.gi*h)//8)) % 256)) // 1000 AS gray
+      |  FROM ids, gs i, gs j),
+      |bits AS (SELECT a.media_id,
+      |    CASE WHEN b.gray > a.gray THEN (CAST(1 AS BIGINT) << (a.gy*7 + a.gx)) ELSE 0 END AS bit
+      |  FROM g a JOIN g b ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 7),
+      |dh AS (SELECT media_id, CAST(SUM(bit) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY media_id)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Multimodal.audioFingerprint56]]
+    * over the [[graft.operators.Multimodal.syntheticWavVariant]] corpus:
+    * variant formula → 57 equal-share windows → exact integer energies →
+    * adjacent-comparison bits, ending in an `fp(media_id, fp)` CTE.
+    * Shared by q165/q166.
+    */
+  private val audioFpCte =
+    """ids AS (SELECT doc_id AS media_id, doc_id % 125 AS b,
+      |    100 + (doc_id % 125) % 50 AS n, 4 + 4*((doc_id // 125) % 4) AS amp
+      |  FROM documents),
+      |ts AS (SELECT unnest(generate_series(0, 148)) AS t),
+      |s AS (SELECT media_id, n, t,
+      |    ((31*b + 1009*t) % 4001 - 2000)*amp + ((media_id + 53*t) % 7 - 3) AS v
+      |  FROM ids, ts WHERE t < n),
+      |e AS (SELECT media_id, (57*t)//n AS w, SUM(ABS(v)) AS en
+      |  FROM s GROUP BY media_id, (57*t)//n),
+      |fp AS (SELECT a.media_id,
+      |    CAST(SUM(CASE WHEN b.en > a.en THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT) AS fp
+      |  FROM e a JOIN e b ON a.media_id = b.media_id AND b.w = a.w + 1
+      |  GROUP BY a.media_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -278,19 +320,8 @@ object TextQueries {
             Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
           .toDF().orderBy(col("media_id"))
       },
-      Some("""WITH ids AS (SELECT doc_id AS media_id, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h FROM documents),
-             |gs AS (SELECT unnest(generate_series(0, 7)) AS gi),
-             |g AS (SELECT media_id, i.gi AS gx, j.gi AS gy,
-             |    (299*((7*media_id + 13*((i.gi*w)//8) + 31*((j.gi*h)//8)) % 256)
-             |   + 587*((11*media_id + 17*((i.gi*w)//8) + 5*((j.gi*h)//8)) % 256)
-             |   + 114*((3*media_id + 23*((i.gi*w)//8) + 29*((j.gi*h)//8)) % 256)) // 1000 AS gray
-             |  FROM ids, gs i, gs j),
-             |bits AS (SELECT a.media_id,
-             |    CASE WHEN b.gray > a.gray THEN (CAST(1 AS BIGINT) << (a.gy*7 + a.gx)) ELSE 0 END AS bit
-             |  FROM g a JOIN g b ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
-             |  WHERE a.gx < 7)
-             |SELECT media_id, CAST(SUM(bit) AS BIGINT) AS dhash
-             |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin),
+      Some(s"""WITH $dhashCte
+              |SELECT media_id, dhash FROM dh ORDER BY media_id""".stripMargin),
     ),
 
     // ----------------------------------------------------------------
@@ -311,22 +342,77 @@ object TextQueries {
           .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("canonical_id"))
           .orderBy(col("dhash"))
       },
-      Some("""WITH ids AS (SELECT doc_id AS media_id, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h FROM documents),
-             |gs AS (SELECT unnest(generate_series(0, 7)) AS gi),
-             |g AS (SELECT media_id, i.gi AS gx, j.gi AS gy,
-             |    (299*((7*media_id + 13*((i.gi*w)//8) + 31*((j.gi*h)//8)) % 256)
-             |   + 587*((11*media_id + 17*((i.gi*w)//8) + 5*((j.gi*h)//8)) % 256)
-             |   + 114*((3*media_id + 23*((i.gi*w)//8) + 29*((j.gi*h)//8)) % 256)) // 1000 AS gray
-             |  FROM ids, gs i, gs j),
-             |bits AS (SELECT a.media_id,
-             |    CASE WHEN b.gray > a.gray THEN (CAST(1 AS BIGINT) << (a.gy*7 + a.gx)) ELSE 0 END AS bit
-             |  FROM g a JOIN g b ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
-             |  WHERE a.gx < 7),
-             |dh AS (SELECT media_id, CAST(SUM(bit) AS BIGINT) AS dhash
-             |  FROM bits GROUP BY media_id)
-             |SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
-             |  CAST(min(media_id) AS BIGINT) AS canonical_id
-             |FROM dh GROUP BY dhash ORDER BY dhash""".stripMargin),
+      Some(s"""WITH $dhashCte
+              |SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
+              |  CAST(min(media_id) AS BIGINT) AS canonical_id
+              |FROM dh GROUP BY dhash ORDER BY dhash""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Image NEAR-dup pairs: Hamming-ball blocking over q161's dHashes —
+    // 16-bit-chunk pigeonhole blocking (exact for maxHamming ≤ 3), then
+    // exact bit_count verification on the colliding pairs only, the q24
+    // SimHash machinery pointed at a perceptual image hash. The oracle
+    // brute-forces all pairs (correct is cheap at oracle scale; the
+    // SPARK side is the one that must never go doc×doc).
+    QueryDef(
+      "q164_image_neardup_pairs",
+      (spark, dir) => {
+        implicit val s = spark
+        Dedup.hammingNearDupPairs(
+            Multimodal.imageDhash(Multimodal.syntheticPngTable(
+              Tables.documents(spark, dir).select(col("doc_id")), "doc_id")).toDF(),
+            "media_id", col("dhash"), maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $dhashCte,
+              |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+              |    bit_count(xor(a.dhash, b.dhash)) AS hamming
+              |  FROM dh a JOIN dh b ON a.media_id < b.media_id)
+              |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs
+              |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Audio fingerprinting from REALLY decoded PCM: 56-bit
+    // energy-difference sign fingerprint (single-band Haitsma–Kalker)
+    // over a volume-variant corpus — each clip is a base "master" played
+    // at one of 4 amplitudes plus a small dither. The oracle replays
+    // variant formula → window energies → comparison bits arithmetically.
+    QueryDef(
+      "q165_audio_fingerprint",
+      (spark, dir) => {
+        implicit val s = spark
+        Multimodal.audioFingerprints(Multimodal.syntheticWavVariantTable(
+            Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+          .toDF().orderBy(col("media_id"))
+      },
+      Some(s"""WITH $audioFpCte
+              |SELECT media_id, fp FROM fp ORDER BY media_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Audio NEAR-dup pairs: Hamming-ball blocking over q165's
+    // fingerprints. The fingerprint's volume invariance does the semantic
+    // work — re-mastered variants of one master land at Hamming ≤ 1
+    // (only the dither can flip near-tie bits) and collapse here without
+    // any waveform comparison. Oracle brute-forces all pairs.
+    QueryDef(
+      "q166_audio_neardup_pairs",
+      (spark, dir) => {
+        implicit val s = spark
+        Dedup.hammingNearDupPairs(
+            Multimodal.audioFingerprints(Multimodal.syntheticWavVariantTable(
+              Tables.documents(spark, dir).select(col("doc_id")), "doc_id")).toDF(),
+            "media_id", col("fp"), maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $audioFpCte,
+              |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+              |    bit_count(xor(a.fp, b.fp)) AS hamming
+              |  FROM fp a JOIN fp b ON a.media_id < b.media_id)
+              |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs
+              |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin),
     ),
 
     // ----------------------------------------------------------------

@@ -447,6 +447,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q163_audio_pcm_stats" -> 1,
     // q162: the |distinct-hash|-sized group agg + the output sort.
     "q162_perceptual_dups" -> 2,
+    // q164/q166: chunk-blocked self-join (broadcast at this SF) +
+    // distinct + output sort — the hash frame itself is cached, so the
+    // two join branches share one decode pass.
+    "q164_image_neardup_pairs" -> 2,
+    // q165: synthesize → decode → fingerprint are narrow; output sort.
+    "q165_audio_fingerprint" -> 1,
+    "q166_audio_neardup_pairs" -> 2,
   )
 
 
@@ -542,6 +549,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q161_image_dhash" -> 1,
     "q162_perceptual_dups" -> 1,
     "q163_audio_pcm_stats" -> 1,
+    "q164_image_neardup_pairs" -> 1,
+    "q165_audio_fingerprint" -> 1,
+    "q166_audio_neardup_pairs" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -652,4 +652,223 @@ object Multimodal {
         .map { case (chunk, i) => FrameRow(r.media_id, i, chunk) }
     }
   }
+
+  // ------------------------------------------------------- video decoding
+
+  /** One REALLY-decoded uncompressed-AVI clip: header fields + raw
+    * BGR24 frames as (frame, y, x) → (r, g, b) accessors. `frames(f)` is
+    * the f-th '00db' payload (bottom-up rows, 4-byte-aligned stride —
+    * the DIB layout the AVI spec mandates for uncompressed 'DIB ' video).
+    */
+  final case class AviClip(width: Int, height: Int, totalFramesDeclared: Int,
+      frames: IndexedSeq[Array[Byte]]) {
+    private val stride = ((3 * width + 3) / 4) * 4
+    /** (r, g, b) of pixel (x, y) of frame f; y is TOP-down (the DIB rows
+      * are stored bottom-up, flipped here).
+      */
+    def rgb(f: Int, x: Int, y: Int): (Int, Int, Int) = {
+      val off = (height - 1 - y) * stride + 3 * x
+      val d = frames(f)
+      ((d(off + 2) & 0xFF), (d(off + 1) & 0xFF), (d(off) & 0xFF))
+    }
+  }
+
+  /** REAL byte-level RIFF/AVI container walk (public layout: 'RIFF'/
+    * 'AVI ' outer chunk, LIST hdrl carrying the 'avih' MainAVIHeader,
+    * LIST movi carrying '00db' uncompressed DIB frames). Exception-free
+    * and total on corrupt blobs: None when the RIFF/AVI magic, a chunk
+    * bound, or the frame-size arithmetic doesn't hold — a truncated
+    * upload must not kill the partition. Only the uncompressed-DIB
+    * profile is decoded ('00dc' compressed frames are counted but None
+    * the clip); a deployment swaps an FFmpeg demux behind the same
+    * AviClip shape.
+    */
+  def decodeAvi(blob: Array[Byte]): Option[AviClip] =
+    try {
+      def u32(i: Int): Long =
+        (blob(i) & 0xFFL) | ((blob(i + 1) & 0xFFL) << 8) |
+          ((blob(i + 2) & 0xFFL) << 16) | ((blob(i + 3) & 0xFFL) << 24)
+      def fcc(i: Int): String =
+        new String(blob.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+      if (blob.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") None
+      else {
+        var width, height, declared = -1
+        val frames = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
+        var sawCompressed = false
+        // Chunk walk: LIST chunks recurse (their payload is a list type
+        // fourcc + sub-chunks); plain chunks are consumed flat. Sizes are
+        // validated against the enclosing bound BEFORE any read.
+        def walk(from: Int, until: Int): Unit = {
+          var p = from
+          while (p + 8 <= until) {
+            val id = fcc(p)
+            val sz = u32(p + 4)
+            val end = p + 8 + sz
+            if (sz < 0 || end > until) throw new IllegalArgumentException("chunk overruns bound")
+            id match {
+              case "LIST" => walk(p + 12, end.toInt) // skip the list-type fourcc
+              case "avih" =>
+                declared = u32(p + 8 + 16).toInt     // dwTotalFrames
+                width = u32(p + 8 + 32).toInt        // dwWidth
+                height = u32(p + 8 + 36).toInt       // dwHeight
+              case "00db" =>
+                frames += blob.slice(p + 8, end.toInt)
+              case "00dc" => sawCompressed = true
+              case _ => ()                           // strh/strf/idx1/JUNK: skip
+            }
+            p = end.toInt + (sz.toInt & 1)           // chunks are word-aligned
+          }
+        }
+        walk(12, blob.length)
+        val stride = ((3 * width + 3) / 4) * 4
+        val fs = frames.result()
+        if (width <= 0 || height <= 0 || sawCompressed ||
+            fs.exists(_.length != stride * height)) None
+        else Some(AviClip(width, height, declared, fs))
+      }
+    } catch { case _: Throwable => None }
+
+  final case class FrameStatsRow(media_id: Long, frame_idx: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic frame sampling + per-frame exact channel sums over a
+    * media table of AVI blobs: every `stride`-th frame of each clip is
+    * decoded to BIGINT channel sums (the per-frame signal a downstream
+    * captioner/encoder batch would consume — the sampling decision is
+    * the training-data op; the sums stand where the model call goes).
+    * Narrow flatMap; non-decodable blobs drop.
+    */
+  def videoFrameSample(media: Dataset[MediaRow], stride: Int)
+      (implicit spark: SparkSession): Dataset[FrameStatsRow] = {
+    import spark.implicits._
+    require(stride > 0, "stride must be positive")
+    media.mapPartitions(_.flatMap { r =>
+      decodeAvi(r.media).iterator.flatMap { c =>
+        (0 until c.frames.length by stride).iterator.map { f =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < c.height) {
+            var x = 0
+            while (x < c.width) {
+              val (pr, pg, pb) = c.rgb(f, x, y)
+              sr += pr; sg += pg; sb += pb
+              x += 1
+            }
+            y += 1
+          }
+          FrameStatsRow(r.media_id, f.toLong, sr, sg, sb)
+        }
+      }
+    })
+  }
+
+  final case class VideoMotionRow(media_id: Long, n_frames: Long,
+      declared_frames: Long, width: Long, height: Long, motion: Long)
+
+  /** Per-clip motion triage: exact Σ over adjacent frame pairs of the
+    * per-pixel absolute channel deltas — the static-video / frozen-feed
+    * detector (motion ≈ 0 ⇒ the clip is a slideshow and per-frame
+    * sampling is wasted compute), plus declared-vs-parsed frame-count
+    * disagreement, the container-level truncation check. Narrow map.
+    */
+  def videoMotionStats(media: Dataset[MediaRow])
+      (implicit spark: SparkSession): Dataset[VideoMotionRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeAvi(r.media).map { c =>
+        var motion = 0L
+        var f = 1
+        while (f < c.frames.length) {
+          var y = 0
+          while (y < c.height) {
+            var x = 0
+            while (x < c.width) {
+              val (r1, g1, b1) = c.rgb(f, x, y)
+              val (r0, g0, b0) = c.rgb(f - 1, x, y)
+              motion += math.abs(r1 - r0) + math.abs(g1 - g0) + math.abs(b1 - b0)
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        VideoMotionRow(r.media_id, c.frames.length.toLong,
+          c.totalFramesDeclared.toLong, c.width.toLong, c.height.toLong, motion)
+      }
+    })
+  }
+
+  /** Deterministic uncompressed-AVI test-clip synthesizer, written
+    * byte-for-byte from the public RIFF/AVI layout ('RIFF'/'AVI ', LIST
+    * hdrl with avih + strl(strh 'vids'/'DIB ' + strf BITMAPINFOHEADER),
+    * LIST movi with '00db' bottom-up padded BGR24 DIB frames). Pixel
+    * (x, y) of frame f extends the [[syntheticPng]] ramp with a frame
+    * term: r=(7id+13x+31y+11f)%256, g=(11id+17x+5y+19f)%256,
+    * b=(3id+23x+29y+7f)%256 — so frame deltas, and therefore
+    * [[videoMotionStats]], are replayable in SQL. The same discipline as
+    * q143's assembled PNGs: the PARSER under test gets a blob whose
+    * every byte the oracle can account for.
+    */
+  def syntheticAvi(id: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val stride = ((3 * width + 3) / 4) * 4
+    val frameBytes = stride * height
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def fcc(s: String): Unit = bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val hdrlSize = 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40 // 'hdrl'+avih+LIST strl(strh+strf)
+    val moviSize = 4 + nFrames * (8 + frameBytes)        // 'movi'+frames (frameBytes is even)
+    fcc("RIFF"); w32(4 + 8 + hdrlSize + 8 + moviSize); fcc("AVI ")
+    fcc("LIST"); w32(hdrlSize); fcc("hdrl")
+    fcc("avih"); w32(56)
+    w32(40000); w32(frameBytes.toLong * 25); w32(0); w32(0) // usec/frame, bytes/sec, pad, flags
+    w32(nFrames); w32(0); w32(1); w32(frameBytes)           // totalFrames, initial, streams, bufSize
+    w32(width); w32(height); w32(0); w32(0); w32(0); w32(0) // dims + reserved[4]
+    fcc("LIST"); w32(4 + 8 + 56 + 8 + 40); fcc("strl")
+    fcc("strh"); w32(56)
+    fcc("vids"); fcc("DIB "); w32(0); w32(0); w32(0)        // type, handler, flags, prio, initial
+    w32(1); w32(25); w32(0); w32(nFrames)                   // scale, rate, start, length
+    w32(frameBytes); w32(-1 & 0xFFFFFFFFL); w32(0)          // bufSize, quality, sampleSize
+    w16(0); w16(0); w16(width); w16(height)                 // rcFrame
+    fcc("strf"); w32(40)
+    w32(40); w32(width); w32(height); w16(1); w16(24)       // biSize, w, h, planes, bpp
+    w32(0); w32(frameBytes); w32(0); w32(0); w32(0); w32(0) // BI_RGB, sizeImage, ppm, clr
+    fcc("LIST"); w32(moviSize); fcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fcc("00db"); w32(frameBytes)
+      var row = height - 1 // bottom-up
+      while (row >= 0) {
+        var x = 0
+        while (x < width) {
+          bos.write((java.lang.Math.floorMod(3 * id + 23 * x + 29 * row + 7L * f, 256)).toInt)  // B
+          bos.write((java.lang.Math.floorMod(11 * id + 17 * x + 5 * row + 19L * f, 256)).toInt) // G
+          bos.write((java.lang.Math.floorMod(7 * id + 13 * x + 31 * row + 11L * f, 256)).toInt) // R
+          x += 1
+        }
+        var pad = stride - 3 * width
+        while (pad > 0) { bos.write(0); pad -= 1 }
+        row -= 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Media table of [[syntheticAvi]] blobs, one per input row: width
+    * 4 + id mod 4, height 2 + id mod 3, frames 8 + id mod 5 — small
+    * moduli keep the oracle's (x, y, f) replay grid bounded. Narrow map.
+    */
+  def syntheticAviTable(df: DataFrame, idCol: String)
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id")).as[Long].map { id =>
+      val (w, h, n) = (4 + (id % 4).toInt, 2 + (id % 3).toInt, 8 + (id % 5).toInt)
+      val blob = syntheticAvi(id, w, h, n)
+      MediaRow(id, blob, "video/avi", w, h, blob.length.toLong)
+    }
+  }
 }

@@ -51,6 +51,23 @@ object TextQueries {
       |  FROM e a JOIN e b ON a.media_id = b.media_id AND b.w = a.w + 1
       |  GROUP BY a.media_id)""".stripMargin
 
+  /** DuckDB replay of the [[graft.operators.Multimodal.syntheticAvi]]
+    * pixel ramp: per-document clip geometry + every (frame, x, y) pixel's
+    * channel values, ending in a `px(media_id, n, w, h, f, x, y, r, g,
+    * b)` CTE. Shared by q167/q168.
+    */
+  private val videoPxCte =
+    """ids AS (SELECT doc_id AS media_id, 4 + doc_id % 4 AS w,
+      |    2 + doc_id % 3 AS h, 8 + doc_id % 5 AS n FROM documents),
+      |fs AS (SELECT unnest(generate_series(0, 11)) AS f),
+      |xs AS (SELECT unnest(generate_series(0, 6)) AS x),
+      |ys AS (SELECT unnest(generate_series(0, 4)) AS y),
+      |px AS (SELECT media_id, n, w, h, f, x, y,
+      |    (7*media_id + 13*x + 31*y + 11*f) % 256 AS r,
+      |    (11*media_id + 17*x + 5*y + 19*f) % 256 AS g,
+      |    (3*media_id + 23*x + 29*y + 7*f) % 256 AS b
+      |  FROM ids, fs, xs, ys WHERE f < n AND x < w AND y < h)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----------------------------------------------------------------
@@ -283,7 +300,8 @@ object TextQueries {
       (spark, dir) => {
         implicit val s = spark
         Multimodal.pixelStats(Multimodal.syntheticPngTable(
-            Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+            QueryDef.spreadIfNarrow(
+              Tables.documents(spark, dir).select(col("doc_id"))), "doc_id"))
           .toDF().orderBy(col("media_id"))
       },
       Some("""WITH ids AS (SELECT doc_id AS media_id, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
@@ -317,7 +335,8 @@ object TextQueries {
       (spark, dir) => {
         implicit val s = spark
         Multimodal.imageDhash(Multimodal.syntheticPngTable(
-            Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+            QueryDef.spreadIfNarrow(
+              Tables.documents(spark, dir).select(col("doc_id"))), "doc_id"))
           .toDF().orderBy(col("media_id"))
       },
       Some(s"""WITH $dhashCte
@@ -336,7 +355,8 @@ object TextQueries {
       (spark, dir) => {
         implicit val s = spark
         Multimodal.imageDhash(Multimodal.syntheticPngTable(
-            Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+            QueryDef.spreadIfNarrow(
+              Tables.documents(spark, dir).select(col("doc_id"))), "doc_id"))
           .toDF()
           .groupBy(col("dhash"))
           .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("canonical_id"))
@@ -361,7 +381,8 @@ object TextQueries {
         implicit val s = spark
         Dedup.hammingNearDupPairs(
             Multimodal.imageDhash(Multimodal.syntheticPngTable(
-              Tables.documents(spark, dir).select(col("doc_id")), "doc_id")).toDF(),
+              QueryDef.spreadIfNarrow(
+              Tables.documents(spark, dir).select(col("doc_id"))), "doc_id")).toDF(),
             "media_id", col("dhash"), maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -384,7 +405,8 @@ object TextQueries {
       (spark, dir) => {
         implicit val s = spark
         Multimodal.audioFingerprints(Multimodal.syntheticWavVariantTable(
-            Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+            QueryDef.spreadIfNarrow(
+              Tables.documents(spark, dir).select(col("doc_id"))), "doc_id"))
           .toDF().orderBy(col("media_id"))
       },
       Some(s"""WITH $audioFpCte
@@ -403,7 +425,8 @@ object TextQueries {
         implicit val s = spark
         Dedup.hammingNearDupPairs(
             Multimodal.audioFingerprints(Multimodal.syntheticWavVariantTable(
-              Tables.documents(spark, dir).select(col("doc_id")), "doc_id")).toDF(),
+              QueryDef.spreadIfNarrow(
+              Tables.documents(spark, dir).select(col("doc_id"))), "doc_id")).toDF(),
             "media_id", col("fp"), maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -413,6 +436,59 @@ object TextQueries {
               |  FROM fp a JOIN fp b ON a.media_id < b.media_id)
               |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs
               |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // REAL video container decode + deterministic frame sampling: per-row
+    // uncompressed AVIs assembled byte-for-byte from the public RIFF
+    // layout (planted pixel ramp), walked back through the byte-level
+    // RIFF/AVI parser, every 3rd frame reduced to exact channel sums —
+    // the "which frames does the captioner see" op, with the sums
+    // standing where the model batch goes. The oracle replays geometry,
+    // sampling grid, and ramp arithmetically.
+    QueryDef(
+      "q167_video_frame_sample",
+      (spark, dir) => {
+        implicit val s = spark
+        Multimodal.videoFrameSample(Multimodal.syntheticAviTable(
+            QueryDef.spreadIfNarrow(
+              Tables.documents(spark, dir).select(col("doc_id"))), "doc_id"), stride = 3)
+          .toDF().orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some(s"""WITH $videoPxCte
+              |SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+              |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+              |  CAST(SUM(b) AS BIGINT) AS sum_b
+              |FROM px WHERE f % 3 = 0
+              |GROUP BY media_id, f ORDER BY media_id, frame_idx""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Video motion triage: exact Σ|frame_f − frame_{f−1}| over all
+    // channels — the static-clip / frozen-feed detector (motion ≈ 0 ⇒
+    // per-frame sampling is wasted compute downstream) — plus the
+    // declared-vs-parsed frame-count agreement q143 runs for stills.
+    QueryDef(
+      "q168_video_motion",
+      (spark, dir) => {
+        implicit val s = spark
+        Multimodal.videoMotionStats(Multimodal.syntheticAviTable(
+            QueryDef.spreadIfNarrow(
+              Tables.documents(spark, dir).select(col("doc_id"))), "doc_id"))
+          .toDF().orderBy(col("media_id"))
+      },
+      Some(s"""WITH $videoPxCte,
+              |m AS (SELECT a.media_id,
+              |    SUM(ABS(a.r - b.r) + ABS(a.g - b.g) + ABS(a.b - b.b)) AS motion
+              |  FROM px a JOIN px b ON a.media_id = b.media_id
+              |    AND a.x = b.x AND a.y = b.y AND b.f = a.f - 1
+              |  GROUP BY a.media_id)
+              |SELECT i.media_id, CAST(i.n AS BIGINT) AS n_frames,
+              |  CAST(i.n AS BIGINT) AS declared_frames,
+              |  CAST(i.w AS BIGINT) AS width, CAST(i.h AS BIGINT) AS height,
+              |  CAST(m.motion AS BIGINT) AS motion
+              |FROM ids i JOIN m ON i.media_id = m.media_id
+              |ORDER BY i.media_id""".stripMargin),
     ),
 
     // ----------------------------------------------------------------
@@ -428,7 +504,8 @@ object TextQueries {
       (spark, dir) => {
         implicit val s = spark
         Multimodal.audioPcmStats(Multimodal.syntheticWavTable(
-            Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+            QueryDef.spreadIfNarrow(
+              Tables.documents(spark, dir).select(col("doc_id"))), "doc_id"))
           .toDF().orderBy(col("media_id"))
       },
       Some("""WITH ids AS (SELECT doc_id AS media_id, 100 + doc_id % 50 AS n FROM documents),

@@ -191,6 +191,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavStats(Array[Byte](1, 2, 3, 4)).isEmpty)
   }
 
+  test("AVI round-trip: RIFF walk, pixel access, corruption safety") {
+    // Known clip: verify dims, frame count, and a hand-computed pixel.
+    val blob = Multimodal.syntheticAvi(id = 5, width = 5, height = 3, nFrames = 4)
+    val c = Multimodal.decodeAvi(blob).get
+    assert((c.width, c.height, c.totalFramesDeclared, c.frames.length) === (5, 3, 4, 4))
+    // pixel (x=2, y=1, f=3): r=(35+26+31+33)%256, g=(55+34+5+57)%256,
+    // b=(15+46+29+21)%256 — straight from the planted ramp.
+    assert(c.rgb(3, 2, 1) === ((35 + 26 + 31 + 33) % 256,
+      (55 + 34 + 5 + 57) % 256, (15 + 46 + 29 + 21) % 256))
+    // Corruption safety: garbage, truncation mid-frame, and a chunk whose
+    // declared size overruns the blob all yield None, never a throw.
+    assert(Multimodal.decodeAvi(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeAvi(blob.take(blob.length - 7)).isEmpty)
+    val overrun = blob.clone()
+    overrun(19) = 0x7F // MSB of the hdrl LIST size: chunk end >> buffer end
+    assert(Multimodal.decodeAvi(overrun).isEmpty)
+    // Compressed frames ('00dc') are detected and refused, not mis-read.
+    val compressed = blob.clone()
+    val idx = {
+      def find(p: Array[Byte], s: String): Int =
+        (0 until p.length - 4).find(i => s.zipWithIndex.forall {
+          case (ch, j) => p(i + j) == ch.toByte }).get
+      find(compressed, "00db")
+    }
+    compressed(idx + 3) = 'c'.toByte
+    assert(Multimodal.decodeAvi(compressed).isEmpty)
+  }
+
   test("hammingNearDupPairs blocks and verifies any packed-bit hash") {
     import spark.implicits._
     // 0x0F and 0x0E differ by 1 bit; 0xF000000000000L is far from both.

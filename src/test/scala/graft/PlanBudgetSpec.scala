@@ -439,21 +439,29 @@ class PlanBudgetSpec extends AnyFunSuite {
     // e4-quantized norm projection + output sort; ReuseExchange serves
     // the three byV subtrees from one scan at runtime.
     "q159_embedding_norm_profile" -> 9,
-    // q160: synthesize → decode are narrow maps; the only exchange is the
-    // output sort.
-    "q160_pixel_stats" -> 1,
-    // q161/q163: same shape — synthesize → decode → sort.
-    "q161_image_dhash" -> 1,
-    "q163_audio_pcm_stats" -> 1,
-    // q162: the |distinct-hash|-sized group agg + the output sort.
-    "q162_perceptual_dups" -> 2,
-    // q164/q166: chunk-blocked self-join (broadcast at this SF) +
-    // distinct + output sort — the hash frame itself is cached, so the
+    // q160–q168 all carry the deliberate spreadIfNarrow repartition on the
+    // doc_id projection (q28/q50's idiom): the codec work is compute-bound
+    // and the documents scan is ONE parquet split at test SF — unspread,
+    // q160 ran its whole encode+decode pass in a single task (7.4s at
+    // sf0.1; the sort is the only other exchange).
+    // q160: synthesize → decode are narrow maps; spread + output sort.
+    "q160_pixel_stats" -> 2,
+    // q161/q163: same shape — spread → synthesize → decode → sort.
+    "q161_image_dhash" -> 2,
+    "q163_audio_pcm_stats" -> 2,
+    // q162: spread + the |distinct-hash|-sized group agg + output sort.
+    "q162_perceptual_dups" -> 3,
+    // q164/q166: spread + chunk-blocked self-join (broadcast at this SF)
+    // + distinct + output sort — the hash frame itself is cached, so the
     // two join branches share one decode pass.
-    "q164_image_neardup_pairs" -> 2,
-    // q165: synthesize → decode → fingerprint are narrow; output sort.
-    "q165_audio_fingerprint" -> 1,
-    "q166_audio_neardup_pairs" -> 2,
+    "q164_image_neardup_pairs" -> 3,
+    // q165: spread → synthesize → decode → fingerprint; output sort.
+    "q165_audio_fingerprint" -> 2,
+    "q166_audio_neardup_pairs" -> 3,
+    // q167/q168: spread → synthesize → AVI walk → per-frame/per-clip
+    // reduce (narrow); output sort.
+    "q167_video_frame_sample" -> 2,
+    "q168_video_motion" -> 2,
   )
 
 
@@ -552,6 +560,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q164_image_neardup_pairs" -> 1,
     "q165_audio_fingerprint" -> 1,
     "q166_audio_neardup_pairs" -> 1,
+    "q167_video_frame_sample" -> 1,
+    "q168_video_motion" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

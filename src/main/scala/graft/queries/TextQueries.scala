@@ -27,8 +27,12 @@ object TextQueries {
       |    CASE WHEN b.gray > a.gray THEN (CAST(1 AS BIGINT) << (a.gy*7 + a.gx)) ELSE 0 END AS bit
       |  FROM g a JOIN g b ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
       |  WHERE a.gx < 7),
-      |dh AS (SELECT media_id, CAST(SUM(bit) AS BIGINT) AS dhash
+      |dh AS MATERIALIZED (SELECT media_id, CAST(SUM(bit) AS BIGINT) AS dhash
       |  FROM bits GROUP BY media_id)""".stripMargin
+  // dh is MATERIALIZED for q169's sake: DuckDB inlines plain CTEs, and a
+  // recursive closure re-evaluates every inlined input per iteration —
+  // the 8×8×|docs| pixel grid included. Harmless for the single-read
+  // consumers (q161/q162/q164).
 
   /** DuckDB replay of [[graft.operators.Multimodal.audioFingerprint56]]
     * over the [[graft.operators.Multimodal.syntheticWavVariant]] corpus:
@@ -489,6 +493,53 @@ object TextQueries {
               |  CAST(m.motion AS BIGINT) AS motion
               |FROM ids i JOIN m ON i.media_id = m.media_id
               |ORDER BY i.media_id""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // CROSS-MODAL duplicate clusters: a document is a duplicate when its
+    // TEXT matches (exact 3-gram Jaccard ≥ 0.5, q36's pair family) OR its
+    // attached IMAGE matches (dHash Hamming ≤ 3, q164's pair family) —
+    // the union pair stream through one connected-components resolution.
+    // This is the real multimodal-dedup contract: re-posts that keep the
+    // image but paraphrase the caption (or keep the caption but re-encode
+    // the image) land in ONE cluster with one survivor. Oracle replays
+    // both pair families and the transitive closure.
+    QueryDef(
+      "q169_crossmodal_clusters",
+      (spark, dir) => {
+        implicit val s = spark
+        val docs = Tables.documents(spark, dir)
+        val textPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            lit(1), 3, 0.5).select(col("id_a"), col("id_b"))
+        val imagePairs = Dedup.hammingNearDupPairs(
+            Multimodal.imageDhash(Multimodal.syntheticPngTable(
+              QueryDef.spreadIfNarrow(docs.select(col("doc_id"))), "doc_id")).toDF(),
+            "media_id", col("dhash"), maxHamming = 3)
+          .select(col("id_a"), col("id_b"))
+        Dedup.duplicateClusters(docs.select(col("doc_id")), "doc_id",
+            textPairs.union(imagePairs))
+          .select(col("id").as("doc_id"), col("cluster_root"), col("is_survivor"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $dhashCte,
+              |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+              |  list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s FROM toks),
+              |tp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+              |ip AS MATERIALIZED (SELECT a.media_id AS id_a, b.media_id AS id_b
+              |  FROM dh a JOIN dh b ON a.media_id < b.media_id
+              |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+              |edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM tp UNION SELECT id_b, id_a FROM tp
+              |  UNION SELECT id_a, id_b FROM ip UNION SELECT id_b, id_a FROM ip),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+              |cc AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id)
+              |SELECT id AS doc_id, cluster_root, id = cluster_root AS is_survivor
+              |FROM cc ORDER BY doc_id""".stripMargin),
     ),
 
     // ----------------------------------------------------------------

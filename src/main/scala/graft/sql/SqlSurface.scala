@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Blocking, Dedup, Privacy, Sampling, Similarity, Stats, TextAnalysis}
+import graft.operators.{Blocking, Dedup, Multimodal, Privacy, Sampling, Similarity, Stats, TextAnalysis}
 
 /** The engine's capabilities as a SQL surface.
   *
@@ -163,5 +163,47 @@ object SqlSurface {
     Similarity.pqDistortionAudit(emb, emb.filter(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 5)
       .createOrReplaceTempView("pq_distortion")
+  }
+
+  /** Register the MULTIMODAL dedup/triage family as views (call after
+    * [[registerTables]]) — the q160–q169 surface for SQL consumers:
+    *
+    *  - `image_dhash`          — per-image 56-bit perceptual hash (q161)
+    *  - `image_neardup_pairs`  — dHash Hamming ≤ 3 pairs (q164)
+    *  - `audio_fingerprints`   — 56-bit energy-difference prints (q165)
+    *  - `audio_neardup_pairs`  — fingerprint Hamming ≤ 3 pairs (q166)
+    *  - `video_motion`         — per-clip motion triage (q168)
+    *  - `crossmodal_clusters`  — text ∪ image pair closure (q169)
+    *
+    * Views ride the synthetic media tables here (the corpus has no real
+    * blobs); a deployment re-points the three `synthetic*Table` calls at
+    * its media table and keeps every view definition. Same lazy posture
+    * as [[registerCapabilities]] — nothing runs at registration.
+    */
+  def registerMultimodal(spark: SparkSession, sfDir: String,
+      imageMaxHamming: Int = 3, audioMaxHamming: Int = 3,
+      jaccard: Double = 0.5): Unit = {
+    implicit val s: SparkSession = spark
+    val docs = Tables.documents(spark, sfDir)
+    val ids = docs.select(col("doc_id"))
+    val dhash = Multimodal.imageDhash(
+      Multimodal.syntheticPngTable(ids, "doc_id")).toDF()
+    dhash.createOrReplaceTempView("image_dhash")
+    val imagePairs = Dedup.hammingNearDupPairs(dhash, "media_id",
+      col("dhash"), imageMaxHamming)
+    imagePairs.createOrReplaceTempView("image_neardup_pairs")
+    val fps = Multimodal.audioFingerprints(
+      Multimodal.syntheticWavVariantTable(ids, "doc_id")).toDF()
+    fps.createOrReplaceTempView("audio_fingerprints")
+    Dedup.hammingNearDupPairs(fps, "media_id", col("fp"), audioMaxHamming)
+      .createOrReplaceTempView("audio_neardup_pairs")
+    Multimodal.videoMotionStats(Multimodal.syntheticAviTable(ids, "doc_id"))
+      .toDF().createOrReplaceTempView("video_motion")
+    val textPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1),
+        3, jaccard)
+      .select(col("id_a"), col("id_b"))
+    Dedup.duplicateClusters(ids, "doc_id",
+        textPairs.union(imagePairs.select(col("id_a"), col("id_b"))))
+      .createOrReplaceTempView("crossmodal_clusters")
   }
 }

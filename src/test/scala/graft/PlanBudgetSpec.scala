@@ -462,6 +462,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // reduce (narrow); output sort.
     "q167_video_frame_sample" -> 2,
     "q168_video_motion" -> 2,
+    // q169: q36's shape — the pair union executes inside
+    // duplicateClusters' guarded collect before the audited label join;
+    // the audited plan is broadcast-label-join + output sort.
+    "q169_crossmodal_clusters" -> 1,
   )
 
 
@@ -562,6 +566,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q166_audio_neardup_pairs" -> 1,
     "q167_video_frame_sample" -> 1,
     "q168_video_motion" -> 1,
+    "q169_crossmodal_clusters" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

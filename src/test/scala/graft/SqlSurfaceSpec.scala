@@ -33,6 +33,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     SqlSurface.registerTables(s, sfDir)
     SqlSurface.registerCapabilities(s, sfDir)
     SqlSurface.registerAudits(s, sfDir)
+    SqlSurface.registerMultimodal(s, sfDir)
     s
   }
 
@@ -275,5 +276,49 @@ class SqlSurfaceSpec extends AnyFunSuite {
         col("adc_micro"), col("corr_micro"))
       .collect().map(_.toSeq).toSeq
     assert(pq.nonEmpty && pq === pqApi)
+  }
+
+  test("multimodal dedup in pure SQL: perceptual pairs, cross-modal survivors") {
+    implicit val s: SparkSession = sql
+    // image_neardup_pairs ≡ the Scala operator, driven through SQL with a
+    // WHERE (exact perceptual dups only) — pushdown composes with the
+    // decode plan.
+    val viaSql = sql.sql(
+      """SELECT id_a, id_b FROM image_neardup_pairs
+        |WHERE hamming = 0 ORDER BY id_a, id_b""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = Tables.documents(sql, sfDir)
+    val viaApi = graft.operators.Dedup.hammingNearDupPairs(
+        graft.operators.Multimodal.imageDhash(
+          graft.operators.Multimodal.syntheticPngTable(
+            docs.select(col("doc_id")), "doc_id")).toDF(),
+        "media_id", col("dhash"), maxHamming = 3)
+      .filter(col("hamming") === 0)
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql.nonEmpty && viaSql === viaApi)
+    // Cross-modal closure subsumes the text-only one: every text-pair
+    // cluster is inside a crossmodal cluster, so survivors can only
+    // DECREASE when the image channel merges clusters.
+    val survivors = sql.sql(
+      """SELECT (SELECT count(*) FROM dup_clusters WHERE is_survivor) AS text_only,
+        |  (SELECT count(*) FROM crossmodal_clusters WHERE is_survivor) AS crossmodal
+        |""".stripMargin).collect().head
+    assert(survivors.getLong(1) <= survivors.getLong(0))
+    assert(survivors.getLong(1) > 0)
+    // The audio view family answers the production question directly:
+    // which masters have re-encoded variants, straight off SQL.
+    val audioDups = sql.sql(
+      """SELECT count(*) FROM audio_neardup_pairs p
+        |JOIN audio_fingerprints a ON p.id_a = a.media_id
+        |JOIN audio_fingerprints b ON p.id_b = b.media_id
+        |WHERE p.hamming <= 1""".stripMargin).collect().head.getLong(0)
+    assert(audioDups > 0)
+    // video_motion: the planted ramp moves every frame, so no clip in
+    // this corpus is static — the triage gate must agree.
+    val static = sql.sql(
+      "SELECT count(*) FROM video_motion WHERE motion = 0")
+      .collect().head.getLong(0)
+    assert(static === 0L)
   }
 }

@@ -67,7 +67,10 @@ object CurationStream {
   final case class BatchReport(
       received: Long, gatedQuality: Long, inBatchDups: Long,
       corpusNearDups: Long, accepted: Long, version: Option[Long],
-      privacyBelowKPpm: Long)
+      privacyBelowKPpm: Long,
+      // Rows dropped by the in-cycle media container gate (0 when the
+      // stream carries no media or validateMedia is off).
+      mediaRejected: Long = 0L)
 
   /** One micro-batch through the gate chain; commits accepted docs +
     * postings atomically and returns the per-stage counts. Pure function
@@ -84,7 +87,8 @@ object CurationStream {
       config: CurationConfig = CurationConfig.pinned,
       gate: Column = col("n_chars") >= 100L,
       privacyQi: Seq[Column] = defaultPrivacyQi,
-      privacyK: Long = 5L): BatchReport = {
+      privacyK: Long = 5L,
+      validateMedia: Boolean = false): BatchReport = {
     val n = config.n
     val jaccard = config.jaccardThreshold
     val containment = config.containmentThreshold
@@ -95,8 +99,32 @@ object CurationStream {
       // `gate` is any boolean predicate over the batch columns — the
       // q97 length rule by default; compose q131's Gopher rule stack or
       // any model-score column here without touching the dedup chain.
-      val gated = scope.cached(batch.filter(gate))
-      val nGated = gated.count()
+      val preMedia = scope.cached(batch.filter(gate))
+      val nPreMedia = preMedia.count()
+
+      // Media container gate INSIDE the cycle (q143's probe run beside
+      // the load, like the privacy audit below): rows whose blob doesn't
+      // parse as its declared (format, width, height) drop HERE, before
+      // any tokenize/decode work is spent on them. Runs after the cheap
+      // text gate so only quality-passing blobs get probed. Requires
+      // (media, format, width, height) columns when enabled.
+      val gated =
+        if (!validateMedia) preMedia
+        else {
+          import spark.implicits._
+          val probed = graft.operators.Multimodal.probeMetadata(
+            preMedia.select(col("doc_id").as("media_id"), col("media"),
+              col("format"), col("width").cast("int").as("width"),
+              col("height").cast("int").as("height"),
+              length(col("media")).cast("long").as("n_bytes"))
+              .as[graft.operators.Multimodal.MediaRow])(spark)
+          scope.cached(preMedia.join(
+            probed.filter(col("meta_consistent"))
+              .select(col("media_id").as("doc_id")),
+            Seq("doc_id")))
+        }
+      val nGated = if (validateMedia) gated.count() else nPreMedia
+      val mediaRejected = nPreMedia - nGated
 
       // In-batch survivors (a batch may contain its own near-dup pairs —
       // a crawl frontier often does).
@@ -152,8 +180,13 @@ object CurationStream {
         else graft.operators.Privacy
           .kAnonymityAudit(acceptedCached, privacyQi, Seq(privacyK))
           .select(col("rows_below_ppm")).collect()(0).getLong(0)
-      BatchReport(received, nGated, nGated - nSurvivors,
-        nSurvivors - nAccepted, nAccepted, version, privacyPpm)
+      // gatedQuality counts the TEXT gate alone; the media gate's drops
+      // are itemized in mediaRejected, so the stage chain telescopes:
+      // received ≥ gatedQuality ≥ gatedQuality − mediaRejected ≥
+      // survivors ≥ accepted.
+      BatchReport(received, nPreMedia, nGated - nSurvivors,
+        nSurvivors - nAccepted, nAccepted, version, privacyPpm,
+        mediaRejected)
     } finally scope.release()
   }
 
@@ -172,10 +205,12 @@ object CurationStream {
       gate: Column = col("n_chars") >= 100L,
       privacyQi: Seq[Column] = defaultPrivacyQi,
       privacyK: Long = 5L,
+      validateMedia: Boolean = false,
       onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onBatch(curateBatch(batch, root, config, gate, privacyQi, privacyK))
+        onBatch(curateBatch(batch, root, config, gate, privacyQi, privacyK,
+          validateMedia))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

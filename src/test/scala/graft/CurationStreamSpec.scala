@@ -118,4 +118,32 @@ class CurationStreamSpec extends AnyFunSuite {
     val r2 = CurationStream.curateBatch(df((five :+ longDoc): _*), root2)
     assert(r2.accepted === 6L && r2.privacyBelowKPpm === 166666L)
   }
+
+  test("in-cycle media container gate: probe mismatches drop, itemized") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curation-media").toString
+    val good = graft.operators.Multimodal.syntheticPng(1, 4, 3)
+    val corrupt = Array[Byte](1, 2, 3)
+    val mislabeled = graft.operators.Multimodal.syntheticPng(3, 5, 5)
+    val rows = Seq(
+      (1L, textA, textA.length.toLong, good, "image/png", 4, 3),
+      (2L, textB, textB.length.toLong, corrupt, "image/png", 4, 3),
+      // Real PNG, wrong declared dims — exactly the mislabel q143 catches.
+      (3L, textC, textC.length.toLong, mislabeled, "image/png", 9, 9),
+      // Fails the TEXT gate; its (valid) blob must not be probed back in.
+      (4L, "tiny", 4L, good, "image/png", 4, 3))
+      .toDF("doc_id", "text", "n_chars", "media", "format", "width", "height")
+    val r = CurationStream.curateBatch(rows, root, validateMedia = true)
+    // Chain telescopes: 4 received → 3 pass text → 2 media-rejected →
+    // 1 survivor → 1 accepted; the lone accepted doc is a singleton QI
+    // class below k.
+    assert(r === CurationStream.BatchReport(4, 3, 0, 0, 1, Some(1L),
+      1000000L, 2L))
+    assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
+      .get.select("doc_id").as[Long].collect() === Array(1L))
+    // validateMedia off: same batch sails through on text alone.
+    val root2 = Files.createTempDirectory("graft-curation-media2").toString
+    val r2 = CurationStream.curateBatch(rows, root2)
+    assert(r2.accepted === 3L && r2.mediaRejected === 0L)
+  }
 }

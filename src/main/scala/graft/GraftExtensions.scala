@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CountMin, DotProduct, HmacSha256, JaroWinklerSim, MinHashSignature, MisraGries, SimHash64}
+import graft.functions.{CountMin, DotProduct, HmacSha256, HyperLogLog, JaroWinklerSim, MinHashSignature, MisraGries, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * as SQL functions at session build time —
@@ -97,6 +97,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"count_min: $name must be an integer literal, got $other")
           }
         CountMin(exprs(0), intLit(exprs(1), "depth"), intLit(exprs(2), "width"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_registers"),
+      info("hll_registers",
+        "hll_registers(key, p) - HyperLogLog register vector (array<int> of 2^p rank maxima)"),
+      (exprs: Seq[Expression]) => {
+        val pExpr = exprs(1)
+        val p =
+          if (!pExpr.foldable) throw new IllegalArgumentException(
+            "hll_registers: p must be an integer literal, got a non-foldable expression")
+          else pExpr.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.intValue()
+            case other => throw new IllegalArgumentException(
+              s"hll_registers: p must be an integer literal, got $other")
+          }
+        HyperLogLog(exprs(0), p).toAggregateExpression()
       }))
     ext.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPruning)
   }

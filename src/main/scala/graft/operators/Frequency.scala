@@ -125,4 +125,71 @@ object Frequency {
         (col("cms_est") >= col("exact_n")).as("never_undercounts"))
       .orderBy(col("key"))
   }
+
+  /** HyperLogLog cardinality audit — the third leg of the sketch triptych
+    * ([[MisraGries]]: which keys are heavy; [[graft.functions.CountMin]]:
+    * how often is THIS key; [[graft.functions.HyperLogLog]]: how many
+    * DISTINCT keys): per group, the 2^p register vector plus its exact
+    * replayable sufficient statistics and the raw Flajolet estimator.
+    *
+    * Everything after the registers is EXACT integer arithmetic, so the
+    * whole row is engine-replayable (the property the audit surface is
+    * built on):
+    *
+    *  - `s_scaled` is the estimator's denominator Σ_j 2^−M_j held as the
+    *    INTEGER Σ_j 2^(E−M_j) with E = 61−p (the max rank), which fits a
+    *    BIGINT exactly for every p (≤ 2^p · 2^E = 2^61) — no floating
+    *    harmonic mean, no summation-order sensitivity;
+    *  - `hll_est_milli` = ⌊α_m·m²·2^E·1000 / (s_scaled·10^6)⌋ with α_m
+    *    pinned in ppm (the Flajolet constant 0.7213/(1+1.079/m) for
+    *    m ≥ 128; 0.673/0.697/0.709 for m = 16/32/64), evaluated entirely
+    *    in DECIMAL(38,0) — both the numerator literal and the floor
+    *    division replay bit-for-bit in any exact-integer engine;
+    *  - `lc_regime` marks rows where the RAW estimator is known-biased
+    *    (est ≤ 2.5m and empty registers remain — Flajolet §4's
+    *    small-range correction applies there; the correction itself needs
+    *    a transcendental ln, so the flag is exported rather than a lossy
+    *    double).
+    *
+    * `exact_distinct` is the audit baseline — the very aggregation HLL
+    * exists to avoid (its shuffle carries the vocabulary). It rides the
+    * same single group-by pass here because the audit needs the truth;
+    * the production read is `hll_registers` alone, whose map-side partial
+    * state is one 2^p-int vector per task regardless of key cardinality,
+    * mergeable across partitions, days and engines by element-wise max.
+    */
+  def hllCardinalityAudit(df: DataFrame, groupCol: Column, keyCol: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllCardinalityAudit: need 4 <= p <= 16, got $p")
+    val m = 1 << p
+    val e = 61 - p
+    val alphaPpm: Long = m match {
+      case 16 => 673000L
+      case 32 => 697000L
+      case 64 => 709000L
+      case _ => math.round(0.7213 / (1.0 + 1.079 / m) * 1e6)
+    }
+    // α_m·m²·2^E·1000 as one exact literal (driver-side BigInt, ≤ 10^30
+    // for p ≤ 16 — inside DECIMAL(38,0)).
+    val num = BigInt(alphaPpm) * m * m * (BigInt(1) << e) * 1000
+    val keyed = df.select(groupCol.as("grp"), keyCol.as("key"))
+      .filter(col("key").isNotNull)
+    keyed.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_keys"),
+        countDistinct(col("key")).as("exact_distinct"),
+        graft.functions.HyperLogLog.hll_registers(col("key"), p).as("registers"))
+      .withColumn("zero_regs",
+        size(filter(col("registers"), r => r === 0)).cast("long"))
+      .withColumn("rank_sum", expr(
+        "aggregate(registers, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("s_scaled", expr(
+        s"aggregate(registers, CAST(0 AS BIGINT), (a, x) -> a + shiftleft(CAST(1 AS BIGINT), $e - x))"))
+      .withColumn("hll_est_milli", expr(
+        s"CAST('$num' AS DECIMAL(38,0)) div (CAST(s_scaled AS DECIMAL(38,0)) * 1000000)"))
+      .withColumn("err_milli",
+        col("hll_est_milli") - lit(1000L) * col("exact_distinct"))
+      .withColumn("lc_regime",
+        col("hll_est_milli") <= lit(2500L * m) && col("zero_regs") > 0)
+      .orderBy(col("grp"))
+  }
 }

@@ -23,6 +23,18 @@ object TextAnalysis {
 
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
+  /** Space-joined word n-grams of a token array. The `when` guard matters
+    * for correctness, not just speed: `sequence(0, size-n)` RUNS BACKWARDS
+    * for arrays shorter than n tokens (Spark's sequence descends when
+    * stop < start), which would fabricate reversed grams.
+    */
+  def wordGrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"wordGrams: n must be >= 1, got $n")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
   /** Count of tokens belonging to a stopword set. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
@@ -427,5 +439,38 @@ object TextAnalysis {
           expr("((n_eval_tokens - r.iv) * 1000000) div n_eval_tokens"))
           .as("oov_ppm"))
       .orderBy(col("vocab_size"))
+  }
+
+  /** Boilerplate n-gram audit — the C4/CCNet-class boilerplate signal
+    * (navigation bars, cookie banners, license footers repeat VERBATIM
+    * across pages long before whole pages become near-duplicates): an
+    * n-gram is boilerplate when it occurs in ≥ `minDocs` DISTINCT
+    * documents; each document reports its gram INSTANCE counts (not
+    * distinct grams — repeated boilerplate inside one doc costs what it
+    * costs) and the exact integral boilerplate share in milli-units.
+    * Complements q157's novelty (first-occurrence credit) with the
+    * symmetric removal signal: novelty says what's fresh, this says what
+    * to strip.
+    *
+    * Scale shape: one exploded instance stream (cached — the
+    * doc-frequency aggregation and the per-doc rollup both read it), one
+    * vocabulary-scale distinct + aggregate, one gram-keyed join back.
+    * Work ∝ token instances; never doc×doc.
+    */
+  def boilerplateAudit(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Long = 5L,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
+    val inst = scope.cached(df.select(col(idCol).as("doc_id"),
+      explode(wordGrams(tokens(col(textCol)), n)).as("gram")))
+    val boiler = inst.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+      .select(col("gram"), lit(true).as("is_boiler"))
+    inst.join(boiler, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_milli", expr("(1000 * n_boiler) div n_grams"))
   }
 }

@@ -558,6 +558,37 @@ object DedupQueries {
              |FROM g JOIN f ON g.g = f.g
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Boilerplate 5-gram audit: the C4/CCNet-class removal signal —
+    // verbatim-repeated spans (nav bars, cookie banners, license
+    // footers) recur across ≥5 DISTINCT docs long before whole pages
+    // near-duplicate. Counts gram INSTANCES per doc (repeated
+    // boilerplate inside one doc costs what it costs), exact integral
+    // milli share. q157's symmetric complement: novelty credits what's
+    // fresh, this marks what to strip.
+    QueryDef(
+      "q171_boilerplate",
+      (spark, dir) =>
+        TextAnalysis.boilerplateAudit(
+            QueryDef.spreadIfNarrow(Tables.documents(spark, dir)),
+            "doc_id", "text", n = 5, minDocs = 5L)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |gi AS (SELECT doc_id, unnest(CASE WHEN len(l) < 5 THEN [] ELSE
+             |    list_transform(range(1, len(l)-3), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]) END) AS gram
+             |  FROM toks),
+             |bf AS (SELECT gram FROM (
+             |    SELECT gram, COUNT(DISTINCT doc_id) AS dfd FROM gi GROUP BY gram)
+             |  WHERE dfd >= 5),
+             |per AS (SELECT gi.doc_id, COUNT(*) AS n_grams,
+             |    SUM(CASE WHEN bf.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+             |  FROM gi LEFT JOIN bf ON gi.gram = bf.gram GROUP BY gi.doc_id)
+             |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             |  CAST(n_boiler AS BIGINT) AS n_boiler,
+             |  CAST((1000 * n_boiler) // n_grams AS BIGINT) AS boiler_milli
+             |FROM per ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** Oracle for [[Dedup.lshBandAudit]]: replays the signature (embedding

@@ -438,6 +438,53 @@ object SimilarityQueries {
              |SELECT g AS label, n, p250_x1000, p500_x1000, p750_x1000
              |FROM os_q ORDER BY label""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Matryoshka-truncation distortion audit (Kusupati et al. 2022):
+    // per-(k, query) Pearson correlation between the k-PREFIX squared-L2
+    // distance field and the full-dimension one — the storage-side ANN
+    // read beside q153's PQ (codebooks shrink bytes; truncation just
+    // reads less). Structureless embeddings scale like sqrt(k/dim)
+    // (measured mins 0.14/0.29/0.53 for k=8/16/32 across sf0.001–0.1);
+    // the gates sit below that floor to catch truncation BUGS, which
+    // land near zero. Exact HUGEINT/DECIMAL(38,0) sufficient statistics;
+    // corr is the one audited double-op, the q153 contract.
+    QueryDef(
+      "q170_matryoshka_audit",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.matryoshkaAudit(
+            corpus = emb, queries = emb.filter(col("vec_id") < 10),
+            idCol = "vec_id", vecCol = "embedding")
+          .orderBy(col("k"), col("query_id"))
+      },
+      Some("""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ks AS (SELECT unnest([8, 16, 32]) AS k,
+             |  unnest([100000, 200000, 450000]) AS min_corr_micro),
+             |p AS (SELECT ks.k, ks.min_corr_micro, vq.id AS query_id, vc.id AS id,
+             |    CAST(FLOOR(ROUND(list_inner_product(vq.v, vq.v) - 2*list_inner_product(vq.v, vc.v)
+             |      + list_inner_product(vc.v, vc.v), 4) * 1000000.0 + 0.5) AS BIGINT) AS d2_full,
+             |    CAST(FLOOR(ROUND(list_inner_product(vq.v[1:ks.k], vq.v[1:ks.k]) - 2*list_inner_product(vq.v[1:ks.k], vc.v[1:ks.k])
+             |      + list_inner_product(vc.v[1:ks.k], vc.v[1:ks.k]), 4) * 1000000.0 + 0.5) AS BIGINT) AS d2_trunc
+             |  FROM v vq JOIN v vc ON vq.id <> vc.id, ks WHERE vq.id < 10),
+             |st AS (SELECT k, min_corr_micro, query_id, CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(d2_trunc) AS HUGEINT) AS sx, CAST(SUM(d2_full) AS HUGEINT) AS sy,
+             |    SUM(CAST(d2_trunc AS HUGEINT) * d2_full) AS sxy,
+             |    SUM(CAST(d2_trunc AS HUGEINT) * d2_trunc) AS sxx,
+             |    SUM(CAST(d2_full AS HUGEINT) * d2_full) AS syy
+             |  FROM p GROUP BY k, min_corr_micro, query_id)
+             |SELECT CAST(k AS BIGINT) AS k, query_id, CAST(n AS BIGINT) AS n_scored,
+             |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             |    CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+             |      * 1000000.0 + 0.5) AS BIGINT) END AS corr_micro,
+             |  CAST(min_corr_micro AS BIGINT) AS min_corr_micro,
+             |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             |    CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+             |      * 1000000.0 + 0.5) AS BIGINT) >= min_corr_micro END AS trunc_ok
+             |FROM st ORDER BY k, query_id""".stripMargin),
+    ),
   )
 
   /** Iterative k-center oracle: m<i> carries each point's running

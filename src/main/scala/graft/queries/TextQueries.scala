@@ -1472,6 +1472,66 @@ object TextQueries {
              |  END AS fertility_milli
              |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // HyperLogLog cardinality audit per source over 3-shingles — the
+    // dedup-index-sizing read ("how many distinct shingles will the
+    // MinHash index hold per source?") that q154's Count-Min can't
+    // answer and an exact COUNT(DISTINCT) can't afford at 100 TB (its
+    // shuffle carries the vocabulary; the HLL partial is 256 ints per
+    // task). The full register vector AND the estimator are under the
+    // hash: registers replay from md5 in any engine, the denominator is
+    // the INTEGER Σ 2^(53−M_j), and the estimate is one DECIMAL(38,0)
+    // floor division — the only double anywhere is the pinned α_256 ppm
+    // constant 718273.
+    QueryDef(
+      "q172_hll_cardinality",
+      (spark, dir) =>
+        graft.operators.Frequency.hllCardinalityAudit(
+            QueryDef.spreadIfNarrow(Tables.documents(spark, dir))
+              .select(col("source"), explode(TextAnalysis.wordGrams(
+                TextAnalysis.tokens(col("text")), 3)).as("shingle")),
+            col("source"), col("shingle"), p = 8)
+          // The driver's compare hashes through pandas, where a list
+          // column is unsortable — the register STATE goes under the
+          // hash as its canonical CSV string instead.
+          .withColumn("registers_csv",
+            array_join(col("registers").cast("array<string>"), ","))
+          .drop("registers"),
+      Some("""WITH t AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |toks AS (SELECT source, unnest(CASE WHEN len(l) < 3 THEN [] ELSE
+             |    list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS key
+             |  FROM t),
+             |h AS (SELECT source, CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS hv
+             |  FROM (SELECT DISTINCT source, key FROM toks)),
+             |r AS (SELECT source, hv >> 52 AS reg,
+             |    MAX(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+             |        ELSE 53 - length(bin(hv & ((1::BIGINT << 52) - 1))) END) AS rnk
+             |  FROM h GROUP BY 1, 2),
+             |grid AS (SELECT s.source, g.reg
+             |  FROM (SELECT DISTINCT source FROM toks) s, (SELECT unnest(range(256)) AS reg) g),
+             |vec AS (SELECT grid.source,
+             |    array_to_string(list(coalesce(r.rnk, 0) ORDER BY grid.reg), ',') AS registers_csv,
+             |    CAST(SUM(CASE WHEN r.rnk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs,
+             |    CAST(SUM(coalesce(r.rnk, 0)) AS BIGINT) AS rank_sum,
+             |    CAST(SUM(1::BIGINT << (53 - coalesce(r.rnk, 0))) AS BIGINT) AS s_scaled
+             |  FROM grid LEFT JOIN r ON grid.source = r.source AND grid.reg = r.reg
+             |  GROUP BY grid.source),
+             |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |    CAST(COUNT(DISTINCT key) AS BIGINT) AS exact_distinct
+             |  FROM toks GROUP BY source)
+             |SELECT v.source AS grp, ex.n_keys, ex.exact_distinct, v.registers_csv,
+             |  v.zero_regs, v.rank_sum, v.s_scaled,
+             |  CAST(CAST('423993542593778584572133376000' AS HUGEINT)
+             |    // (CAST(v.s_scaled AS HUGEINT) * 1000000) AS BIGINT) AS hll_est_milli,
+             |  CAST(CAST('423993542593778584572133376000' AS HUGEINT)
+             |    // (CAST(v.s_scaled AS HUGEINT) * 1000000) AS BIGINT)
+             |    - 1000 * ex.exact_distinct AS err_milli,
+             |  (CAST(CAST('423993542593778584572133376000' AS HUGEINT)
+             |    // (CAST(v.s_scaled AS HUGEINT) * 1000000) AS BIGINT) <= 640000
+             |    AND v.zero_regs > 0) AS lc_regime
+             |FROM vec v JOIN ex ON v.source = ex.source ORDER BY v.source""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

@@ -163,6 +163,16 @@ object SqlSurface {
     Similarity.pqDistortionAudit(emb, emb.filter(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 5)
       .createOrReplaceTempView("pq_distortion")
+    // Round-10 additions — storage-side ANN + cardinality reads (q170,
+    // q172):
+    Similarity.matryoshkaAudit(emb, emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding")
+      .createOrReplaceTempView("matryoshka_audit")
+    graft.operators.Frequency.hllCardinalityAudit(
+        docs.select(col("source"), explode(TextAnalysis.wordGrams(
+          TextAnalysis.tokens(col("text")), 3)).as("shingle")),
+        col("source"), col("shingle"), p = 8)
+      .createOrReplaceTempView("hll_cardinality")
   }
 
   /** Register the MULTIMODAL dedup/triage family as views (call after

@@ -66,6 +66,28 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(viaSql === viaApi)
         assert(viaSql.map(_._1) === Seq("x", "y"))
       }
+      // hll_registers: the injected HLL aggregate through spark.sql with
+      // GROUP BY ≡ the column API (partial/merge exercised, not a point
+      // call), and the vector is structurally a register table: 2^p
+      // entries, ranks in [0, 61-p], at most |distinct keys| nonzero.
+      locally {
+        import s.implicits._
+        val rows = Seq(("x", "a"), ("x", "a"), ("x", "b"), ("y", "c"))
+        val viaSql = s.sql(
+          """SELECT g, hll_registers(k, 4) AS regs
+            |FROM VALUES ('x','a'),('x','a'),('x','b'),('y','c') t(g, k)
+            |GROUP BY g ORDER BY g""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getSeq[Int](1))).toSeq
+        val viaApi = rows.toDF("g", "k").groupBy($"g")
+          .agg(graft.functions.HyperLogLog.hll_registers($"k", 4).as("regs"))
+          .orderBy($"g")
+          .collect().map(r => (r.getString(0), r.getSeq[Int](1))).toSeq
+        assert(viaSql === viaApi)
+        viaSql.foreach { case (_, regs) =>
+          assert(regs.length === 16 && regs.forall(r => r >= 0 && r <= 57))
+        }
+        assert(viaSql.head._2.count(_ > 0) <= 2) // 'x' has 2 distinct keys
+      }
       // Optimizer-rule injection: a jaro_winkler threshold filter above
       // the 0.8 floor gains the provably-implied length-ratio conjunct...
       import s.implicits._

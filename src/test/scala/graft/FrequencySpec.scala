@@ -133,4 +133,66 @@ class FrequencySpec extends AnyFunSuite {
     val (h1, h2) = rows.splitAt(5)
     assert(grid(h1).zip(grid(h2)).map { case (x, y) => x + y } === grid(rows))
   }
+
+  test("hll_registers: replayable register maxima, any partitioning") {
+    import graft.functions.HyperLogLog
+    val keys = (1 to 300).map(i => s"key$i")
+    // Independent recompute straight from the spec: 60-bit md5 hash, top
+    // p bits pick the register, rank = 1 + leading zeros of the rest.
+    val p = 8
+    val expected = new Array[Int](1 << p)
+    keys.foreach { k =>
+      val hv = HyperLogLog.hash60(k)
+      val idx = (hv >>> (60 - p)).toInt
+      val r = HyperLogLog.rank(hv, p)
+      if (r > expected(idx)) expected(idx) = r
+    }
+    def regs(parts: Int, rows: Seq[String]) =
+      spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("key").repartition(parts)
+        .agg(HyperLogLog.hll_registers(col("key"), p).as("r"))
+        .collect().head.getSeq[Int](0)
+    val one = regs(1, keys)
+    assert(one === expected.toSeq)
+    // Registers are per-key maxima: duplication, row order, partitioning
+    // (merge shape) cannot move them.
+    assert(regs(9, keys) === one)
+    assert(regs(4, keys ++ keys.take(50)) === one)
+    // The hash/rank math itself, pinned at the edges: w=0 must yield the
+    // sentinel rank 61-p, a top-bit w yields 1.
+    assert(HyperLogLog.rank(0L, p) === 61 - p)
+    assert(HyperLogLog.rank((1L << (60 - p)) - 1 | (1L << (59 - p)), p) === 1)
+  }
+
+  test("hllCardinalityAudit: exact stats replay from the registers") {
+    import graft.functions.HyperLogLog
+    val rows = (1 to 500).map(i => (s"g${i % 2}", s"k${i % 137}"))
+    val out = Frequency.hllCardinalityAudit(
+        spark.createDataFrame(rows).toDF("grp", "key"), col("grp"), col("key"))
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("g0", "g1"))
+    out.foreach { r =>
+      val regs = r.getSeq[Int](r.fieldIndex("registers"))
+      // The derived columns are pure functions of the register vector —
+      // recompute them and demand equality.
+      assert(r.getLong(r.fieldIndex("zero_regs")) === regs.count(_ == 0).toLong)
+      assert(r.getLong(r.fieldIndex("rank_sum")) === regs.map(_.toLong).sum)
+      assert(r.getLong(r.fieldIndex("s_scaled")) ===
+        regs.map(x => 1L << (53 - x)).sum)
+      // exact_distinct really is exact, and the raw estimator lands in a
+      // sane band around it on this (LC-regime) fixture.
+      val exact = r.getLong(r.fieldIndex("exact_distinct"))
+      assert(exact > 0 && exact <= 137)
+      assert(r.getLong(r.fieldIndex("err_milli")) ===
+        r.getLong(r.fieldIndex("hll_est_milli")) - 1000L * exact)
+    }
+    // Null keys are not keys: they must not touch any register.
+    val withNulls = spark.createDataFrame(
+        rows.map { case (g, k) => (g, k) } ++ Seq(("g0", null: String)))
+      .toDF("grp", "key")
+    val a = Frequency.hllCardinalityAudit(withNulls, col("grp"), col("key"))
+      .orderBy(col("grp")).collect().map(_.getSeq[Int](3)).toSeq
+    val b = out.map(_.getSeq[Int](3)).toSeq
+    assert(a === b)
+  }
 }

@@ -466,6 +466,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     // duplicateClusters' guarded collect before the audited label join;
     // the audited plan is broadcast-label-join + output sort.
     "q169_crossmodal_clusters" -> 1,
+    // q170: the (k, query) grouped corr agg + output sort; the
+    // query×corpus product and the k fan-out are broadcast joins.
+    "q170_matryoshka_audit" -> 2,
+    // q171: instance-stream distinct + doc-frequency agg (vocabulary
+    // scale), gram-keyed join back, per-doc agg + output sort.
+    "q171_boilerplate" -> 4,
+    // q172: compute-spreading repartition, the distinct-agg partial on
+    // (grp, key) — the exact_distinct audit baseline; the production
+    // read is the HLL vector alone, whose partial is 256 ints per task —
+    // the final per-group agg, and the output sort.
+    "q172_hll_cardinality" -> 4,
   )
 
 
@@ -567,6 +578,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q167_video_frame_sample" -> 1,
     "q168_video_motion" -> 1,
     "q169_crossmodal_clusters" -> 1,
+    // q170: corpus and query sides read embeddings under different
+    // pushed filters — two scan leaves by design (q153's shape).
+    "q170_matryoshka_audit" -> 2,
+    "q171_boilerplate" -> 1,
+    "q172_hll_cardinality" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -278,6 +278,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(pq.nonEmpty && pq === pqApi)
   }
 
+  test("storage-side ANN + cardinality in pure SQL: q170/q172 as views") {
+    // matryoshka_audit: the per-k truncation gate as a WHERE clause —
+    // the bug-floor contract is that NOTHING lands near zero correlation.
+    val ma = sql.sql(
+      """SELECT k, query_id, corr_micro, min_corr_micro, trunc_ok
+        |FROM matryoshka_audit ORDER BY k, query_id""".stripMargin)
+      .collect()
+    assert(ma.nonEmpty)
+    assert(ma.forall(r => !r.isNullAt(2)), "corr must be defined on the fixture")
+    val below = sql.sql(
+      "SELECT count(*) FROM matryoshka_audit WHERE NOT trunc_ok")
+      .collect().head.getLong(0)
+    assert(below === 0L)
+    // Wider prefixes must correlate better in aggregate: the mean over
+    // queries is monotone in k on any non-adversarial corpus.
+    val byK = sql.sql(
+      """SELECT k, avg(corr_micro) AS m FROM matryoshka_audit
+        |GROUP BY k ORDER BY k""".stripMargin)
+      .collect().map(_.getDouble(1)).toSeq
+    byK.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a)
+      case _ =>
+    }
+    // hll_cardinality: registers are replayable state — the derived
+    // columns recompute from the vector INSIDE SQL, and the audit's
+    // exact_distinct bounds are structural (distinct <= instances).
+    val hc = sql.sql(
+      """SELECT grp, n_keys, exact_distinct, zero_regs, rank_sum, s_scaled,
+        |  aggregate(registers, CAST(0 AS BIGINT), (a, x) -> a + x) AS rs2,
+        |  size(filter(registers, x -> x = 0)) AS zr2
+        |FROM hll_cardinality ORDER BY grp""".stripMargin).collect()
+    assert(hc.nonEmpty)
+    hc.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(4) === r.getLong(r.fieldIndex("rs2")))
+      assert(r.getLong(3) === r.getInt(r.fieldIndex("zr2")).toLong)
+    }
+  }
+
   test("multimodal dedup in pure SQL: perceptual pairs, cross-modal survivors") {
     implicit val s: SparkSession = sql
     // image_neardup_pairs ≡ the Scala operator, driven through SQL with a

@@ -350,4 +350,40 @@ object Sampling {
         .otherwise(0L)), lit(0L)).as("leak_pairs_naive"))
     perSplit.crossJoin(broadcast(leaks)).orderBy(col("split"))
   }
+
+  /** Mixture-diversity audit: per group, how concentrated is the
+    * categorical mix (languages per source, domains per shard)? Entropy
+    * is the textbook read but needs a transcendental log; the
+    * Gini–Simpson family is the same signal as an exact RATIONAL —
+    * Simpson's λ = Σ p_c² (the probability two random docs share a
+    * category), its complement, the dominant-category share, and the
+    * effective category count 1/λ (Hill number of order 2: "this source
+    * behaves like N equally-likely languages"), all integer
+    * cross-multiplications of category counts — engine-replayable, no
+    * float anywhere.
+    *
+    * The mixture read a token-budget allocator (q147) consumes next to
+    * its availability numbers: a source with 6 languages at effective
+    * 1.1 is a monoculture with decoration, not a multilingual feed.
+    *
+    * Scale shape: one (group, category) count aggregation (map-side
+    * partial), one |groups×categories|-row roll-up. Never row×row.
+    */
+  def mixtureDiversity(df: DataFrame, grpCol: Column, catCol: Column): DataFrame = {
+    val counts = df.select(grpCol.as("grp"), catCol.as("cat"))
+      .filter(col("cat").isNotNull)
+      .groupBy(col("grp"), col("cat")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_cats"),
+        max(col("c")).as("max_c"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("grp"), col("n_docs"), col("n_cats"),
+        expr("(max_c * 1000000) div n_docs").as("dominant_ppm"),
+        expr("(sum_sq * 1000000) div (n_docs * n_docs)").as("simpson_ppm"),
+        (lit(1000000L) - expr("(sum_sq * 1000000) div (n_docs * n_docs)"))
+          .as("gini_simpson_ppm"),
+        expr("(n_docs * n_docs * 1000) div sum_sq").as("effective_cats_milli"))
+      .orderBy(col("grp"))
+  }
 }

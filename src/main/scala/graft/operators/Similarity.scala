@@ -695,4 +695,75 @@ object Similarity {
           .as("corr_micro"), col("min_corr_micro"))
       .withColumn("trunc_ok", col("corr_micro") >= col("min_corr_micro"))
   }
+
+  /** Int8 scalar-quantization distortion audit — the third storage-side
+    * ANN read beside q153's PQ (codebooks) and q170's Matryoshka
+    * truncation (prefix): per-dimension affine quantization to 8-bit
+    * codes, the cheapest 4× compression every vector store ships first.
+    * Audited the q153/q170 way: per-query Pearson correlation between the
+    * exact squared-L2 distance field and the one against DEQUANTIZED
+    * corpus vectors (queries stay exact — the ADC convention).
+    *
+    * Everything is exact integer arithmetic on round-4 e4 components:
+    * per-dim [min, max] over the corpus (the codebook — 2 BIGINTs per
+    * dimension), code = ((v−min)·255) div (max−min), dequant =
+    * min + (code·(max−min)) div 255; distances are BIGINT e8 sums, the
+    * Pearson corr rides DECIMAL(38,0) sufficient statistics, and the gate
+    * defaults high (SQ8 is near-lossless on smooth embeddings — corr
+    * lands ≥ ~0.999; a wrong-dimension codebook or a clamping bug lands
+    * far below).
+    *
+    * Scale shape: the codebook is ONE per-dim aggregate folded to a
+    * single broadcast row (dim-sized, never corpus-sized); quantization
+    * is a per-row zip_with against that row; the pair stream is the
+    * bounded-query-sample audit shape (q153 precedent).
+    */
+  def sq8DistortionAudit(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      minCorrMicro: Long = 990000L): DataFrame = {
+    val e4 = (v: Column) => transform(asDoubles(v),
+      x => floor(round(x, 4) * lit(10000.0) + lit(0.5)).cast("long"))
+    val c = corpus.select(col(idCol).as("id"), e4(col(vecCol)).as("v_c"))
+    // The codebook: per-dim min/max over the corpus, assembled into ONE
+    // row of two dim-length arrays (d-keyed agg → global array_sort fold;
+    // both exchanges move at most |dims| rows).
+    val dimStats = corpus
+      .select(posexplode(e4(col(vecCol))).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx"))))
+        .as("cb"))
+      .select(expr("transform(cb, x -> x.mn)").as("mn_arr"),
+        expr("transform(cb, x -> x.mx)").as("mx_arr"))
+    val quantized = c.crossJoin(broadcast(dimStats))
+      .withColumn("rng", expr("zip_with(mn_arr, mx_arr, (a, b) -> struct(a AS mn, b AS mx))"))
+      .withColumn("vq", expr(
+        """zip_with(v_c, rng, (v, r) -> CASE WHEN r.mx > r.mn
+          |  THEN r.mn + ((((v - r.mn) * 255) div (r.mx - r.mn)) * (r.mx - r.mn)) div 255
+          |  ELSE r.mn END)""".stripMargin))
+      .select(col("id"), col("v_c"), col("vq"))
+    val q = queries.select(col(idCol).as("query_id"), e4(col(vecCol)).as("v_q"))
+    def d2e8(a: String, b: String): Column = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+    val pairs = q.crossJoin(quantized)
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        d2e8("v_q", "v_c").as("d2_exact"), d2e8("v_q", "vq").as("d2_sq8"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    pairs.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("d2_sq8").cast(d38)).as("sx"),
+        sum(col("d2_exact").cast(d38)).as("sy"),
+        sum(col("d2_sq8").cast(d38) * col("d2_exact")).as("sxy"),
+        sum(col("d2_sq8").cast(d38) * col("d2_sq8")).as("sxx"),
+        sum(col("d2_exact").cast(d38) * col("d2_exact")).as("syy"))
+      .select(col("query_id"), col("n").cast("long").as("n_scored"),
+        when(expr("n * sxx - sx * sx") > 0 && expr("n * syy - sy * sy") > 0,
+          floor(expr("cast(n * sxy - sx * sy as double)") /
+            (sqrt(expr("cast(n * sxx - sx * sx as double)")) *
+              sqrt(expr("cast(n * syy - sy * sy as double)"))) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("corr_micro"),
+        lit(minCorrMicro).as("min_corr_micro"))
+      .withColumn("sq8_ok", col("corr_micro") >= col("min_corr_micro"))
+  }
 }

@@ -473,4 +473,109 @@ object TextAnalysis {
         sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_milli", expr("(1000 * n_boiler) div n_grams"))
   }
+
+  /** Retrieval chunking: overlapping token windows of `window` tokens at
+    * `stride` intervals — the index-build step of a RAG pipeline (split
+    * every document into retrievable passages with enough overlap that no
+    * answer span straddles a boundary unseen). Emits one row per chunk:
+    * ordinal, token offsets, and an auditable 60-bit md5 fingerprint of
+    * the chunk text (the retrieval-index key — dedupable and
+    * engine-replayable, the [[graft.functions.CountMin]] hash discipline).
+    *
+    * Chunk starts are 0, stride, 2·stride, …; a start > 0 is emitted only
+    * while the PREVIOUS chunk did not already reach the end of the
+    * document (its successor would contribute zero new tokens — the
+    * standard tail rule, so a 100-token doc at 64/48 yields [0,64) and
+    * [48,100), not a third all-overlap chunk). The tokenizer is staged
+    * into its own projection once ([[tokens]]); everything else is
+    * per-row array arithmetic — no shuffle, work ∝ tokens, and chunk
+    * counts are data-independent functions of document length.
+    */
+  /** Vocabulary-growth (Heaps) curve: distinct n-grams and token mass
+    * accumulated over deterministic doc-id-ordered corpus prefixes — the
+    * token-budget planning read ("how fast does the vocabulary still
+    * grow?" — a flattening curve says more data buys repetition, not
+    * coverage; Heaps 1978).
+    *
+    * Prefixes are defined by doc_id ORDER, not row order: each requested
+    * permille becomes an exact doc_id cutoff via
+    * [[Stats.orderStatsPermille]] (the banded distributed order-statistics
+    * path — never a global sort), melted to a broadcast row set; the
+    * per-prefix roll-ups are conditional sums against those cutoffs, so
+    * the whole curve costs ONE pass over the gram stream regardless of
+    * checkpoint count. `vocab_cum` rides each gram's FIRST-occurrence
+    * doc (q157's first-seen machinery): a gram is in the prefix
+    * vocabulary iff its earliest doc is. Work ∝ token instances.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, fracsMilli: Seq[Int] = Seq(125, 250, 500, 1000),
+      bandWidth: Long = 1024L,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    require(n >= 1, s"vocabGrowth: n must be >= 1, got $n")
+    require(fracsMilli.nonEmpty && fracsMilli.forall(f => f >= 1 && f <= 1000),
+      "fracsMilli must be permilles in [1, 1000]")
+    val base = scope.cached(df.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("tk")))
+    val cuts = Stats.orderStatsPermille(base.select(col("doc_id")),
+      lit("all"), col("doc_id"), fracsMilli, bandWidth)
+    val stackArgs = fracsMilli
+      .map(f => s"CAST($f AS BIGINT), p${f}_x1000").mkString(", ")
+    val cutRows = cuts.select(expr(
+      s"stack(${fracsMilli.size}, $stackArgs) AS (frac_milli, cut_x1000)"))
+    val docsCum = base
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_toks"))
+      .crossJoin(broadcast(cutRows))
+      .groupBy(col("frac_milli"), col("cut_x1000"))
+      .agg(sum(when(col("doc_id") * 1000 <= col("cut_x1000"), 1L)
+          .otherwise(0L)).as("docs_cum"),
+        sum(when(col("doc_id") * 1000 <= col("cut_x1000"), col("n_toks"))
+          .otherwise(0L)).as("tokens_cum"))
+    val firstSeen = base
+      .select(col("doc_id"), explode(wordGrams(col("tk"), n)).as("gram"))
+      .groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    val vocabCum = firstSeen.crossJoin(broadcast(cutRows))
+      .groupBy(col("frac_milli"))
+      .agg(sum(when(col("first_doc") * 1000 <= col("cut_x1000"), 1L)
+        .otherwise(0L)).as("vocab_cum"))
+    // Both sides are |checkpoints|-row frames; the estimator can't see
+    // that through the agg lineage, so broadcast explicitly (no SMJ).
+    docsCum.join(broadcast(vocabCum), Seq("frac_milli"))
+      .select(col("frac_milli"), col("docs_cum"), col("tokens_cum"),
+        col("vocab_cum"),
+        when(col("vocab_cum") > 0,
+          expr("(tokens_cum * 1000) div vocab_cum"))
+          .as("tokens_per_gram_milli"))
+      .orderBy(col("frac_milli"))
+  }
+
+  def ragChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val overlap = window - stride
+    val staged = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+    // Largest k with k*stride + overlap < n — past it, chunk k-1 already
+    // covers to EOF. Spark div truncates toward zero and DuckDB //
+    // floors; greatest(0, ·) makes both agree on short docs.
+    val chunks = staged
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("kmax",
+        greatest(lit(0L), expr(s"(n - ${overlap + 1}) div $stride")))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(expr(s"transform(sequence(CAST(0 AS BIGINT), kmax), k -> k * $stride)"))
+          .as("start_tok"))
+    chunks
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("tk"), (col("start_tok") + 1).cast("int"),
+          lit(window))))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_idx"),
+        col("start_tok"),
+        (least(col("n"), col("start_tok") + window) - col("start_tok"))
+          .as("n_tok"),
+        length(col("chunk_text")).cast("long").as("n_chars"),
+        conv(substring(md5(col("chunk_text")), 1, 15), 16, 10).cast("long")
+          .as("chunk_fp"))
+  }
 }

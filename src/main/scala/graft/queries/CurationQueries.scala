@@ -1002,6 +1002,37 @@ object CurationQueries {
               |FROM cc JOIN d ON cc.id = d.doc_id
               |GROUP BY d.source ORDER BY d.source""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Mixture-diversity audit: per-source language concentration as
+    // EXACT rationals — Simpson's λ (two random docs share a language),
+    // Gini–Simpson complement, dominant share, and the effective
+    // language count 1/λ (Hill order-2). The entropy read without the
+    // transcendental: everything is integer cross-multiplication of
+    // counts, so the whole row replays in any engine. The q147
+    // allocator's companion: a 6-language source at effective 1.1 is a
+    // monoculture with decoration.
+    QueryDef(
+      "q176_mixture_diversity",
+      (spark, dir) =>
+        graft.operators.Sampling.mixtureDiversity(
+            QueryDef.spreadIfNarrow(Tables.documents(spark, dir)),
+            col("source"), col("lang"))
+          .withColumnRenamed("grp", "source"),
+      Some("""WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM documents WHERE lang IS NOT NULL GROUP BY source, lang),
+             |r AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+             |    CAST(COUNT(*) AS BIGINT) AS n_cats,
+             |    CAST(MAX(c) AS BIGINT) AS max_c,
+             |    CAST(SUM(c * c) AS BIGINT) AS sum_sq
+             |  FROM c GROUP BY source)
+             |SELECT source, n_docs, n_cats,
+             |  (max_c * 1000000) // n_docs AS dominant_ppm,
+             |  (sum_sq * 1000000) // (n_docs * n_docs) AS simpson_ppm,
+             |  1000000 - (sum_sq * 1000000) // (n_docs * n_docs) AS gini_simpson_ppm,
+             |  (n_docs * n_docs * 1000) // sum_sq AS effective_cats_milli
+             |FROM r ORDER BY source""".stripMargin),
+    ),
   )
 }
 

@@ -485,6 +485,58 @@ object SimilarityQueries {
              |      * 1000000.0 + 0.5) AS BIGINT) >= min_corr_micro END AS trunc_ok
              |FROM st ORDER BY k, query_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Int8 scalar-quantization distortion audit — the third storage-side
+    // ANN read (q153 PQ codebooks, q170 Matryoshka prefixes, this: the
+    // 4x-cheaper per-dim affine int8 every vector store ships first).
+    // Exact integer end to end: e4 components, per-dim [min,max]
+    // codebook, floor-div codes/dequant, e8 BIGINT distance fields,
+    // HUGEINT/DECIMAL(38,0) Pearson stats; corr is the one audited
+    // double-op. Measured min corr 999840 across sf0.001-0.1 — the
+    // 990000 gate catches codebook/clamp BUGS (they land far below),
+    // not noise.
+    QueryDef(
+      "q174_sq8_audit",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.sq8DistortionAudit(
+            corpus = emb, queries = emb.filter(col("vec_id") < 10),
+            idCol = "vec_id", vecCol = "embedding")
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, d,
+             |    CAST(FLOOR(ROUND(CAST(embedding[d] AS DOUBLE), 4) * 10000.0 + 0.5) AS BIGINT) AS v
+             |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d)),
+             |cb AS (SELECT d, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY d),
+             |cq AS (SELECT ex.vec_id, ex.d, ex.v,
+             |    CASE WHEN cb.mx > cb.mn
+             |      THEN cb.mn + ((((ex.v - cb.mn) * 255) // (cb.mx - cb.mn)) * (cb.mx - cb.mn)) // 255
+             |      ELSE cb.mn END AS vq
+             |  FROM ex JOIN cb USING (d)),
+             |p AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+             |    SUM((q.v - c.v) * (q.v - c.v)) AS d2_exact,
+             |    SUM((q.v - c.vq) * (q.v - c.vq)) AS d2_sq8
+             |  FROM ex q JOIN cq c ON q.d = c.d AND q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 10 GROUP BY 1, 2),
+             |st AS (SELECT query_id, CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(d2_sq8) AS HUGEINT) AS sx, CAST(SUM(d2_exact) AS HUGEINT) AS sy,
+             |    SUM(CAST(d2_sq8 AS HUGEINT) * d2_exact) AS sxy,
+             |    SUM(CAST(d2_sq8 AS HUGEINT) * d2_sq8) AS sxx,
+             |    SUM(CAST(d2_exact AS HUGEINT) * d2_exact) AS syy
+             |  FROM p GROUP BY query_id)
+             |SELECT query_id, CAST(n AS BIGINT) AS n_scored,
+             |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             |    CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+             |      * 1000000.0 + 0.5) AS BIGINT) END AS corr_micro,
+             |  CAST(990000 AS BIGINT) AS min_corr_micro,
+             |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             |    CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+             |      * 1000000.0 + 0.5) AS BIGINT) >= 990000 END AS sq8_ok
+             |FROM st ORDER BY query_id""".stripMargin),
+    ),
   )
 
   /** Iterative k-center oracle: m<i> carries each point's running

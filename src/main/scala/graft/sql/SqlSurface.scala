@@ -168,11 +168,24 @@ object SqlSurface {
     Similarity.matryoshkaAudit(emb, emb.filter(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding")
       .createOrReplaceTempView("matryoshka_audit")
+    Similarity.sq8DistortionAudit(emb, emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding")
+      .createOrReplaceTempView("sq8_distortion")
     graft.operators.Frequency.hllCardinalityAudit(
         docs.select(col("source"), explode(TextAnalysis.wordGrams(
           TextAnalysis.tokens(col("text")), 3)).as("shingle")),
         col("source"), col("shingle"), p = 8)
       .createOrReplaceTempView("hll_cardinality")
+    // Round-10 curation reads: the growth/chunking/diversity family.
+    TextAnalysis.vocabGrowth(docs, "doc_id", "text", n = 3)
+      .createOrReplaceTempView("vocab_growth")
+    TextAnalysis.ragChunks(docs, "doc_id", "text")
+      .createOrReplaceTempView("rag_chunks")
+    Sampling.mixtureDiversity(docs, col("source"), col("lang"))
+      .withColumnRenamed("grp", "source")
+      .createOrReplaceTempView("mixture_diversity")
+    TextAnalysis.boilerplateAudit(docs, "doc_id", "text")
+      .createOrReplaceTempView("boilerplate_audit")
   }
 
   /** Register the MULTIMODAL dedup/triage family as views (call after

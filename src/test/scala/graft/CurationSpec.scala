@@ -548,4 +548,79 @@ class CurationSpec extends AnyFunSuite {
     assert(neg === Array(
       ("A", -250000000L, -500000000L), ("B", -250000000L, -500000000L)))
   }
+
+  test("ragChunks: offsets, tail rule, and replayable fingerprints by hand") {
+    val text100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, text100),                                  // 100 toks → 2 chunks
+      (2L, "solo doc"),                               // short → 1 chunk
+      (3L, (1 to 64).map(i => s"x$i").mkString(" ")), // exactly window → 1
+      (4L, (1 to 65).map(i => s"y$i").mkString(" ")), // one past → 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ragChunks(df, "doc_id", "text",
+        window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Tail rule: chunk at start 96 for doc 1 would contribute zero new
+    // tokens (chunk [48,100) already reaches EOF) — it must not exist.
+    assert(out === Array(
+      (1L, 0L, 0L, 64L), (1L, 1L, 48L, 52L),
+      (2L, 0L, 0L, 2L),
+      (3L, 0L, 0L, 64L),
+      (4L, 0L, 0L, 64L), (4L, 1L, 48L, 17L)))
+    // Fingerprint replay straight from the spec: first 15 md5 hex digits
+    // of the space-joined chunk.
+    val chunk0 = (1 to 64).map(i => s"w$i").mkString(" ")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(chunk0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fp = java.lang.Long.parseLong(hex.take(15), 16)
+    val got = TextAnalysis.ragChunks(df.filter(col("doc_id") === 1L),
+        "doc_id", "text").orderBy("chunk_idx").collect()
+    assert(got.head.getAs[Long]("chunk_fp") === fp)
+    assert(got.head.getAs[Long]("n_chars") === chunk0.length.toLong)
+  }
+
+  test("vocabGrowth: exact prefix accumulation on a hand corpus") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b d"), (2L, "a e"), (3L, "f"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text", n = 1,
+        fracsMilli = Seq(250, 500, 1000), bandWidth = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // Cutoffs are interpolated doc_id order statistics over {0,1,2,3}:
+    // p250 → 0.75 (doc 0 only), p500 → 1.5 (docs 0,1), p1000 → 3 (all).
+    assert(out === Array(
+      (250L, 1L, 3L, 3L, 1000L),
+      (500L, 2L, 6L, 4L, 1500L),
+      (1000L, 4L, 9L, 6L, 1500L)))
+  }
+
+  test("mixtureDiversity: Simpson family by hand, null categories ignored") {
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "fr"),
+      ("s2", "en"), ("s2", "en"), ("s2", null))
+      .toDF("source", "lang")
+    val out = Sampling.mixtureDiversity(df, col("source"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // s1: n=4, counts {2,1,1}: Σc²=6 → λ=6/16=375000 ppm, dominant 1/2,
+    // effective 16/6 = 2.666; s2: monoculture → λ=1, effective exactly 1.
+    assert(out === Array(
+      ("s1", 4L, 3L, 500000L, 375000L, 625000L, 2666L),
+      ("s2", 2L, 1L, 1000000L, 1000000L, 0L, 1000L)))
+  }
+
+  test("boilerplateAudit: verbatim banner flagged, unique tails score clean") {
+    // Six docs share a verbatim 3-bigram banner; each doc adds a unique
+    // 2-bigram tail. minDocs=5 marks exactly the banner grams.
+    val docs = (1 to 6).map(i =>
+      (i.toLong, s"the same banner here unique$i words")).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateAudit(docs, "doc_id", "text",
+        n = 2, minDocs = 5L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 6 tokens → 5 bigrams; "the same","same banner","banner here" are in
+    // all 6 docs; "here uniqueN","uniqueN words" are singletons.
+    assert(out === (1 to 6).map(i => (i.toLong, 5L, 3L, 600L)).toArray)
+  }
 }

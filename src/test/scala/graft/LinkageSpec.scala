@@ -179,4 +179,50 @@ class LinkageSpec extends AnyFunSuite {
     assert(got === Array((1, 1L, 6000000L), (2, 2L, 11000000L),
       (3, 3L, 25000000L), (4, 4L, 26000000L)))
   }
+
+  test("sq8DistortionAudit: two-level dims dequantize exactly — corr exactly 1e6") {
+    // Dims 1–3 hold only their per-dim min/max, so codes land on exactly
+    // representable endpoints (0 and 255 dequantize to mn and mx); dim 4
+    // is constant, exercising the mx = mn branch (emit mn, also exact).
+    // d2_sq8 therefore EQUALS d2_exact on every pair and the Pearson
+    // field correlation must be exactly 1_000_000.
+    val rows = Seq(
+      (0L, Array(0f, 0f, 1f, 0.5f)),
+      (1L, Array(1f, 0f, 0f, 0.5f)),
+      (2L, Array(0f, 1f, 1f, 0.5f)),
+      (3L, Array(1f, 1f, 0f, 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.sq8DistortionAudit(
+        df, df.filter(col("vec_id") < 2), "vec_id", "embedding")
+      .orderBy("query_id").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_scored") === 3L)
+      assert(r.getAs[Long]("corr_micro") === 1000000L)
+      assert(r.getAs[Boolean]("sq8_ok"))
+    }
+  }
+
+  test("matryoshkaAudit: constant suffix makes the prefix field exact — corr 1e6") {
+    // The last two dims are identical across the corpus, so the k=2
+    // prefix distance field equals the full field pair-for-pair: the
+    // correlation is exactly 1_000_000 and the gate passes. A broken
+    // slice (wrong offset) would pull suffix constants into the prefix
+    // and land far below — the bug this audit exists to catch.
+    val rows = Seq(
+      (0L, Array(0f, 0f, 7f, 7f)),
+      (1L, Array(1f, 0f, 7f, 7f)),
+      (2L, Array(0f, 2f, 7f, 7f)),
+      (3L, Array(3f, 2f, 7f, 7f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaAudit(
+        df, df.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        ks = Seq(2), minCorrMicroByK = Map(2 -> 900000L)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("k") === 2L)
+    assert(r.getAs[Long]("n_scored") === 3L)
+    assert(r.getAs[Long]("corr_micro") === 1000000L)
+    assert(r.getAs[Boolean]("trunc_ok"))
+  }
 }

@@ -477,6 +477,22 @@ class PlanBudgetSpec extends AnyFunSuite {
     // read is the HLL vector alone, whose partial is 256 ints per task —
     // the final per-group agg, and the output sort.
     "q172_hll_cardinality" -> 4,
+    // q173: compute-spreading repartition + output sort; the chunking
+    // itself is per-row array arithmetic, shuffle-free.
+    "q173_rag_chunks" -> 2,
+    // q174: per-dim codebook agg + its one-row fold, the per-query corr
+    // agg, and the output sort; quantization and the pair product ride
+    // broadcasts.
+    "q174_sq8_audit" -> 4,
+    // q175: the orderStatsPermille cutoff machinery over the doc_id
+    // frame (banded two-phase prefix sums — the q56 family) + the
+    // first-seen vocabulary agg + three checkpoint-count-sized roll-ups
+    // and the output sort. Every exchange moves doc-count-, vocab- or
+    // |checkpoints|-sized frames, never token instances.
+    "q175_vocab_growth" -> 20,
+    // q176: (grp, cat) count agg + per-grp roll-up + output sort; the
+    // compute-spreading repartition makes the fourth.
+    "q176_mixture_diversity" -> 4,
   )
 
 
@@ -583,6 +599,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q170_matryoshka_audit" -> 2,
     "q171_boilerplate" -> 1,
     "q172_hll_cardinality" -> 1,
+    "q173_rag_chunks" -> 1,
+    // q174: the embeddings scan feeds the codebook (exploded projection),
+    // the corpus side, and the pushed-filter query sample — three
+    // distinct-projection leaves by design (q153/q170's shape).
+    "q174_sq8_audit" -> 3,
+    // q175: the cached token frame serves every consumer — executed scan
+    // leaves read 0 (InMemoryTableScan); 1 is the uncached ceiling.
+    "q175_vocab_growth" -> 1,
+    "q176_mixture_diversity" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

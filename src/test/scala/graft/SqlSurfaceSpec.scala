@@ -315,6 +315,50 @@ class SqlSurfaceSpec extends AnyFunSuite {
       assert(r.getLong(4) === r.getLong(r.fieldIndex("rs2")))
       assert(r.getLong(3) === r.getInt(r.fieldIndex("zr2")).toLong)
     }
+    // sq8_distortion: SQ8 is near-lossless on smooth embeddings — the
+    // whole view must clear its gate.
+    val sq8bad = sql.sql("SELECT count(*) FROM sq8_distortion WHERE NOT sq8_ok")
+      .collect().head.getLong(0)
+    assert(sq8bad === 0L)
+  }
+
+  test("growth/chunking/diversity reads in pure SQL: q173/q175/q176 as views") {
+    // vocab_growth: prefixes nest, so every cumulative column is
+    // monotone in the checkpoint fraction.
+    val vg = sql.sql(
+      """SELECT frac_milli, docs_cum, tokens_cum, vocab_cum
+        |FROM vocab_growth ORDER BY frac_milli""".stripMargin)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(vg.nonEmpty)
+    vg.sliding(2).foreach {
+      case Seq((d1, t1, v1), (d2, t2, v2)) =>
+        assert(d1 <= d2 && t1 <= t2 && v1 <= v2)
+      case _ =>
+    }
+    // rag_chunks joins back to documents in SQL: every chunk's token
+    // span sits inside its document (the last chunk ends exactly at the
+    // token count), and chunk 0 exists for every doc.
+    val rc = sql.sql(
+      """SELECT d.doc_id,
+        |  sum(CASE WHEN c.chunk_idx = 0 THEN 1 ELSE 0 END) AS heads,
+        |  max(c.start_tok + c.n_tok) AS max_end,
+        |  max(size(split(trim(lower(d.text)), '\\s+'))) AS n
+        |FROM rag_chunks c JOIN documents d USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin).collect()
+    assert(rc.nonEmpty)
+    rc.foreach { r =>
+      assert(r.getLong(1) === 1L)
+      assert(r.getLong(2) === r.getInt(3).toLong)
+    }
+    // mixture_diversity: the Hill-number sandwich 1 <= 1/λ <= n_cats
+    // holds for every group, in exact milli units.
+    val md = sql.sql(
+      """SELECT n_cats, effective_cats_milli FROM mixture_diversity""")
+      .collect()
+    assert(md.nonEmpty)
+    md.foreach { r =>
+      assert(r.getLong(1) >= 1000L && r.getLong(1) <= r.getLong(0) * 1000L)
+    }
   }
 
   test("multimodal dedup in pure SQL: perceptual pairs, cross-modal survivors") {

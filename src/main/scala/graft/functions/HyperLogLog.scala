@@ -153,4 +153,35 @@ object HyperLogLog {
   def hll_registers(key: Column, p: Int): Column =
     ColumnBridge.column(
       HyperLogLog(ColumnBridge.expression(key), p).toAggregateExpression())
+
+  /** Flajolet's α_m constant in ppm (0.673/0.697/0.709 for m = 16/32/64;
+    * 0.7213/(1 + 1.079/m) above) — pinned integer so estimates replay.
+    */
+  def alphaPpm(m: Int): Long = m match {
+    case 16 => 673000L
+    case 32 => 697000L
+    case 64 => 709000L
+    case _ => math.round(0.7213 / (1.0 + 1.079 / m) * 1e6)
+  }
+
+  /** The raw HLL estimate in milli-units from a register vector — the
+    * exact-integer form [[graft.operators.Frequency.hllCardinalityAudit]]
+    * puts under the oracle hash (denominator as the INTEGER Σ 2^(E−M_j),
+    * one BigInt floor division), usable driver-side on a merged vector
+    * (e.g. the streaming cumulative sketch).
+    */
+  def estimateMilli(regs: Seq[Int], p: Int): Long = {
+    val m = 1 << p
+    require(regs.length == m, s"estimateMilli: need $m registers, got ${regs.length}")
+    val e = 61 - p
+    val s = regs.foldLeft(BigInt(0))((acc, r) => acc + (BigInt(1) << (e - r)))
+    ((BigInt(alphaPpm(m)) * m * m * (BigInt(1) << e) * 1000) /
+      (s * 1000000)).toLong
+  }
+
+  /** Element-wise register merge (the HLL union): max per position. */
+  def mergeRegisters(a: Seq[Int], b: Seq[Int]): Seq[Int] = {
+    require(a.length == b.length, "mergeRegisters: length mismatch")
+    a.lazyZip(b).map(math.max)
+  }
 }

@@ -163,15 +163,10 @@ object Frequency {
     require(p >= 4 && p <= 16, s"hllCardinalityAudit: need 4 <= p <= 16, got $p")
     val m = 1 << p
     val e = 61 - p
-    val alphaPpm: Long = m match {
-      case 16 => 673000L
-      case 32 => 697000L
-      case 64 => 709000L
-      case _ => math.round(0.7213 / (1.0 + 1.079 / m) * 1e6)
-    }
     // α_m·m²·2^E·1000 as one exact literal (driver-side BigInt, ≤ 10^30
     // for p ≤ 16 — inside DECIMAL(38,0)).
-    val num = BigInt(alphaPpm) * m * m * (BigInt(1) << e) * 1000
+    val num =
+      BigInt(graft.functions.HyperLogLog.alphaPpm(m)) * m * m * (BigInt(1) << e) * 1000
     val keyed = df.select(groupCol.as("grp"), keyCol.as("key"))
       .filter(col("key").isNotNull)
     keyed.groupBy(col("grp"))

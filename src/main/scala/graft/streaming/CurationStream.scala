@@ -47,6 +47,21 @@ object CurationStream {
   val AcceptedTable = "accepted_docs"
   val PostingsTable = "gram_postings"
 
+  /** The cumulative distinct-shingle sketch: one
+    * [[graft.functions.HyperLogLog]] register row per committed batch,
+    * in the SAME manifest as the docs and postings (corpus, index and
+    * sketch can never diverge). Rows are append-only because HLL merge
+    * is element-wise max — the cumulative state is a fold over rows, so
+    * no read-modify-write race exists and time travel works for free
+    * (the estimate as of version v = the fold over v's rows).
+    */
+  val ShingleHllTable = "shingle_hll"
+
+  /** Register width for [[ShingleHllTable]] (2^8 = 256 one-byte
+    * registers per batch row — the q172 configuration).
+    */
+  val ShingleHllP = 8
+
   /** Default quasi-identifier projection for the in-cycle k-anonymity
     * audit: the 100-char length bucket — the only QI-shaped column the
     * minimal (doc_id, text, n_chars) stream schema carries. Production
@@ -70,7 +85,13 @@ object CurationStream {
       privacyBelowKPpm: Long,
       // Rows dropped by the in-cycle media container gate (0 when the
       // stream carries no media or validateMedia is off).
-      mediaRejected: Long = 0L)
+      mediaRejected: Long = 0L,
+      // Cumulative distinct-shingle estimate (milli) over EVERYTHING
+      // accepted so far, this batch included — the dedup-index-sizing
+      // read (q172's machinery) served from [[ShingleHllTable]]'s merged
+      // registers, not from re-scanning the postings index. 0 before
+      // anything is committed.
+      corpusShingleEstMilli: Long = 0L)
 
   /** One micro-batch through the gate chain; commits accepted docs +
     * postings atomically and returns the per-stage counts. Pure function
@@ -160,17 +181,45 @@ object CurationStream {
       val acceptedCached = scope.cached(accepted)
       val nAccepted = acceptedCached.count()
 
-      val version =
-        if (nAccepted == 0) None
+      // Prior sketch rows (bounded: one 256-int row per committed
+      // batch), read BEFORE this batch's commit so the fold is over the
+      // state this batch extends.
+      val priorRegs: Seq[Seq[Int]] =
+        ManifestCommit.readTable(spark, root, ShingleHllTable)
+          .map(_.select(col("regs")).collect().map(_.getSeq[Int](0)).toSeq)
+          .getOrElse(Nil)
+      val (version, batchRegs) =
+        if (nAccepted == 0) (None, None)
         else {
+          import graft.functions.HyperLogLog
+          import graft.operators.TextAnalysis
+          // This batch's shingle registers — ONE aggregate over the
+          // accepted gram stream (a 256-int partial per task), committed
+          // atomically beside the docs and postings it describes.
+          val regsDf = acceptedCached
+            .select(explode(TextAnalysis.wordGrams(
+              TextAnalysis.tokens(col("text")), n)).as("g"))
+            .agg(HyperLogLog.hll_registers(col("g"), ShingleHllP).as("regs"))
+          val regsRow = regsDf.collect()(0).getSeq[Int](0).toSeq
           val docsRel = ManifestCommit.stageDelta(
             spark, acceptedCached, root, AcceptedTable)
           val postRel = ManifestCommit.stageDelta(
             spark, Dedup.gramPostings(acceptedCached, "doc_id", "text", n),
             root, PostingsTable)
-          Some(ManifestCommit.commit(spark, root, Map(
-            AcceptedTable -> Seq(docsRel), PostingsTable -> Seq(postRel))))
+          val hllRel = ManifestCommit.stageDelta(spark, regsDf, root,
+            ShingleHllTable)
+          (Some(ManifestCommit.commit(spark, root, Map(
+            AcceptedTable -> Seq(docsRel), PostingsTable -> Seq(postRel),
+            ShingleHllTable -> Seq(hllRel)))), Some(regsRow))
         }
+      // Cumulative estimate = fold of all committed rows (element-wise
+      // max is associative/idempotent, so replay order can't move it).
+      val allRegs = priorRegs ++ batchRegs
+      val shingleEstMilli =
+        if (allRegs.isEmpty) 0L
+        else graft.functions.HyperLogLog.estimateMilli(
+          allRegs.reduce(graft.functions.HyperLogLog.mergeRegisters),
+          ShingleHllP)
       // Privacy gate INSIDE the cycle: k-anonymity over the accepted
       // frame (QI = the configured projection). The audit output is one
       // row per threshold — a bounded collect of a 1-row frame, never
@@ -186,7 +235,7 @@ object CurationStream {
       // survivors ≥ accepted.
       BatchReport(received, nPreMedia, nGated - nSurvivors,
         nSurvivors - nAccepted, nAccepted, version, privacyPpm,
-        mediaRejected)
+        mediaRejected, shingleEstMilli)
     } finally scope.release()
   }
 

@@ -28,6 +28,27 @@ class CurationStreamSpec extends AnyFunSuite {
   private def df(rows: (Long, String, Long)*) =
     rows.toSeq.toDF("doc_id", "text", "n_chars")
 
+  /** Expected cumulative distinct-shingle estimate, recomputed straight
+    * from the HLL spec (hash60/rank/estimateMilli) over the 3-gram
+    * shingles of the given accepted texts — the independent replay of
+    * what [[CurationStream.ShingleHllTable]]'s fold must report.
+    */
+  private def expectedShingleEstMilli(texts: String*): Long = {
+    import graft.functions.HyperLogLog
+    val p = CurationStream.ShingleHllP
+    val regs = new Array[Int](1 << p)
+    texts.foreach { t =>
+      t.trim.toLowerCase.split("\\s+").toSeq.sliding(3)
+        .filter(_.size == 3).map(_.mkString(" ")).foreach { g =>
+          val hv = HyperLogLog.hash60(g)
+          val idx = (hv >>> (60 - p)).toInt
+          val r = HyperLogLog.rank(hv, p)
+          if (r > regs(idx)) regs(idx) = r
+        }
+    }
+    HyperLogLog.estimateMilli(regs.toSeq, p)
+  }
+
   test("curateBatch: gates, in-batch dedup, corpus gate, PK replay — all idempotent") {
     val root = Files.createTempDirectory("graft-curation").toString
 
@@ -37,7 +58,8 @@ class CurationStreamSpec extends AnyFunSuite {
     // privacyBelowKPpm = 1000000: the two accepted docs land in distinct
     // 100-char length buckets (199 → 1, 224 → 2), so both QI classes are
     // singletons below k=5.
-    assert(r1 === CurationStream.BatchReport(4, 3, 1, 0, 2, Some(1L), 1000000L))
+    assert(r1 === CurationStream.BatchReport(4, 3, 1, 0, 2, Some(1L), 1000000L,
+      0L, expectedShingleEstMilli(textA, textB)))
     assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
       .get.select("doc_id").as[Long].collect().sorted === Array(1L, 3L))
 
@@ -46,7 +68,8 @@ class CurationStreamSpec extends AnyFunSuite {
     // (survives in-batch, rejected by the corpus gate), and a fresh doc.
     val r2 = CurationStream.curateBatch(
       df(doc(5, textAFront), doc(1, textA), doc(6, textC)), root)
-    assert(r2 === CurationStream.BatchReport(3, 3, 1, 1, 1, Some(2L), 1000000L))
+    assert(r2 === CurationStream.BatchReport(3, 3, 1, 1, 1, Some(2L), 1000000L,
+      0L, expectedShingleEstMilli(textA, textB, textC)))
     assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
       .get.select("doc_id").as[Long].collect().sorted === Array(1L, 3L, 6L))
 
@@ -56,6 +79,9 @@ class CurationStreamSpec extends AnyFunSuite {
       df(doc(5, textAFront), doc(1, textA), doc(6, textC)), root)
     assert(r3.accepted === 0L && r3.version.isEmpty)
     assert(r3.privacyBelowKPpm === 0L) // nothing accepted → nothing exposed
+    // The cumulative sketch is replay-stable: no commit, no new register
+    // row, the estimate is exactly batch 2's.
+    assert(r3.corpusShingleEstMilli === r2.corpusShingleEstMilli)
     assert(ManifestCommit.currentManifest(spark, root).get.version === 2L)
 
     // Gram-free docs (< n tokens) are accepted once and replay-idempotent
@@ -119,6 +145,26 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(r2.accepted === 6L && r2.privacyBelowKPpm === 166666L)
   }
 
+  test("cumulative shingle sketch: one row per commit, monotone, gram-free-safe") {
+    val root = Files.createTempDirectory("graft-curation-hll").toString
+    val r1 = CurationStream.curateBatch(df(doc(1, textA)), root)
+    assert(r1.corpusShingleEstMilli === expectedShingleEstMilli(textA))
+    val r2 = CurationStream.curateBatch(df(doc(2, textB)), root)
+    assert(r2.corpusShingleEstMilli === expectedShingleEstMilli(textA, textB))
+    // Distinct-shingle mass only grows: the merged estimate is monotone.
+    assert(r2.corpusShingleEstMilli >= r1.corpusShingleEstMilli)
+    // A gram-free accepted doc commits an all-zero register row — the
+    // estimate must not move (element-wise max is idempotent on zeros).
+    val r3 = CurationStream.curateBatch(df((9L, "one " + "z" * 100, 104L)), root)
+    assert(r3.accepted === 1L)
+    assert(r3.corpusShingleEstMilli === r2.corpusShingleEstMilli)
+    // One register row per committed batch, in the SAME manifest family.
+    val rows = ManifestCommit.readTable(spark, root, CurationStream.ShingleHllTable)
+      .get.collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getSeq[Int](0).length === 1 << CurationStream.ShingleHllP))
+  }
+
   test("in-cycle media container gate: probe mismatches drop, itemized") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-curation-media").toString
@@ -138,7 +184,7 @@ class CurationStreamSpec extends AnyFunSuite {
     // 1 survivor → 1 accepted; the lone accepted doc is a singleton QI
     // class below k.
     assert(r === CurationStream.BatchReport(4, 3, 0, 0, 1, Some(1L),
-      1000000L, 2L))
+      1000000L, 2L, expectedShingleEstMilli(textA)))
     assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
       .get.select("doc_id").as[Long].collect() === Array(1L))
     // validateMedia off: same batch sails through on text alone.

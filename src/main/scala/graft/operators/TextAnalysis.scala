@@ -491,6 +491,35 @@ object TextAnalysis {
     * per-row array arithmetic — no shuffle, work ∝ tokens, and chunk
     * counts are data-independent functions of document length.
     */
+  /** Duplicate-passage audit over [[ragChunks]] fingerprints — the
+    * RefinedWeb "common passages" read at retrieval-index granularity:
+    * a chunk whose fingerprint recurs in ≥ `minDocs` DISTINCT documents
+    * is shared content (syndicated paragraphs, quoted licenses, mirrored
+    * sections) that would be indexed `minDocs` times and retrieved as
+    * spam. Complements [[boilerplateAudit]] one level up: grams catch
+    * short verbatim spans, this catches whole retrievable passages —
+    * and the fp table IS the passage-dedup key for the index build.
+    *
+    * Scale shape: one cached chunk frame feeds the fp-frequency
+    * aggregate and the per-doc roll-up; the join back is fp-keyed.
+    * Work ∝ chunks (∝ tokens / stride), never doc×doc.
+    */
+  def chunkDedupAudit(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 48, minDocs: Long = 2L,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    require(minDocs >= 2, s"chunkDedupAudit: minDocs must be >= 2, got $minDocs")
+    val ch = scope.cached(ragChunks(df, idCol, textCol, window, stride))
+    val shared = ch.select(col("chunk_fp"), col("doc_id")).distinct()
+      .groupBy(col("chunk_fp")).agg(count(lit(1)).as("fp_docs"))
+      .filter(col("fp_docs") >= minDocs)
+      .select(col("chunk_fp"), lit(true).as("is_dup"))
+    ch.join(shared, Seq("chunk_fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_milli", expr("(1000 * n_dup_chunks) div n_chunks"))
+  }
+
   /** Vocabulary-growth (Heaps) curve: distinct n-grams and token mass
     * accumulated over deterministic doc-id-ordered corpus prefixes — the
     * token-budget planning read ("how fast does the vocabulary still

@@ -1597,6 +1597,38 @@ object TextQueries {
              |  CASE WHEN vc.vocab_cum > 0 THEN (dc.tokens_cum * 1000) // vc.vocab_cum END AS tokens_per_gram_milli
              |FROM dc JOIN vc USING (frac_milli) ORDER BY dc.frac_milli""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Duplicate-passage audit over chunk fingerprints — the RefinedWeb
+    // "common passages" read at retrieval-index granularity: a chunk fp
+    // recurring in ≥2 DISTINCT docs is syndicated/mirrored content that
+    // the index would serve as retrieval spam. One fp-granularity up
+    // from q171's grams; the fp table is the passage-dedup key itself.
+    // 32/24 windows here: the synthetic corpus averages ~55 tokens per
+    // doc, so passage-sized (not page-sized) windows are what recur —
+    // 64 dup chunks across 33 docs at sf0.01, zero exact-dup DOCS.
+    QueryDef(
+      "q177_chunk_dedup",
+      (spark, dir) =>
+        TextAnalysis.chunkDedupAudit(
+            QueryDef.spreadIfNarrow(Tables.documents(spark, dir)),
+            "doc_id", "text", window = 32, stride = 24)
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |base AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+             |    GREATEST(0, (CAST(len(l) AS BIGINT) - 9) // 24) AS kmax FROM t),
+             |ch AS (SELECT doc_id, l, n, unnest(range(0, kmax + 1)) * 24 AS start_tok FROM base),
+             |f AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5(array_to_string(l[start_tok + 1 : LEAST(n, start_tok + 32)], ' ')), 1, 15)) AS BIGINT) AS fp
+             |  FROM ch),
+             |shared AS (SELECT fp FROM (
+             |    SELECT fp, COUNT(DISTINCT doc_id) AS d FROM f GROUP BY fp) WHERE d >= 2)
+             |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |  CAST(SUM(CASE WHEN shared.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+             |  CAST((1000 * SUM(CASE WHEN shared.fp IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS dup_milli
+             |FROM f LEFT JOIN shared ON f.fp = shared.fp
+             |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

@@ -186,6 +186,9 @@ object SqlSurface {
       .createOrReplaceTempView("mixture_diversity")
     TextAnalysis.boilerplateAudit(docs, "doc_id", "text")
       .createOrReplaceTempView("boilerplate_audit")
+    TextAnalysis.chunkDedupAudit(docs, "doc_id", "text",
+        window = 32, stride = 24)
+      .createOrReplaceTempView("chunk_dedup")
   }
 
   /** Register the MULTIMODAL dedup/triage family as views (call after

@@ -610,6 +610,25 @@ class CurationSpec extends AnyFunSuite {
       ("s2", 2L, 1L, 1000000L, 1000000L, 0L, 1000L)))
   }
 
+  test("chunkDedupAudit: aligned shared windows flagged, unique docs clean") {
+    // Docs 1 and 2 share their FIRST 8 tokens verbatim and then diverge;
+    // with window 8 / stride 6 the head chunk [0,8) is byte-identical in
+    // both (aligned at start 0) while every later chunk differs. Doc 3
+    // is disjoint: zero duplicated chunks.
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " " + (1 to 6).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (1 to 6).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 14).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDedupAudit(df, "doc_id", "text",
+        window = 8, stride = 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 14 tokens → kmax = (14-3)/6 = 1 → chunks at 0 and 6 → 2 chunks/doc.
+    assert(out === Array((1L, 2L, 1L, 500L), (2L, 2L, 1L, 500L),
+      (3L, 2L, 0L, 0L)))
+  }
+
   test("boilerplateAudit: verbatim banner flagged, unique tails score clean") {
     // Six docs share a verbatim 3-bigram banner; each doc adds a unique
     // 2-bigram tail. minDocs=5 marks exactly the banner grams.

@@ -493,6 +493,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q176: (grp, cat) count agg + per-grp roll-up + output sort; the
     // compute-spreading repartition makes the fourth.
     "q176_mixture_diversity" -> 4,
+    // q177: cached chunk frame → fp distinct/frequency agg, per-doc
+    // roll-up, and the output sort; the fp join back is broadcast at
+    // test SF (fp-keyed merge at scale).
+    "q177_chunk_dedup" -> 4,
   )
 
 
@@ -608,6 +612,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // leaves read 0 (InMemoryTableScan); 1 is the uncached ceiling.
     "q175_vocab_growth" -> 1,
     "q176_mixture_diversity" -> 1,
+    // q177: the cached chunk frame serves both consumers (q175's shape).
+    "q177_chunk_dedup" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

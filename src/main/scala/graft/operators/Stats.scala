@@ -199,6 +199,59 @@ object Stats {
     agg.select(col("g") +: col("n") +: outs: _*)
   }
 
+  /** Exact Gini concentration per group, in ppm — the inequality read a
+    * mixture allocator wants next to per-source token totals: a source
+    * whose mass is a few huge documents (G → 1) behaves nothing like one
+    * of uniform documents (G = 0) under any per-document sampling policy.
+    *
+    * Uses the discrete closed form over VALUE runs: with C the inclusive
+    * rank of value v's last occurrence and c its count, the rank-weighted
+    * sum 2·Σᵢ i·x₍ᵢ₎ telescopes to Σ_v v·c·(2C−c+1), so
+    * G = (Σ v·c·(2C−c+1) − (n+1)·Σx) / (n·Σx) — every term an integer.
+    * Ranks come from [[orderStatsPermille]]'s banded two-phase prefix sum
+    * (value-count agg → band-local cumsum → #bands-sized offsets window),
+    * NEVER a per-group global sort: the only per-group-sized frame is the
+    * distinct-value table, and the unpartitioned work is #bands rows. The
+    * band join keeps the `<=>` discipline (see orderStatsPermille's
+    * comment — a plain equi-join on the computed band key
+    * de-canonicalizes the shared byV subtree and silently kills AQE
+    * exchange reuse). Final arithmetic rides DECIMAL(38,0): at extreme
+    * scale v·c·2C exceeds a BIGINT.
+    */
+  def giniByGroup(df: DataFrame, grp: Column, value: Column,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    val vals = df.select(grp.as("g"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 0)
+    val byV = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("band", floor(col("v") / bandWidth))
+    val wLocal = Window.partitionBy(col("g"), col("band")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = byV.withColumn("lc", sum(col("cnt")).over(wLocal))
+    val wBand = Window.partitionBy(col("g")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byV.groupBy(col("g"), col("band"))
+      .agg(sum(col("cnt")).as("t"))
+      .select(col("g"), col("band"),
+        coalesce(sum(col("t")).over(wBand), lit(0L)).as("off"))
+    val cum = local.join(
+        broadcast(offsets.withColumnRenamed("g", "g_o")
+          .withColumnRenamed("band", "band_o")),
+        col("g") === col("g_o") && col("band") <=> col("band_o"))
+      .select(col("g"), col("v"), col("cnt"),
+        (col("off") + col("lc")).as("c"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    cum.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("v") * col("cnt")).as("s"),
+        sum(col("v").cast(d38) * col("cnt") *
+          (lit(2L) * col("c") - col("cnt") + 1L)).as("t"))
+      .select(col("g"), col("n").as("n_rows"), col("s").as("value_total"),
+        when(col("s") > 0, expr(
+          "(t - (CAST(n AS DECIMAL(38,0)) + 1) * s) * 1000000 div (CAST(n AS DECIMAL(38,0)) * s)"))
+          .as("gini_ppm"))
+  }
+
   /** DuckDB replay of [[orderStatsPermille]] as a CTE chunk: `srcSql`
     * must select columns `g` and BIGINT `v`; the produced CTEs end in
     * `os_q` with columns (g, n, p{k}_x1000 ...). The rank picks ride

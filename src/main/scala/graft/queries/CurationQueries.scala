@@ -1033,6 +1033,35 @@ object CurationQueries {
              |  (n_docs * n_docs * 1000) // sum_sq AS effective_cats_milli
              |FROM r ORDER BY source""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Exact Gini concentration of document LENGTH per source — q176
+    // reads categorical concentration (which languages), this reads mass
+    // concentration (is the source's token total a few huge docs or many
+    // uniform ones?) — together the two numbers a mixture allocator
+    // needs beside q147's availability totals. Discrete closed form over
+    // value runs; ranks from the banded two-phase prefix sum (never a
+    // per-group global sort); DECIMAL(38,0)/HUGEINT final arithmetic.
+    QueryDef(
+      "q178_length_gini",
+      (spark, dir) =>
+        graft.operators.Stats.giniByGroup(
+            QueryDef.spreadIfNarrow(Tables.documents(spark, dir))
+              .select(col("source"),
+                size(TextAnalysis.tokens(col("text"))).cast("long").as("v")),
+            col("source"), col("v"), bandWidth = 50L)
+          .withColumnRenamed("g", "source")
+          .withColumn("gini_ppm", col("gini_ppm").cast("long"))
+          .orderBy(col("source")),
+      Some("""WITH c AS (SELECT source, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v FROM documents),
+             |byv AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+             |cum AS (SELECT source, v, cnt, SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cr FROM byv),
+             |agg AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(v * cnt) AS BIGINT) AS s,
+             |    SUM(CAST(v AS HUGEINT) * cnt * (2 * cr - cnt + 1)) AS t FROM cum GROUP BY source)
+             |SELECT source, n AS n_rows, s AS value_total,
+             |  CASE WHEN s > 0 THEN CAST((t - (CAST(n AS HUGEINT) + 1) * s) * 1000000 // (CAST(n AS HUGEINT) * s) AS BIGINT) END AS gini_ppm
+             |FROM agg ORDER BY source""".stripMargin),
+    ),
   )
 }
 

@@ -189,6 +189,11 @@ object SqlSurface {
     TextAnalysis.chunkDedupAudit(docs, "doc_id", "text",
         window = 32, stride = 24)
       .createOrReplaceTempView("chunk_dedup")
+    Stats.giniByGroup(docs.select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("v")),
+        col("source"), col("v"), bandWidth = 50L)
+      .withColumnRenamed("g", "source")
+      .createOrReplaceTempView("length_gini")
   }
 
   /** Register the MULTIMODAL dedup/triage family as views (call after

@@ -497,6 +497,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // roll-up, and the output sort; the fp join back is broadcast at
     // test SF (fp-keyed merge at scale).
     "q177_chunk_dedup" -> 4,
+    // q178: the banded rank machinery (value-count agg + band-local
+    // cumsum + #bands offsets window — orderStatsPermille's shape, with
+    // the byV exchange reused via the <=> band join) + the per-source
+    // roll-up and the output sort; every post-(g,v) exchange moves
+    // distinct-value-sized data.
+    "q178_length_gini" -> 9,
   )
 
 
@@ -614,6 +620,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q176_mixture_diversity" -> 1,
     // q177: the cached chunk frame serves both consumers (q175's shape).
     "q177_chunk_dedup" -> 1,
+    // q178: one scan — the byV exchange is AQE-reused across the cumsum
+    // and offsets branches (the <=> discipline holding, reusedShuffles=1).
+    "q178_length_gini" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -74,4 +74,32 @@ class StatsSpec extends AnyFunSuite {
         if (r.isNullAt(3)) null else r.getLong(3)))
     assert(scaled === out)
   }
+
+  test("giniByGroup: closed form matches hand ranks, band-width invariant") {
+    import spark.implicits._
+    // uniform → exactly 0; [0,0,0,10] → 2·Σi·x = 80, (n+1)·Σx = 50,
+    // n·Σx = 40 → G = 30/40 = 750000 ppm; a tie run exercises the
+    // value-run telescoping ([1,1,2]: 2Σix = 2(1+2+6)=18, 4·Σx=16,
+    // 3·Σx=12 → 2/12 = 166666 ppm floored).
+    val df = Seq(
+      ("u", 5L), ("u", 5L), ("u", 5L),
+      ("x", 0L), ("x", 0L), ("x", 0L), ("x", 10L),
+      ("t", 1L), ("t", 1L), ("t", 2L)).toDF("g", "v")
+    def run(bw: Long) = Stats.giniByGroup(df, col("g"), col("v"), bw)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null
+        else r.getAs[Number](3).longValue()))
+    val out = run(50L)
+    assert(out === Array(("t", 3L, 4L, 166666L), ("u", 3L, 15L, 0L),
+      ("x", 4L, 10L, 750000L)))
+    // The banding is an implementation detail: any width gives the
+    // same exact answer, including width 1 (every value its own band).
+    assert(run(1L) === out)
+    assert(run(1000000L) === out)
+    // All-zero mass → the ratio is undefined, reported null not ÷0.
+    val z = Stats.giniByGroup(Seq(("z", 0L), ("z", 0L)).toDF("g", "v"),
+      col("g"), col("v"), 10L).collect()
+    assert(z.length === 1 && z.head.isNullAt(3))
+  }
 }

@@ -1629,6 +1629,100 @@ object TextQueries {
              |FROM f LEFT JOIN shared ON f.fp = shared.fp
              |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Gate-ablation matrix over q131's Gopher rule stack: per rule, how
+    // many docs fail it at all (n_fail) vs fail ONLY it (n_only_fail —
+    // the rule's marginal bite: drop the rule and exactly these docs
+    // come back). n_fail − n_only_fail is the shadowed mass other rules
+    // already reject — a rule whose bite is all shadow is free to
+    // remove; one with a large unique bite deserves its own review.
+    // One pass over the rule frame folded to a single row of
+    // conditional sums; the per-rule rows explode from that row
+    // (rule-count-sized, the q140 threshold pattern).
+    QueryDef(
+      "q179_gate_ablation",
+      (spark, dir) => {
+        val docs = QueryDef.spreadIfNarrow(Tables.documents(spark, dir))
+          .select(col("doc_id"), col("text"))
+        val quality = TextAnalysis.qualityMetrics(docs, "text")
+          .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+            col("stopword_ratio"))
+        val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+          .select(col("id").as("doc_id"), col("rep_ratio"))
+        val rules = quality.join(rep, Seq("doc_id"))
+          .select(
+            (col("n_tokens") >= 30 && col("n_tokens") <= 100000).as("r_len"),
+            (col("mean_token_len") >= 4.3 && col("mean_token_len") <= 10.0)
+              .as("r_word"),
+            (col("stopword_ratio") >= 0.06).as("r_stop"),
+            (col("rep_ratio") <= 0.05).as("r_rep"))
+        val names = Seq("len" -> "r_len", "word_len" -> "r_word",
+          "stop" -> "r_stop", "rep" -> "r_rep")
+        val aggs = count(lit(1)).as("n_docs") +:
+          sum(when(col("r_len") && col("r_word") && col("r_stop") &&
+            col("r_rep"), 1L).otherwise(0L)).as("n_pass_all") +:
+          names.flatMap { case (nm, c) =>
+            val others = names.collect { case (_, o) if o != c => col(o) }
+              .reduce(_ && _)
+            Seq(sum(when(!col(c), 1L).otherwise(0L)).as(s"fail_$nm"),
+              sum(when(!col(c) && others, 1L).otherwise(0L))
+                .as(s"only_$nm"))
+          }
+        val one = rules.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = names.map { case (nm, _) =>
+          s"'$nm', fail_$nm, only_$nm" }.mkString(", ")
+        one.select(col("n_docs"), col("n_pass_all"),
+            expr(s"stack(${names.size}, $stackArgs) AS (rule, n_fail, n_only_fail)"))
+          .select(col("rule"), col("n_docs"), col("n_pass_all"),
+            col("n_fail"), col("n_only_fail"),
+            (col("n_fail") - col("n_only_fail")).as("n_shadowed"),
+            expr("(n_only_fail * 1000000) div n_docs").as("marginal_ppm"))
+          .orderBy(col("rule"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |m AS (SELECT doc_id,
+             |  CAST(len(l) AS BIGINT) AS n_tokens,
+             |  list_sum(list_transform(l, x -> length(x))) * 1.0 / len(l) AS mean_token_len,
+             |  len(list_filter(l, x -> list_contains(
+             |    ['the','a','of','and','to','is','in','that','it','for',
+             |     'der','die','das','und','ist','nicht','ein','mit','auf','für',
+             |     'el','la','de','y','es','en','que','los','un','por',
+             |     'le','les','et','est','une','des','pour'], x))) * 1.0 / len(l) AS stopword_ratio
+             |  FROM t),
+             |grams AS (SELECT doc_id, unnest(CASE WHEN len(l) < 2 THEN []
+             |    ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) END) AS g
+             |  FROM t),
+             |c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g),
+             |r AS (SELECT doc_id, MAX(cnt) * 1.0 / SUM(cnt) AS rep_ratio
+             |  FROM c GROUP BY doc_id),
+             |rules AS (SELECT
+             |    (m.n_tokens >= 30 AND m.n_tokens <= 100000) AS r_len,
+             |    (m.mean_token_len >= 4.3 AND m.mean_token_len <= 10.0) AS r_word,
+             |    (m.stopword_ratio >= 0.06) AS r_stop,
+             |    (r.rep_ratio <= 0.05) AS r_rep
+             |  FROM m JOIN r ON m.doc_id = r.doc_id),
+             |one AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(CASE WHEN r_len AND r_word AND r_stop AND r_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+             |    CAST(SUM(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+             |    CAST(SUM(CASE WHEN NOT r_len AND r_word AND r_stop AND r_rep THEN 1 ELSE 0 END) AS BIGINT) AS only_len,
+             |    CAST(SUM(CASE WHEN NOT r_word THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+             |    CAST(SUM(CASE WHEN NOT r_word AND r_len AND r_stop AND r_rep THEN 1 ELSE 0 END) AS BIGINT) AS only_word_len,
+             |    CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+             |    CAST(SUM(CASE WHEN NOT r_stop AND r_len AND r_word AND r_rep THEN 1 ELSE 0 END) AS BIGINT) AS only_stop,
+             |    CAST(SUM(CASE WHEN NOT r_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+             |    CAST(SUM(CASE WHEN NOT r_rep AND r_len AND r_word AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_rep
+             |  FROM rules),
+             |melt AS (
+             |  SELECT 'len' AS rule, n_docs, n_pass_all, fail_len AS n_fail, only_len AS n_only_fail FROM one
+             |  UNION ALL SELECT 'word_len', n_docs, n_pass_all, fail_word_len, only_word_len FROM one
+             |  UNION ALL SELECT 'stop', n_docs, n_pass_all, fail_stop, only_stop FROM one
+             |  UNION ALL SELECT 'rep', n_docs, n_pass_all, fail_rep, only_rep FROM one)
+             |SELECT rule, n_docs, n_pass_all, n_fail, n_only_fail,
+             |  n_fail - n_only_fail AS n_shadowed,
+             |  (n_only_fail * 1000000) // n_docs AS marginal_ppm
+             |FROM melt ORDER BY rule""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

@@ -194,6 +194,26 @@ object SqlSurface {
         col("source"), col("v"), bandWidth = 50L)
       .withColumnRenamed("g", "source")
       .createOrReplaceTempView("length_gini")
+    // The q131 rule frame as a view: gate_rules carries the per-doc
+    // booleans, so the q179 ablation AND any custom rule analysis are
+    // plain SQL aggregations over it.
+    locally {
+      val quality = TextAnalysis.qualityMetrics(
+          docs.select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+          col("stopword_ratio"))
+      val rep = TextAnalysis.repetitionStats(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text", n = 2)
+        .select(col("id").as("doc_id"), col("rep_ratio"))
+      quality.join(rep, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("n_tokens") >= 30 && col("n_tokens") <= 100000).as("r_len"),
+          (col("mean_token_len") >= 4.3 && col("mean_token_len") <= 10.0)
+            .as("r_word"),
+          (col("stopword_ratio") >= 0.06).as("r_stop"),
+          (col("rep_ratio") <= 0.05).as("r_rep"))
+        .createOrReplaceTempView("gate_rules")
+    }
   }
 
   /** Register the MULTIMODAL dedup/triage family as views (call after

@@ -503,6 +503,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // roll-up and the output sort; every post-(g,v) exchange moves
     // distinct-value-sized data.
     "q178_length_gini" -> 9,
+    // q179: quality metrics ⋈ repetition stats (the doc-id join rides
+    // the gram agg's exchange), one global fold, the rule-count stack
+    // on a one-row frame, output sort.
+    "q179_gate_ablation" -> 5,
   )
 
 
@@ -623,6 +627,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q178: one scan — the byV exchange is AQE-reused across the cumsum
     // and offsets branches (the <=> discipline holding, reusedShuffles=1).
     "q178_length_gini" -> 1,
+    "q179_gate_ablation" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

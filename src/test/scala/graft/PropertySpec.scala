@@ -477,4 +477,105 @@ class PropertySpec extends AnyFunSuite {
       assert(got === expected, s"bucket=$bucket left=$l right=$r")
     }
   }
+
+  // Arbitrary small corpora: 1–10 docs of 0–90 tokens drawn from a
+  // 40-word vocabulary (repetition is the POINT — boilerplate, shared
+  // chunks and register collisions all need recurring material).
+  private val wideCorpusGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(1, 10)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 90)
+      ws <- Gen.listOfN(len, Gen.choose(0, 39).map(i => s"w$i"))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("ragChunks: exact token cover for arbitrary corpora, windows and strides") {
+    val g = for {
+      corpus <- wideCorpusGen
+      window <- Gen.choose(1, 20)
+      stride <- Gen.choose(1, window)
+    } yield (corpus, window, stride)
+    forAll(g) { case (corpus, window, stride) =>
+      val out = graft.operators.TextAnalysis.ragChunks(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", window, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val byDoc = out.groupBy(_._1)
+      corpus.foreach { case (id, text) =>
+        val n = text.trim.toLowerCase.split("\\s+").length.toLong
+        val chunks = byDoc.getOrElse(id, Array.empty).sortBy(_._2)
+        // Chunk 0 always exists; indices are contiguous; starts are
+        // stride multiples; spans clamp to n; the union of spans covers
+        // [0, n) with no gap (start_k <= end_{k-1}); the LAST chunk
+        // reaches EOF and no chunk is pure overlap (its end exceeds the
+        // previous end).
+        assert(chunks.nonEmpty && chunks.head._2 === 0L)
+        assert(chunks.map(_._2).toSeq === chunks.indices.map(_.toLong))
+        var prevEnd = 0L
+        chunks.foreach { case (_, k, start, nTok) =>
+          assert(start === k * stride)
+          assert(nTok === math.min(n, start + window) - start)
+          assert(start <= prevEnd, s"gap at chunk $k")
+          assert(start + nTok > prevEnd || k == 0L, s"pure-overlap chunk $k")
+          prevEnd = start + nTok
+        }
+        assert(prevEnd === n, "last chunk must reach EOF")
+      }
+    }
+  }
+
+  test("hll registers: merge-of-parts ≡ whole, estimate monotone under growth") {
+    import graft.functions.HyperLogLog
+    forAll(wideCorpusGen) { corpus =>
+      val p = 6
+      def regsOf(rows: Seq[(Long, String)]): Seq[Int] =
+        if (rows.isEmpty) Seq.fill(1 << p)(0)
+        else rows.toDF("doc_id", "text")
+          .select(explode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as("t"))
+          .agg(HyperLogLog.hll_registers(col("t"), p).as("r"))
+          .collect().head.getSeq[Int](0)
+      val (a, b) = corpus.splitAt(corpus.size / 2)
+      val whole = regsOf(corpus)
+      // Union law: sketching the halves and max-merging equals sketching
+      // the whole — the property every cross-batch/cross-day merge
+      // depends on.
+      if (a.nonEmpty && b.nonEmpty)
+        assert(HyperLogLog.mergeRegisters(regsOf(a), regsOf(b)) === whole)
+      // Growth monotonicity: a superset corpus can only raise registers,
+      // and the exact-integer estimate follows.
+      if (a.nonEmpty) {
+        val part = regsOf(a)
+        assert(part.lazyZip(whole).forall(_ <= _))
+        assert(HyperLogLog.estimateMilli(part, p) <=
+          HyperLogLog.estimateMilli(whole, p))
+      }
+    }
+  }
+
+  test("giniByGroup ∈ [0, 1e6), permutation/duplication-scale behavior") {
+    val g = for {
+      n <- Gen.choose(1, 15)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield vs
+    forAll(g) { vs =>
+      def gini(rows: Seq[Long]): Option[Long] = {
+        val out = graft.operators.Stats.giniByGroup(
+            rows.map(("g", _)).toDF("g", "v"), col("g"), col("v"), 7L)
+          .collect().head
+        if (out.isNullAt(3)) None else Some(out.getAs[Number](3).longValue())
+      }
+      val base = gini(vs)
+      if (vs.sum == 0) assert(base.isEmpty)
+      else {
+        assert(base.exists(v => v >= 0L && v < 1000000L))
+        // Row order cannot matter (ranks come from values, not rows).
+        assert(gini(new scala.util.Random(42).shuffle(vs)) === base)
+        // Duplicating every row preserves G exactly: the closed form's
+        // numerator and denominator both scale by 4 (T' = 4T − 2S,
+        // (2n+1)·2S expands to leave 4(T − (n+1)S) over 4nS).
+        assert(gini(vs ++ vs) === base)
+      }
+    }
+  }
 }

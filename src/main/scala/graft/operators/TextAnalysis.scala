@@ -520,6 +520,42 @@ object TextAnalysis {
       .withColumn("dup_milli", expr("(1000 * n_dup_chunks) div n_chunks"))
   }
 
+  /** Verbatim passage leakage across the train/eval boundary — the
+    * contamination mode that actually moves benchmark numbers: an eval
+    * document whose PASSAGES appear word-for-word in train is memorizable
+    * even when the documents as wholes are not near-duplicates (q148's
+    * n-gram matrix reads source×source affinity; this reads the SPLIT
+    * boundary at retrieval granularity). Splits are the engine's standard
+    * deterministic id-hash assignment ([[Sampling.trainValTestSplit]] —
+    * the same buckets q37/q125 ship), so the audit measures exactly the
+    * split a training run would use.
+    *
+    * Scale shape: one cached chunk frame ([[ragChunks]]); the train
+    * fingerprint set is a distinct projection joined back fp-keyed;
+    * per-split roll-up. Work ∝ chunks, never doc×doc.
+    */
+  def passageLeakAudit(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, stride: Int = 24,
+      trainPct: Int = 80, valPct: Int = 10,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    val ch = scope.cached(Sampling.trainValTestSplit(
+      ragChunks(df, idCol, textCol, window, stride), "doc_id",
+      trainPct, valPct))
+    val trainFps = ch.filter(col("split") === "train")
+      .select(col("chunk_fp")).distinct()
+      .withColumn("in_train", lit(true))
+    ch.filter(col("split") =!= "train")
+      .join(trainFps, Seq("chunk_fp"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("in_train"), 1L).otherwise(0L)).as("n_leaked_chunks"),
+        countDistinct(when(col("in_train"), col("doc_id")))
+          .as("n_docs_affected"))
+      .withColumn("leak_ppm", expr("(n_leaked_chunks * 1000000) div n_chunks"))
+      .orderBy(col("split"))
+  }
+
   /** Vocabulary-growth (Heaps) curve: distinct n-grams and token mass
     * accumulated over deterministic doc-id-ordered corpus prefixes — the
     * token-budget planning read ("how fast does the vocabulary still

@@ -1062,6 +1062,41 @@ object CurationQueries {
              |  CASE WHEN s > 0 THEN CAST((t - (CAST(n AS HUGEINT) + 1) * s) * 1000000 // (CAST(n AS HUGEINT) * s) AS BIGINT) END AS gini_ppm
              |FROM agg ORDER BY source""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Verbatim passage leakage across the train/eval boundary: eval
+    // chunks whose fingerprint appears word-for-word in train — the
+    // contamination mode that moves benchmark numbers even when whole
+    // documents aren't near-duplicates. Splits are the engine's own
+    // q37 deterministic id-hash buckets, so this audits exactly the
+    // split a training run would consume. ~3–8% of eval chunks leak on
+    // the synthetic corpus at every sf — a non-trivial gate.
+    QueryDef(
+      "q180_passage_leak",
+      (spark, dir) =>
+        TextAnalysis.passageLeakAudit(
+          QueryDef.spreadIfNarrow(Tables.documents(spark, dir)),
+          "doc_id", "text", window = 32, stride = 24),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |base AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+             |    GREATEST(0, (CAST(len(l) AS BIGINT) - 9) // 24) AS kmax FROM t),
+             |ch AS (SELECT doc_id, l, n, unnest(range(0, kmax + 1)) * 24 AS start_tok FROM base),
+             |f AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5(array_to_string(l[start_tok + 1 : LEAST(n, start_tok + 32)], ' ')), 1, 15)) AS BIGINT) AS fp,
+             |    CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 80 THEN 'train'
+             |         WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM ch),
+             |tf AS (SELECT DISTINCT fp FROM f WHERE split = 'train'),
+             |ev AS (SELECT f.split, f.doc_id, tf.fp IS NOT NULL AS in_train
+             |  FROM f LEFT JOIN tf ON f.fp = tf.fp WHERE f.split <> 'train')
+             |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_chunks,
+             |  CAST(COUNT(DISTINCT CASE WHEN in_train THEN doc_id END) AS BIGINT) AS n_docs_affected,
+             |  CAST((SUM(CASE WHEN in_train THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS leak_ppm
+             |FROM ev GROUP BY split ORDER BY split""".stripMargin),
+    ),
   )
 }
 

@@ -189,6 +189,8 @@ object SqlSurface {
     TextAnalysis.chunkDedupAudit(docs, "doc_id", "text",
         window = 32, stride = 24)
       .createOrReplaceTempView("chunk_dedup")
+    TextAnalysis.passageLeakAudit(docs, "doc_id", "text")
+      .createOrReplaceTempView("passage_leak")
     Stats.giniByGroup(docs.select(col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("v")),
         col("source"), col("v"), bandWidth = 50L)

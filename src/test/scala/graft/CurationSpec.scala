@@ -629,6 +629,33 @@ class CurationSpec extends AnyFunSuite {
       (3L, 2L, 0L, 0L)))
   }
 
+  test("passageLeakAudit: planted cross-split verbatim window is caught") {
+    // Pick doc ids landing in specific split buckets via the SAME hash
+    // the operator uses — the fixture controls the split without mocking.
+    def bucket(id: Long): Long = ((id % 2147483647L) * 2654435761L) % 2147483647L % 100L
+    val ids = (0L to 400L)
+    val trainId = ids.find(bucket(_) < 80).get
+    val testId = ids.find(bucket(_) >= 90).get
+    val valId = ids.find(i => bucket(i) >= 80 && bucket(i) < 90).get
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (trainId, shared + " " + (1 to 4).map(i => s"t$i").mkString(" ")),
+      // test doc: same FIRST window as train → its chunk 0 leaks.
+      (testId, shared + " " + (1 to 4).map(i => s"e$i").mkString(" ")),
+      // val doc: disjoint text → zero leak.
+      (valId, (1 to 12).map(i => s"v$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.passageLeakAudit(df, "doc_id", "text",
+        window = 8, stride = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 12 tokens → chunks at 0 and 6 → 2 chunks per eval doc; the test
+    // doc's head window is verbatim in train, its tail is not.
+    assert(out === Array(
+      ("test", 2L, 1L, 1L, 1L, 500000L),
+      ("val", 2L, 1L, 0L, 0L, 0L)))
+  }
+
   test("boilerplateAudit: verbatim banner flagged, unique tails score clean") {
     // Six docs share a verbatim 3-bigram banner; each doc adds a unique
     // 2-bigram tail. minDocs=5 marks exactly the banner grams.

@@ -507,6 +507,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the gram agg's exchange), one global fold, the rule-count stack
     // on a one-row frame, output sort.
     "q179_gate_ablation" -> 5,
+    // q180: cached split-stamped chunk frame → train-fp distinct agg,
+    // the per-split distinct-doc roll-up (one Expand pass), output sort;
+    // the fp join back is broadcast at test SF (fp-keyed at scale).
+    "q180_passage_leak" -> 4,
   )
 
 
@@ -628,6 +632,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // and offsets branches (the <=> discipline holding, reusedShuffles=1).
     "q178_length_gini" -> 1,
     "q179_gate_ablation" -> 1,
+    "q180_passage_leak" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -158,6 +158,59 @@ object Frequency {
     * state is one 2^p-int vector per task regardless of key cardinality,
     * mergeable across partitions, days and engines by element-wise max.
     */
+  /** Pairwise distinct-key overlap between groups from HLL register
+    * ALGEBRA — union by element-wise max, intersection by
+    * inclusion–exclusion — the scale path for q133's exact
+    * source-vocabulary overlap: exact pairwise intersection costs
+    * |pairs| vocabulary-sized joins, while this costs |groups|
+    * fixed-size aggregates plus |pairs| 256-int merges, so a 400-pair
+    * matrix over billion-key vocabularies is a broadcast nested loop
+    * over a |groups|-row frame.
+    *
+    * All estimates ride the [[hllCardinalityAudit]] exact-integer
+    * machinery (integer Σ 2^(E−M_j) denominators, one DECIMAL(38,0)
+    * floor division against the pinned α_m literal), so the whole
+    * matrix replays in any engine. `est_intersect_milli` is SIGNED —
+    * inclusion–exclusion of raw estimators can dip below zero on
+    * near-disjoint pairs, and reporting the raw value keeps the row an
+    * exact function of the registers; `overlap_milli`
+    * (intersect/union, Jaccard-from-sketch) clamps at zero BEFORE its
+    * division so the floor semantics agree across engines.
+    */
+  def hllOverlapMatrix(df: DataFrame, groupCol: Column, keyCol: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllOverlapMatrix: need 4 <= p <= 16, got $p")
+    val m = 1 << p
+    val e = 61 - p
+    val num =
+      BigInt(graft.functions.HyperLogLog.alphaPpm(m)) * m * m * (BigInt(1) << e) * 1000
+    def estOf(sCol: String) = expr(
+      s"CAST('$num' AS DECIMAL(38,0)) div (CAST($sCol AS DECIMAL(38,0)) * 1000000)")
+    val regs = df.select(groupCol.as("grp"), keyCol.as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("grp"))
+      .agg(graft.functions.HyperLogLog.hll_registers(col("key"), p).as("regs"))
+      .withColumn("s_scaled", expr(
+        s"aggregate(regs, CAST(0 AS BIGINT), (a, x) -> a + shiftleft(CAST(1 AS BIGINT), $e - x))"))
+      .withColumn("est_milli", estOf("s_scaled"))
+    val a = regs.select(col("grp").as("source_a"), col("regs").as("ra"),
+      col("est_milli").as("est_a_milli"))
+    val b = regs.select(col("grp").as("source_b"), col("regs").as("rb"),
+      col("est_milli").as("est_b_milli"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("s_union", expr(
+        s"aggregate(zip_with(ra, rb, (x, y) -> greatest(x, y)), CAST(0 AS BIGINT), (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), $e - r))"))
+      .withColumn("est_union_milli", estOf("s_union"))
+      .select(col("source_a"), col("source_b"), col("est_a_milli"),
+        col("est_b_milli"), col("est_union_milli"),
+        (col("est_a_milli") + col("est_b_milli") - col("est_union_milli"))
+          .as("est_intersect_milli"),
+        expr("""(greatest(CAST(0 AS BIGINT),
+          |  est_a_milli + est_b_milli - est_union_milli) * 1000)
+          |  div est_union_milli""".stripMargin).as("overlap_milli"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def hllCardinalityAudit(df: DataFrame, groupCol: Column, keyCol: Column,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"hllCardinalityAudit: need 4 <= p <= 16, got $p")

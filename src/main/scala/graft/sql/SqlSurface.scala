@@ -176,6 +176,11 @@ object SqlSurface {
           TextAnalysis.tokens(col("text")), 3)).as("shingle")),
         col("source"), col("shingle"), p = 8)
       .createOrReplaceTempView("hll_cardinality")
+    graft.operators.Frequency.hllOverlapMatrix(
+        docs.select(col("source"), explode(TextAnalysis.wordGrams(
+          TextAnalysis.tokens(col("text")), 3)).as("shingle")),
+        col("source"), col("shingle"), p = 8)
+      .createOrReplaceTempView("hll_overlap")
     // Round-10 curation reads: the growth/chunking/diversity family.
     TextAnalysis.vocabGrowth(docs, "doc_id", "text", n = 3)
       .createOrReplaceTempView("vocab_growth")

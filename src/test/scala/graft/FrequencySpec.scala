@@ -164,6 +164,42 @@ class FrequencySpec extends AnyFunSuite {
     assert(HyperLogLog.rank((1L << (60 - p)) - 1 | (1L << (59 - p)), p) === 1)
   }
 
+  test("hllOverlapMatrix: identical groups read 1000-milli, disjoint near 0") {
+    // g0 and g1 hold IDENTICAL key sets → union = each side → the
+    // inclusion–exclusion intersection equals the estimate and the
+    // Jaccard-from-sketch is exactly 1000 milli. g2 is disjoint from
+    // both → its raw intersections sit near zero (possibly negative —
+    // kept signed) and its clamped overlap well below 1000.
+    val rows = (1 to 300).flatMap(i =>
+      Seq(("g0", s"k$i"), ("g1", s"k$i"), ("g2", s"z$i")))
+    val out = Frequency.hllOverlapMatrix(
+        spark.createDataFrame(rows).toDF("grp", "key"), col("grp"), col("key"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(r.fieldIndex("est_union_milli")),
+          r.getLong(r.fieldIndex("est_intersect_milli")),
+          r.getLong(r.fieldIndex("overlap_milli"))))).toMap
+    assert(out.keySet === Set(("g0", "g1"), ("g0", "g2"), ("g1", "g2")))
+    val (u01, i01, o01) = out(("g0", "g1"))
+    assert(i01 === u01 && o01 === 1000L)
+    Seq(("g0", "g2"), ("g1", "g2")).foreach { k =>
+      val (u, i, o) = out(k)
+      // Union of disjoint sets reads roughly the sum; the raw
+      // intersection is estimator noise around zero.
+      assert(o < 200L, s"$k overlap=$o")
+      assert(math.abs(i) < u / 2, s"$k intersect=$i union=$u")
+    }
+    // Union bound: est_union <= est_a + est_b always (register maxima
+    // can only lower the harmonic denominator vs summing).
+    Frequency.hllOverlapMatrix(
+        spark.createDataFrame(rows).toDF("grp", "key"), col("grp"), col("key"))
+      .collect().foreach { r =>
+        assert(r.getLong(r.fieldIndex("est_union_milli")) <=
+          r.getLong(r.fieldIndex("est_a_milli")) +
+            r.getLong(r.fieldIndex("est_b_milli")))
+      }
+  }
+
   test("hllCardinalityAudit: exact stats replay from the registers") {
     import graft.functions.HyperLogLog
     val rows = (1 to 500).map(i => (s"g${i % 2}", s"k${i % 137}"))

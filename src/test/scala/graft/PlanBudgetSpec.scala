@@ -511,6 +511,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the per-split distinct-doc roll-up (one Expand pass), output sort;
     // the fp join back is broadcast at test SF (fp-keyed at scale).
     "q180_passage_leak" -> 4,
+    // q181: compute-spreading repartition + ONE per-group register agg
+    // whose exchange is AQE-reused across both self-join sides
+    // (executed: 3 shuffles, 1 reused), broadcast nested-loop pair
+    // product over the |groups|-row frame, output sort.
+    "q181_hll_overlap" -> 5,
   )
 
 
@@ -633,6 +638,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q178_length_gini" -> 1,
     "q179_gate_ablation" -> 1,
     "q180_passage_leak" -> 1,
+    "q181_hll_overlap" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -62,13 +62,23 @@ case class CountMin(
     new Array[Long](depth * width)
   }
 
+  // "i:" prefixes pre-encoded once per operator instance: the update path
+  // then md5-updates prefix bytes + UTF8String.getBytes directly, which is
+  // byte-identical to digesting s"$i:$key" (md5 over a concatenation ==
+  // incremental updates) but skips the String + StringBuilder + re-encode
+  // allocations per row per depth on the per-token hot path (q154/q90 and
+  // the streaming sketch).
+  @transient private lazy val rowPrefixes: Array[Array[Byte]] =
+    Array.tabulate(depth)(i =>
+      s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val key = v.asInstanceOf[UTF8String].toString
+      val keyBytes = v.asInstanceOf[UTF8String].getBytes
       var i = 0
       while (i < depth) {
-        buf(i * width + CountMin.bucket(i, key, width)) += 1L
+        buf(i * width + CountMin.bucketBytes(rowPrefixes(i), keyBytes, width)) += 1L
         i += 1
       }
     }
@@ -126,10 +136,21 @@ object CountMin {
     * The 15 hex digits are the top 60 bits of the digest, read
     * big-endian — exactly the prefix of the lowercase hex rendering.
     */
-  def bucket(row: Int, key: String, width: Int): Int = {
+  def bucket(row: Int, key: String, width: Int): Int =
+    bucketBytes(
+      s"$row:".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      key.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      width)
+
+  /** Byte-level form for the aggregate's hot path: digest(prefix ++ key)
+    * via two incremental updates — md5-identical to the String concat,
+    * zero intermediate allocation.
+    */
+  def bucketBytes(prefixUtf8: Array[Byte], keyUtf8: Array[Byte], width: Int): Int = {
     val md = digest.get()
     md.reset()
-    val d = md.digest(s"$row:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(prefixUtf8)
+    val d = md.digest(keyUtf8)
     // First 15 hex chars = first 7.5 bytes: assemble the 60-bit value
     // directly instead of formatting hex and re-parsing it.
     var v = 0L

@@ -44,12 +44,26 @@ import org.apache.spark.unsafe.types.UTF8String
 case class HyperLogLog(
     child: Expression,
     p: Int,
+    // PRODUCTION hash option: xxhash64 (Spark's own XXH64, seed 42)
+    // instead of md5 for the 60-bit key hash. ~10× cheaper per key — the
+    // right choice for a 100 TB run where the sketch is consumed inside
+    // this engine — but NOT the auditable-replay discipline: an external
+    // engine can replay md5 registers exactly (the q172/q182 oracle
+    // contract), while xxhash64's bit-stream is implementation-defined
+    // across engines. Fast registers therefore never appear in a
+    // declared oracle query; estimates from either hash agree to within
+    // HLL's own ±1.04/√m error, which FrequencySpec pins. The top 60
+    // bits of the 64-bit hash feed the SAME register/rank split, so
+    // every downstream read (merge, estimateMilli, wire format) is
+    // hash-agnostic.
+    fastHash: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]]
   with UnaryLike[Expression] {
 
-  override def prettyName: String = "hll_registers"
+  override def prettyName: String =
+    if (fastHash) "hll_registers_fast" else "hll_registers"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -67,7 +81,18 @@ case class HyperLogLog(
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      val hv = HyperLogLog.hash60(v.asInstanceOf[UTF8String].toString)
+      // Hash the UTF8String's bytes directly: getBytes IS the UTF-8
+      // encoding, so md5 over it is byte-identical to the former
+      // .toString round-trip — but skips a String + a re-encoded byte[]
+      // allocation per input row on the per-token hot path (q172/q181
+      // and the streaming sketch). The fast path hashes the UTF8String's
+      // backing bytes in place — zero copies.
+      val s = v.asInstanceOf[UTF8String]
+      val hv =
+        if (fastHash)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L) >>> 4
+        else HyperLogLog.hash60(s.getBytes)
       val idx = (hv >>> (60 - p)).toInt
       val r = HyperLogLog.rank(hv, p)
       if (r > buf(idx)) buf(idx) = r
@@ -126,10 +151,16 @@ object HyperLogLog {
     * assembly without the row prefix (one hash per key; p index bits and
     * the rank bits both come out of it, the standard HLL split).
     */
-  def hash60(key: String): Long = {
+  def hash60(key: String): Long =
+    hash60(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Byte-level form — the aggregate's hot path hands `UTF8String.getBytes`
+    * straight in (already UTF-8; md5-identical to encoding a String).
+    */
+  def hash60(keyUtf8: Array[Byte]): Long = {
     val md = digest.get()
     md.reset()
-    val d = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md.digest(keyUtf8)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
@@ -153,6 +184,15 @@ object HyperLogLog {
   def hll_registers(key: Column, p: Int): Column =
     ColumnBridge.column(
       HyperLogLog(ColumnBridge.expression(key), p).toAggregateExpression())
+
+  /** Production variant: xxhash64 registers (seed 42) — ~10× cheaper per
+    * key than md5 but NOT externally replayable; never used in a
+    * declared oracle query (see the `fastHash` field doc).
+    */
+  def hll_registers_fast(key: Column, p: Int): Column =
+    ColumnBridge.column(
+      HyperLogLog(ColumnBridge.expression(key), p, fastHash = true)
+        .toAggregateExpression())
 
   /** Flajolet's α_m constant in ppm (0.673/0.697/0.709 for m = 16/32/64;
     * 0.7213/(1 + 1.079/m) above) — pinned integer so estimates replay.

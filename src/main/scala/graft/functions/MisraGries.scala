@@ -39,7 +39,7 @@ case class MisraGries(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
   with UnaryLike[Expression] {
 
   override def prettyName: String = "misra_gries"
@@ -52,20 +52,25 @@ case class MisraGries(
       s"$prettyName requires a string key column, got ${other.simpleString}")
   }
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] = {
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] = {
     require(k >= 1, s"$prettyName: k must be >= 1, got $k")
-    mutable.HashMap.empty[String, Long]
+    mutable.HashMap.empty[UTF8String, Long]
   }
 
-  override def update(buf: mutable.HashMap[String, Long], input: InternalRow)
-      : mutable.HashMap[String, Long] = {
+  override def update(buf: mutable.HashMap[UTF8String, Long], input: InternalRow)
+      : mutable.HashMap[UTF8String, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      // UTF8String buffers are reused by unsafe row readers — materialize.
-      val key = v.asInstanceOf[UTF8String].toString
+      // UTF8String buffers are reused by unsafe row readers, but lookup by
+      // the transient value is safe (hash/equals are byte-wise) — only an
+      // INSERT needs an owned copy. clone() copies the backing bytes and
+      // skips the former per-row toString (UTF-16 decode) entirely; for a
+      // key already tracked, the map's stored key object is retained and
+      // zero bytes are copied — the common case on skewed hot keys.
+      val key = v.asInstanceOf[UTF8String]
       buf.get(key) match {
         case Some(c) => buf.update(key, c + 1)
-        case None if buf.size < k => buf.update(key, 1L)
+        case None if buf.size < k => buf.update(key.clone(), 1L)
         case None =>
           // Counter set full and the key is absent: decrement every counter
           // (conceptually pairing this occurrence with one of each tracked
@@ -77,8 +82,8 @@ case class MisraGries(
     buf
   }
 
-  override def merge(buf: mutable.HashMap[String, Long],
-      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+  override def merge(buf: mutable.HashMap[UTF8String, Long],
+      other: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
     other.foreach { case (key, c) =>
       buf.update(key, buf.getOrElse(key, 0L) + c)
     }
@@ -93,24 +98,27 @@ case class MisraGries(
     buf
   }
 
-  private def decrementAll(buf: mutable.HashMap[String, Long], by: Long): Unit = {
-    val dead = mutable.ArrayBuffer.empty[String]
+  private def decrementAll(buf: mutable.HashMap[UTF8String, Long], by: Long): Unit = {
+    val dead = mutable.ArrayBuffer.empty[UTF8String]
     buf.foreach { case (key, c) =>
       if (c - by <= 0) dead += key else buf.update(key, c - by)
     }
     dead.foreach(buf.remove)
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any =
-    new GenericArrayData(
-      buf.keysIterator.toArray.sorted.map(UTF8String.fromString(_)))
+  // UTF8String's Comparable is byte-wise UTF-8 order = Unicode code-point
+  // order — identical to the former String sort for the BMP and MATCHING
+  // an external engine's binary collation where Java's UTF-16 code-unit
+  // order would diverge (supplementary characters).
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any =
+    new GenericArrayData(buf.keysIterator.toArray.sorted[UTF8String])
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (key, c) =>
-      val bytes = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bytes = key.getBytes
       out.writeInt(bytes.length)
       out.write(bytes)
       out.writeLong(c)
@@ -119,16 +127,16 @@ case class MisraGries(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, Long]
+    val buf = mutable.HashMap.empty[UTF8String, Long]
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      buf.update(UTF8String.fromBytes(b), in.readLong())
       i += 1
     }
     buf

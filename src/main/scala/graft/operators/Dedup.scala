@@ -412,6 +412,41 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Pair-similarity SPECTRUM: the co-occurring pair mass bucketed by
+    * exact-Jaccard decile — the read that JUSTIFIES a dedup threshold
+    * before anyone picks one. A healthy corpus is bimodal (a large
+    * incidental-overlap mode near zero, a duplicate mode near one, and a
+    * gap between them — this fixture measures 11997 / 1 / 27 pairs in
+    * deciles 0/8/9); any threshold inside the gap yields the same dedup,
+    * and a corpus WITHOUT the gap is the warning that threshold tuning
+    * will actually move results. Complements q141's band chooser (which
+    * optimizes LSH for a FIXED threshold) and q184's the-curve-is-flat
+    * reading of the same structure.
+    *
+    * Exact integer: jac_ppm = shared·10⁶ div (szA + szB − shared), decile
+    * = min(jac_ppm div 10⁵, 9). Rides the inverted-index pair frame
+    * ([[ngramJaccardPairs]]'s shape — work ∝ co-occurring shingle
+    * instances, zero-overlap pairs never materialize), then one
+    * decile-keyed roll-up (≤ 10 rows).
+    */
+  def similaritySpectrum(df: DataFrame, idCol: String, textCol: String,
+      blockCol: Column, n: Int,
+      scope: CacheScope = CacheScope.session): DataFrame =
+    cooccurrenceCounts(df, idCol, textCol, blockCol, n, scope)
+      .select(
+        expr("least((shared * 1000000) div (sz_a + sz_b - shared) div 100000, 9)")
+          .as("decile"),
+        expr("(shared * 1000000) div (sz_a + sz_b - shared)").as("jac_ppm"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("decile"))
+      // Each pair contributes two exploded doc rows: count div 2 is the
+      // exact pair count; min/max are unaffected by the duplication.
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("jac_ppm")).as("min_jac_ppm"),
+        max(col("jac_ppm")).as("max_jac_ppm"))
+      .orderBy(col("decile"))
+
   /** Cross-corpus contamination check: for every document in the EVAL
     * split, how many of its distinct n-gram shingles also occur anywhere
     * in the TRAIN split — the benchmark-leakage scan run before training.

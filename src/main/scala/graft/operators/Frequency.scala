@@ -211,6 +211,134 @@ object Frequency {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Join-SIZE estimation from Count–Min inner products (Cormode &
+    * Muthukrishnan 2005 §4.3: for sketches of streams A and B with
+    * shared hashes, Σ_w CM_A[r][w]·CM_B[r][w] ≥ |A ⋈ B| for every depth
+    * row r, and the minimum over rows is within ε·N_A·N_B of the truth
+    * w.h.p.) — the PLANNER's read: "how big would this join be?" from
+    * two fixed-size grids, without shuffling either input by the key.
+    * At 100 TB that is the difference between a catalog lookup and a
+    * trial execution; a reorderer or an AQE-style threshold gate consumes
+    * exactly this number.
+    *
+    * Structurally one-sided (collisions only ADD counts), so
+    * `never_undercounts` is a theorem, not an observation. The exact
+    * join size rides along as the audit baseline — computed from
+    * per-key count frames (Σ_k c_A(k)·c_B(k), never by materializing the
+    * join), which is the vocabulary-sized aggregation the sketch path
+    * exists to avoid. The estimate itself is exact integer arithmetic
+    * over two deterministic grids (md5 buckets, the [[CountMin.bucket]]
+    * discipline), so the whole row replays in any engine. BIGINT fold is
+    * safe whenever the answer fits a BIGINT: every per-cell product is
+    * bounded by the row's total estimate.
+    */
+  def cmJoinSizeAudit(df: DataFrame, keyA: Column, keyB: Column,
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    // Both sides arrive as NULLABLE key expressions over ONE input frame
+    // (e.g. when(side = 'R', key) / when(side = 'N', key)): count_min
+    // skips nulls, so BOTH grids build in a single scan's aggregation,
+    // and the exact baseline is a second scan — sketch pass + audit
+    // pass, the honest minimum (the naive two-DataFrame form cost 4 full
+    // scans of the same table). Disjoint tables still work: pass each
+    // side's key column of a union/joined frame.
+    val pro = df.select(keyA.cast("string").as("key_a"),
+      keyB.cast("string").as("key_b"))
+    val grids = pro.agg(
+      graft.functions.CountMin.count_min(col("key_a"), depth, width).as("grid_a"),
+      graft.functions.CountMin.count_min(col("key_b"), depth, width).as("grid_b"))
+    // Exact |A ⋈ B| = Σ_k c_A(k)·c_B(k) from per-key count pairs in one
+    // pass: each row explodes to its (key, side) memberships, so a row
+    // carrying both keys (self-join or overlapping sides) counts in both
+    // columns under its OWN key — no cross-key mixups.
+    val exact = pro
+      .select(explode(array(
+        struct(col("key_a").as("key"), lit(1L).as("a"), lit(0L).as("b")),
+        struct(col("key_b").as("key"), lit(0L).as("a"), lit(1L).as("b")))).as("s"))
+      .select(col("s.key").as("key"), col("s.a").as("a"), col("s.b").as("b"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_rows"))
+    // Per-depth-row inner product over the row-major grids; the estimate
+    // is the min over rows. Both inputs are ONE-row frames.
+    val rowEsts = (0 until depth).map { r =>
+      expr(s"aggregate(sequence(${r * width}, ${r * width + width - 1}), " +
+        "CAST(0 AS BIGINT), (acc, j) -> " +
+        "acc + element_at(grid_a, j + 1) * element_at(grid_b, j + 1))")
+    }
+    exact.crossJoin(broadcast(grids))
+      .withColumn("cm_est", least(rowEsts: _*))
+      .select(col("exact_rows"), col("cm_est"),
+        (col("cm_est") - col("exact_rows")).as("overcount"),
+        when(col("exact_rows") > 0,
+          expr("((cm_est - exact_rows) * 1000000) div exact_rows"))
+          .as("overcount_ppm"),
+        (col("cm_est") >= col("exact_rows")).as("never_undercounts"))
+  }
+
+  /** Registers-ONLY cumulative cardinality time series — the production
+    * read [[hllCardinalityAudit]]'s scaladoc promises: per (group, batch)
+    * the `hll_registers` fold with the exact-integer Flajolet estimator
+    * and NO exact-distinct baseline anywhere in the plan. This is the
+    * query shape the streaming curation loop's `ShingleHllTable` commits
+    * (one register row per batch, folded by element-wise max), declared
+    * as a gated batch query so the pure-sketch path is oracle-tested.
+    *
+    * Two numbers per (group, batch): the BATCH's own distinct estimate
+    * (that ingest's gram mass) and the CUMULATIVE estimate through this
+    * batch (the vocabulary-growth curve a capacity planner reads — q175's
+    * exact Heaps curve at sketch cost). The cumulative fold is a running
+    * element-wise max over batches, computed by exploding each 2^p-int
+    * vector to (group, register, batch) rows and taking a running max per
+    * (group, register) — the windowed frame is |groups × batches × 2^p|
+    * rows of integers regardless of key cardinality, and the only
+    * corpus-sized work is the one map-side-partial register aggregation.
+    * All estimator arithmetic is the [[hllCardinalityAudit]] discipline:
+    * integer Σ 2^(E−M_j) denominators and one DECIMAL(38,0) floor
+    * division against the pinned α_m literal, so every row replays
+    * exactly in any engine.
+    */
+  def hllCardinalitySeries(df: DataFrame, groupCol: Column, batchCol: Column,
+      keyCol: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllCardinalitySeries: need 4 <= p <= 16, got $p")
+    val m = 1 << p
+    val e = 61 - p
+    val num =
+      BigInt(graft.functions.HyperLogLog.alphaPpm(m)) * m * m * (BigInt(1) << e) * 1000
+    def estOf(sCol: String) = expr(
+      s"CAST('$num' AS DECIMAL(38,0)) div (CAST($sCol AS DECIMAL(38,0)) * 1000000)")
+    val perBatch = df
+      .select(groupCol.as("grp"), batchCol.as("batch"), keyCol.as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("grp"), col("batch"))
+      .agg(graft.functions.HyperLogLog.hll_registers(col("key"), p).as("regs"))
+    // posexplode to one row per register, then the running max per
+    // (group, register) ordered by batch IS the HLL union through time.
+    // The window partitions are |groups × 2^p| with |batches| rows each —
+    // bounded by construction, never keyed by the data's values.
+    val exploded = perBatch.select(col("grp"), col("batch"),
+      posexplode(col("regs")).as(Seq("idx", "rnk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("idx")).orderBy(col("batch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    exploded.withColumn("crnk", max(col("rnk")).over(w))
+      .groupBy(col("grp"), col("batch"))
+      .agg(
+        // Canonical register order rebuilt from (idx, rank) pairs:
+        // collect_list is order-free, array_sort on the struct (idx
+        // first) restores it deterministically.
+        expr("array_join(transform(array_sort(collect_list(struct(idx, crnk))), s -> CAST(s.crnk AS STRING)), ',')")
+          .as("registers_csv"),
+        sum(when(col("crnk") === 0, 1L).otherwise(0L)).as("zero_regs"),
+        sum(col("crnk")).as("rank_sum"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $e - crnk)")).as("s_scaled"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $e - rnk)")).as("batch_s_scaled"))
+      .withColumn("cum_est_milli", estOf("s_scaled"))
+      .withColumn("batch_est_milli", estOf("batch_s_scaled"))
+      .orderBy(col("grp"), col("batch"))
+  }
+
   def hllCardinalityAudit(df: DataFrame, groupCol: Column, keyCol: Column,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"hllCardinalityAudit: need 4 <= p <= 16, got $p")

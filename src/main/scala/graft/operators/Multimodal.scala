@@ -9,11 +9,17 @@ import org.apache.spark.sql.types._
   * runs per-partition in batches.
   *
   * The Spark-side plumbing here — schema, batch shape, partition sizing —
-  * is real and tested. IMAGE decode is real too ([[ImageIODecoder]] /
-  * [[pixelStats]], backed by the JRE's `javax.imageio` PNG/JPEG/GIF/BMP/
-  * TIFF readers); audio/video decode remains header-probe-only
-  * ([[MediaProbe]]) behind [[MediaDecoder]], which a deployment replaces
-  * with a JNI/FFmpeg-backed implementation.
+  * is real and tested, and so is decode across all three modalities:
+  * IMAGE pixel decode via the JRE's `javax.imageio` PNG/JPEG/GIF/BMP/TIFF
+  * readers ([[ImageIODecoder]], [[pixelStats]], [[dhash56]]); AUDIO PCM16
+  * decode via `javax.sound.sampled` WAV parsing ([[decodeWavStats]],
+  * [[decodeWavSamples]] — volume-invariant fingerprints, near-dup pairs);
+  * VIDEO via a byte-level RIFF/AVI container walk with uncompressed-DIB
+  * frame decode, frame sampling and motion triage ([[decodeAvi]]).
+  * The honest remaining stub is COMPRESSED codecs (MP3/AAC, MJPG/H.264):
+  * those sit behind the [[MediaDecoder]] seam, which a deployment replaces
+  * with a JNI/FFmpeg-backed implementation; the DIB walk rejects
+  * compressed-fourcc AVI streams rather than decoding garbage.
   *
   * Scale notes:
   *  - binary payloads dominate row size → cap
@@ -132,8 +138,9 @@ object Multimodal {
   /** REAL pixel decoder backed by `javax.imageio` (this JRE ships readers
     * for PNG/JPEG/GIF/BMP/TIFF/WBMP — probed via
     * `ImageIO.getReaderFormatNames`), replacing the r1–r9 "no media libs"
-    * stub posture for images. Audio/video remain header-probe-only
-    * ([[MediaProbe]]): no codec on the classpath decodes them.
+    * stub posture for images. Audio (WAV PCM16) and uncompressed-AVI video
+    * decode are real too — see the module header; [[MediaProbe]] remains
+    * the header-only fast path for triage without full decode.
     *
     * Features are the 4-dim mean-channel vector (R,G,B,A in [0,1]) — the
     * deterministic pixel-content summary the stub faked from raw bytes.
@@ -189,7 +196,7 @@ object Multimodal {
           }
           PixelStats(w, h, w.toLong * h, sr, sg, sb, sa)
         }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   final case class PixelStatsRow(media_id: Long, width: Long, height: Long,
       n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
@@ -250,7 +257,7 @@ object Multimodal {
           }
           bits
         }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   final case class DhashRow(media_id: Long, dhash: Long)
 
@@ -312,7 +319,7 @@ object Multimodal {
           Some(PcmStats(n.toLong, sumAbs, maxAbs, zc, clip))
         }
       } finally in.close()
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode a WAV blob to its raw PCM16 samples through the REAL
     * `javax.sound.sampled` parser. Same format guard as
@@ -341,7 +348,7 @@ object Multimodal {
           Some(out)
         }
       } finally in.close()
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   final case class PcmStatsRow(media_id: Long, n_samples: Long,
       sum_abs: Long, max_abs: Long, zero_crossings: Long, clip_count: Long,
@@ -695,6 +702,7 @@ object Multimodal {
         var width, height, declared = -1
         val frames = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
         var sawCompressed = false
+        var lastStreamType = ""
         // Chunk walk: LIST chunks recurse (their payload is a list type
         // fourcc + sub-chunks); plain chunks are consumed flat. Sizes are
         // validated against the enclosing bound BEFORE any read.
@@ -714,7 +722,16 @@ object Multimodal {
               case "00db" =>
                 frames += blob.slice(p + 8, end.toInt)
               case "00dc" => sawCompressed = true
-              case _ => ()                           // strh/strf/idx1/JUNK: skip
+              case "strh" =>
+                lastStreamType = fcc(p + 8)          // fccType: vids/auds/...
+              case "strf" if lastStreamType == "vids" =>
+                // BITMAPINFOHEADER.biCompression (offset 16): anything but
+                // BI_RGB (0) — MJPG, H.264 fourccs — is a compressed
+                // stream this walk must REJECT at the header, not decode
+                // as garbage bytes that happen to match the DIB stride.
+                // (auds strf is WAVEFORMATEX — different layout, skipped.)
+                if (sz >= 20 && u32(p + 8 + 16) != 0L) sawCompressed = true
+              case _ => ()                           // idx1/JUNK: skip
             }
             p = end.toInt + (sz.toInt & 1)           // chunks are word-aligned
           }
@@ -726,7 +743,7 @@ object Multimodal {
             fs.exists(_.length != stride * height)) None
         else Some(AviClip(width, height, declared, fs))
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   final case class FrameStatsRow(media_id: Long, frame_idx: Long,
       sum_r: Long, sum_g: Long, sum_b: Long)

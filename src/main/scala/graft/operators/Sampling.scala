@@ -378,12 +378,24 @@ object Sampling {
         count(lit(1)).as("n_cats"),
         max(col("c")).as("max_c"),
         sum(col("c") * col("c")).as("sum_sq"))
+      // All cross-multiplications ride DECIMAL(38,0) (the giniByGroup
+      // discipline): in BIGINT, sum_sq*1e6 wraps silently once one
+      // category holds ~3M+ docs (sum_sq > 9.2e12) and n_docs²*1000
+      // wraps at ~96M docs per group — wrong/negative ppm at exactly the
+      // corpus sizes this audit targets, and DIVERGING from an external
+      // engine that errors or widens instead of wrapping. `div` on
+      // DECIMAL(38,0) returns LONG; all operands are non-negative so
+      // truncate-vs-floor agree.
       .select(col("grp"), col("n_docs"), col("n_cats"),
-        expr("(max_c * 1000000) div n_docs").as("dominant_ppm"),
-        expr("(sum_sq * 1000000) div (n_docs * n_docs)").as("simpson_ppm"),
-        (lit(1000000L) - expr("(sum_sq * 1000000) div (n_docs * n_docs)"))
+        expr("(CAST(max_c AS DECIMAL(38,0)) * 1000000) div n_docs")
+          .as("dominant_ppm"),
+        expr("(CAST(sum_sq AS DECIMAL(38,0)) * 1000000) div (CAST(n_docs AS DECIMAL(38,0)) * n_docs)")
+          .as("simpson_ppm"),
+        (lit(1000000L) -
+          expr("(CAST(sum_sq AS DECIMAL(38,0)) * 1000000) div (CAST(n_docs AS DECIMAL(38,0)) * n_docs)"))
           .as("gini_simpson_ppm"),
-        expr("(n_docs * n_docs * 1000) div sum_sq").as("effective_cats_milli"))
+        expr("(CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000) div sum_sq")
+          .as("effective_cats_milli"))
       .orderBy(col("grp"))
   }
 }

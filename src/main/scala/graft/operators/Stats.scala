@@ -146,8 +146,16 @@ object Stats {
     require(bandWidth > 0, "bandWidth must be positive")
     require(permilles.nonEmpty && permilles.forall(k => k >= 0 && k <= 1000),
       "permilles must be in [0, 1000]")
+    // NULL group keys are dropped UP FRONT, as documented behavior: the
+    // equi-joins below would silently drop them anyway (groupBy keeps a
+    // null group; join-on-g does not), and an explicit isnotnull(g) in
+    // the shared subtree also absorbs any isnotnull(g) a DOWNSTREAM
+    // query's join infers and pushes in — without it, that inference
+    // lands in one branch only, de-canonicalizes the three byV subtrees,
+    // and silently disables AQE exchange reuse (+1 full input scan,
+    // caught by the scan-leaf budgets on q69/q79/q113).
     val vals = df.select(grp.as("g"), value.cast("long").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && col("g").isNotNull)
     val byV = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("band", floor(col("v") / bandWidth))
     val wLocal = Window.partitionBy(col("g"), col("band")).orderBy(col("v"))
@@ -221,8 +229,11 @@ object Stats {
   def giniByGroup(df: DataFrame, grp: Column, value: Column,
       bandWidth: Long): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
+    // NULL group keys dropped up front — documented behavior, and the
+    // same branch-canonicalization guard as orderStatsPermille (see its
+    // comment): the equi-join on g below would drop them silently.
     val vals = df.select(grp.as("g"), value.cast("long").as("v"))
-      .filter(col("v").isNotNull && col("v") >= 0)
+      .filter(col("v").isNotNull && col("v") >= 0 && col("g").isNotNull)
     val byV = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("band", floor(col("v") / bandWidth))
     val wLocal = Window.partitionBy(col("g"), col("band")).orderBy(col("v"))

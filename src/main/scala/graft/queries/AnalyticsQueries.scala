@@ -597,5 +597,47 @@ object AnalyticsQueries {
              |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS reject_05
              |FROM d, n""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Join-size estimation from Count-Min inner products (Cormode &
+    // Muthukrishnan §4.3) — the PLANNER's read: |A ⋈ B| bounded from two
+    // fixed-size grids without shuffling either input by the key. Here
+    // the returned ('R') and normal ('N') lineitem halves joined on
+    // l_partkey — a genuine many-to-many join. The estimate is min over
+    // depth rows of the grid inner product; structurally never an
+    // undercount. Exact size rides along as the audit baseline (per-key
+    // count frames, never a materialized join) — the vocabulary-sized
+    // aggregation the sketch exists to avoid at 100 TB.
+    QueryDef(
+      "q183_cm_join_size",
+      (spark, dir) =>
+        graft.operators.Frequency.cmJoinSizeAudit(
+          Tables.lineitem(spark, dir),
+          when(col("l_returnflag") === "R", col("l_partkey")),
+          when(col("l_returnflag") === "N", col("l_partkey")),
+          depth = 3, width = 1024),
+      Some("""WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem WHERE l_returnflag = 'R'),
+             |b AS (SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem WHERE l_returnflag = 'N'),
+             |rows_i AS (SELECT unnest(range(3)) AS i),
+             |ga AS (SELECT i, CAST(('0x' || substr(md5(i || ':' || key), 1, 15)) AS BIGINT) % 1024 AS w,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM a, rows_i GROUP BY 1, 2),
+             |gb AS (SELECT i, CAST(('0x' || substr(md5(i || ':' || key), 1, 15)) AS BIGINT) % 1024 AS w,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM b, rows_i GROUP BY 1, 2),
+             |per_row AS (SELECT ga.i, CAST(SUM(ga.c * gb.c) AS BIGINT) AS est
+             |  FROM ga JOIN gb ON ga.i = gb.i AND ga.w = gb.w GROUP BY ga.i),
+             |cm AS (SELECT CAST(MIN(est) AS BIGINT) AS cm_est FROM per_row),
+             |ex AS (SELECT CAST(coalesce(SUM(ca.c * cb.c), 0) AS BIGINT) AS exact_rows
+             |  FROM (SELECT key, COUNT(*) AS c FROM a GROUP BY 1) ca
+             |  JOIN (SELECT key, COUNT(*) AS c FROM b GROUP BY 1) cb USING (key))
+             |SELECT ex.exact_rows, cm.cm_est,
+             |  cm.cm_est - ex.exact_rows AS overcount,
+             |  CASE WHEN ex.exact_rows > 0 THEN
+             |    CAST(((cm.cm_est - ex.exact_rows) * 1000000) // ex.exact_rows AS BIGINT)
+             |  END AS overcount_ppm,
+             |  cm.cm_est >= ex.exact_rows AS never_undercounts
+             |FROM ex, cm""".stripMargin),
+    ),
   )
 }

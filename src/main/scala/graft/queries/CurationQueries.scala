@@ -1027,10 +1027,10 @@ object CurationQueries {
              |    CAST(SUM(c * c) AS BIGINT) AS sum_sq
              |  FROM c GROUP BY source)
              |SELECT source, n_docs, n_cats,
-             |  (max_c * 1000000) // n_docs AS dominant_ppm,
-             |  (sum_sq * 1000000) // (n_docs * n_docs) AS simpson_ppm,
-             |  1000000 - (sum_sq * 1000000) // (n_docs * n_docs) AS gini_simpson_ppm,
-             |  (n_docs * n_docs * 1000) // sum_sq AS effective_cats_milli
+             |  CAST((CAST(max_c AS HUGEINT) * 1000000) // n_docs AS BIGINT) AS dominant_ppm,
+             |  CAST((CAST(sum_sq AS HUGEINT) * 1000000) // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS simpson_ppm,
+             |  CAST(1000000 - (CAST(sum_sq AS HUGEINT) * 1000000) // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS gini_simpson_ppm,
+             |  CAST((CAST(n_docs AS HUGEINT) * n_docs * 1000) // sum_sq AS BIGINT) AS effective_cats_milli
              |FROM r ORDER BY source""".stripMargin),
     ),
 

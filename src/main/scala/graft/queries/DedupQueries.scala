@@ -589,6 +589,38 @@ object DedupQueries {
              |  CAST((1000 * n_boiler) // n_grams AS BIGINT) AS boiler_milli
              |FROM per ORDER BY doc_id""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Pair-similarity spectrum: co-occurring pair mass by exact-Jaccard
+    // decile — the read that justifies a dedup threshold BEFORE picking
+    // one. Healthy corpora are bimodal (incidental-overlap mode near 0,
+    // duplicate mode near 1, a gap between — this corpus: 11997/1/27
+    // pairs in deciles 0/8/9), so any threshold in the gap is
+    // equivalent; a gapless spectrum is the warning that tuning will
+    // move results. Rides the q22 inverted-index pair frame (work ∝
+    // co-occurring shingle instances), one ≤10-row roll-up after.
+    QueryDef(
+      "q184_similarity_spectrum",
+      (spark, dir) =>
+        Dedup.similaritySpectrum(Tables.documents(spark, dir),
+          idCol = "doc_id", textCol = "text", blockCol = lit(1), n = 3),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN [] ELSE
+             |  list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s FROM toks),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    (CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000000)
+             |      // (len(list_distinct(list_concat(a.s, b.s)))) AS jac_ppm
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.s, b.s)) > 0),
+             |ex AS (SELECT LEAST(jac_ppm // 100000, 9) AS decile, jac_ppm,
+             |    unnest([id_a, id_b]) AS id
+             |  FROM pairs)
+             |SELECT decile, CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+             |  CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+             |  CAST(MIN(jac_ppm) AS BIGINT) AS min_jac_ppm,
+             |  CAST(MAX(jac_ppm) AS BIGINT) AS max_jac_ppm
+             |FROM ex GROUP BY decile ORDER BY decile""".stripMargin),
+    ),
   )
 
   /** Oracle for [[Dedup.lshBandAudit]]: replays the signature (embedding

@@ -1585,6 +1585,57 @@ object TextQueries {
     ),
 
     // ----------------------------------------------------------------
+    // Registers-only cumulative cardinality series — the PRODUCTION read
+    // of the sketch triptych: per (source, ingest batch), that batch's
+    // distinct-shingle estimate and the cumulative estimate through it,
+    // from hll_registers alone — NO exact countDistinct anywhere in the
+    // plan (q172 carries one as its audit baseline; this is the shape
+    // the streaming loop's ShingleHllTable actually commits and folds).
+    // Batches are the engine's own deterministic doc_id % 3 buckets (the
+    // q37/q180 split discipline). The cumulative fold is a running
+    // element-wise register max — |sources × batches × 256| integer
+    // rows — so the only corpus-sized work is the one map-side-partial
+    // register aggregation per batch.
+    QueryDef(
+      "q182_hll_series",
+      (spark, dir) =>
+        graft.operators.Frequency.hllCardinalitySeries(
+          QueryDef.spreadIfNarrow(Tables.documents(spark, dir))
+            .select(col("source"), (col("doc_id") % 3).as("batch"),
+              explode(TextAnalysis.wordGrams(
+                TextAnalysis.tokens(col("text")), 3)).as("shingle")),
+          col("source"), col("batch"), col("shingle"), p = 8),
+      Some("""WITH t AS (SELECT source, doc_id % 3 AS batch, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |toks AS (SELECT source, batch, unnest(CASE WHEN len(l) < 3 THEN [] ELSE
+             |    list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS key
+             |  FROM t),
+             |h AS (SELECT source, batch, CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS hv
+             |  FROM (SELECT DISTINCT source, batch, key FROM toks)),
+             |r AS (SELECT source, batch, hv >> 52 AS reg,
+             |    MAX(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+             |        ELSE 53 - length(bin(hv & ((1::BIGINT << 52) - 1))) END) AS rnk
+             |  FROM h GROUP BY 1, 2, 3),
+             |grid AS (SELECT s.source, s.batch, g.reg
+             |  FROM (SELECT DISTINCT source, batch FROM toks) s, (SELECT unnest(range(256)) AS reg) g),
+             |d AS (SELECT grid.source, grid.batch, grid.reg, coalesce(r.rnk, 0) AS rnk
+             |  FROM grid LEFT JOIN r ON grid.source = r.source AND grid.batch = r.batch AND grid.reg = r.reg),
+             |c AS (SELECT source, batch, reg, rnk,
+             |    MAX(rnk) OVER (PARTITION BY source, reg ORDER BY batch) AS crnk
+             |  FROM d),
+             |vec AS (SELECT source, batch,
+             |    array_to_string(list(crnk ORDER BY reg), ',') AS registers_csv,
+             |    CAST(SUM(CASE WHEN crnk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs,
+             |    CAST(SUM(crnk) AS BIGINT) AS rank_sum,
+             |    CAST(SUM(1::BIGINT << (53 - crnk)) AS BIGINT) AS s_scaled,
+             |    CAST(SUM(1::BIGINT << (53 - rnk)) AS BIGINT) AS batch_s_scaled
+             |  FROM c GROUP BY source, batch)
+             |SELECT source AS grp, batch, registers_csv, zero_regs, rank_sum, s_scaled, batch_s_scaled,
+             |  CAST(CAST('423993542593778584572133376000' AS HUGEINT) // (CAST(s_scaled AS HUGEINT) * 1000000) AS BIGINT) AS cum_est_milli,
+             |  CAST(CAST('423993542593778584572133376000' AS HUGEINT) // (CAST(batch_s_scaled AS HUGEINT) * 1000000) AS BIGINT) AS batch_est_milli
+             |FROM vec ORDER BY grp, batch""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // RAG chunking: overlapping 64-token windows at stride 48 — the
     // retrieval-index build step. Offsets, token/char counts, and the
     // 60-bit md5 chunk fingerprint (the dedupable index key) are all

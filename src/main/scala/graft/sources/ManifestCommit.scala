@@ -217,6 +217,26 @@ object ManifestCommit {
         prev.tables.updated(table, Seq(rel)))
     }
 
+  /** Row-level compaction: transactionally replace `table`'s contents
+    * with `fold(currentRows)` as ONE delta. For tables whose rows form a
+    * semilattice summary (e.g. sketch register rows merged by
+    * element-wise max), the per-commit append-only history can be folded
+    * to its summary without changing any read: the fold must be pure,
+    * associative and idempotent over the rows, so replacing the list is
+    * replay-safe — a crash between publish and the next append loses
+    * nothing, and re-folding a folded table is a no-op. Readers see the
+    * old rows or the folded rows, never both; old delta dirs become
+    * unreferenced and [[vacuum]] reclaims them.
+    */
+  def compactTableWith(spark: SparkSession, root: String, table: String)(
+      fold: DataFrame => DataFrame): Option[Long] =
+    readTable(spark, root, table).map { df =>
+      val rel = stageDelta(spark, fold(df), root, table)
+      val prev = currentManifest(spark, root).get
+      publish(fs(spark, root), root, prev.version + 1L,
+        prev.tables.updated(table, Seq(rel)))
+    }
+
   /** Delete every delta directory the CURRENT manifest does not
     * reference (torn cycles, compacted-away generations) and every
     * superseded manifest file. Only safe while no cycle is staging —

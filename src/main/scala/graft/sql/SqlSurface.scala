@@ -181,6 +181,19 @@ object SqlSurface {
           TextAnalysis.tokens(col("text")), 3)).as("shingle")),
         col("source"), col("shingle"), p = 8)
       .createOrReplaceTempView("hll_overlap")
+    graft.operators.Frequency.hllCardinalitySeries(
+        docs.select(col("source"), (col("doc_id") % 3).as("batch"),
+          explode(TextAnalysis.wordGrams(
+            TextAnalysis.tokens(col("text")), 3)).as("shingle")),
+        col("source"), col("batch"), col("shingle"), p = 8)
+      .createOrReplaceTempView("hll_series")
+    graft.operators.Frequency.cmJoinSizeAudit(
+        Tables.lineitem(spark, sfDir),
+        when(col("l_returnflag") === "R", col("l_partkey")),
+        when(col("l_returnflag") === "N", col("l_partkey")))
+      .createOrReplaceTempView("cm_join_size")
+    Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
+      .createOrReplaceTempView("similarity_spectrum")
     // Round-10 curation reads: the growth/chunking/diversity family.
     TextAnalysis.vocabGrowth(docs, "doc_id", "text", n = 3)
       .createOrReplaceTempView("vocab_growth")

@@ -109,7 +109,12 @@ object CurationStream {
       gate: Column = col("n_chars") >= 100L,
       privacyQi: Seq[Column] = defaultPrivacyQi,
       privacyK: Long = 5L,
-      validateMedia: Boolean = false): BatchReport = {
+      validateMedia: Boolean = false,
+      // Fold [[ShingleHllTable]] back to ONE row once it holds this many
+      // (register max is associative/idempotent, so the fold changes no
+      // read and replays safely) — without a policy the table grows one
+      // 256-int row per committed batch forever.
+      hllCompactEvery: Int = 16): BatchReport = {
     val n = config.n
     val jaccard = config.jaccardThreshold
     val containment = config.containmentThreshold
@@ -192,13 +197,18 @@ object CurationStream {
         if (nAccepted == 0) (None, None)
         else {
           import graft.functions.HyperLogLog
-          import graft.operators.TextAnalysis
           // This batch's shingle registers — ONE aggregate over the
           // accepted gram stream (a 256-int partial per task), committed
-          // atomically beside the docs and postings it describes.
+          // atomically beside the docs and postings it describes. Grams
+          // come from Dedup.tokens + Dedup.gramsFromTokens — the SAME
+          // case-preserving tokenizer gramPostings uses below — so the
+          // cumulative estimate sizes the vocabulary the postings index
+          // actually holds (TextAnalysis.tokens lowercases, which would
+          // systematically estimate a smaller, different gram space).
           val regsDf = acceptedCached
-            .select(explode(TextAnalysis.wordGrams(
-              TextAnalysis.tokens(col("text")), n)).as("g"))
+            .select(graft.operators.Dedup.tokens(col("text")).as("toks"))
+            .select(explode(
+              graft.operators.Dedup.gramsFromTokens(col("toks"), n)).as("g"))
             .agg(HyperLogLog.hll_registers(col("g"), ShingleHllP).as("regs"))
           val regsRow = regsDf.collect()(0).getSeq[Int](0).toSeq
           val docsRel = ManifestCommit.stageDelta(
@@ -212,6 +222,22 @@ object CurationStream {
             AcceptedTable -> Seq(docsRel), PostingsTable -> Seq(postRel),
             ShingleHllTable -> Seq(hllRel)))), Some(regsRow))
         }
+      // Compaction policy: once the sketch table holds hllCompactEvery
+      // rows, fold them to ONE row in a follow-up transactional commit.
+      // The fold (element-wise register max, the canonical-order rebuild
+      // from posexplode) is the same semilattice merge every reader
+      // already applies, so the estimate cannot move — the spec pins
+      // that identity — and a crash between the data commit above and
+      // this compaction just leaves the unfolded rows for the next cycle.
+      if (version.isDefined && priorRegs.size + 1 >= hllCompactEvery) {
+        ManifestCommit.compactTableWith(spark, root, ShingleHllTable) { df =>
+          df.select(posexplode(col("regs")).as(Seq("idx", "r")))
+            .groupBy(col("idx")).agg(max(col("r")).as("r"))
+            .agg(expr(
+              "transform(array_sort(collect_list(struct(idx, r))), s -> s.r)")
+              .as("regs"))
+        }
+      }
       // Cumulative estimate = fold of all committed rows (element-wise
       // max is associative/idempotent, so replay order can't move it).
       val allRegs = priorRegs ++ batchRegs

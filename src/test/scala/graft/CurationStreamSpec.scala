@@ -37,8 +37,11 @@ class CurationStreamSpec extends AnyFunSuite {
     import graft.functions.HyperLogLog
     val p = CurationStream.ShingleHllP
     val regs = new Array[Int](1 << p)
+    // Case-PRESERVING tokens (Dedup.tokens), matching the postings index
+    // the estimate is documented to size — not TextAnalysis.tokens'
+    // lowercased stream.
     texts.foreach { t =>
-      t.trim.toLowerCase.split("\\s+").toSeq.sliding(3)
+      t.trim.split("\\s+").toSeq.sliding(3)
         .filter(_.size == 3).map(_.mkString(" ")).foreach { g =>
           val hv = HyperLogLog.hash60(g)
           val idx = (hv >>> (60 - p)).toInt
@@ -125,6 +128,44 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(ManifestCommit.readTable(spark, root, CurationStream.AcceptedTable)
       .get.select("doc_id").as[Long].collect().sorted === Array(1L, 3L, 6L))
     assert(reports.map(_.accepted).sum === 3L)
+  }
+
+  test("sketch compaction: fold-to-one-row moves nothing a reader can see") {
+    val root = Files.createTempDirectory("graft-curation-compact").toString
+    def hllRows() = ManifestCommit
+      .readTable(spark, root, CurationStream.ShingleHllTable)
+      .map(_.collect().map(_.getSeq[Int](0).toSeq).toSeq).getOrElse(Nil)
+    // compactEvery=2: the second commit triggers the fold.
+    val r1 = CurationStream.curateBatch(df(doc(1, textA)), root,
+      hllCompactEvery = 2)
+    assert(hllRows().size === 1)
+    val r2 = CurationStream.curateBatch(df(doc(2, textB)), root,
+      hllCompactEvery = 2)
+    // Folded: ONE row whose registers are the element-wise max of the two
+    // committed rows — and the estimate is EXACTLY the uncompacted fold.
+    assert(hllRows().size === 1)
+    assert(r2.corpusShingleEstMilli === expectedShingleEstMilli(textA, textB))
+    assert(r2.corpusShingleEstMilli >= r1.corpusShingleEstMilli)
+    // The next commit appends beside the folded row and the cumulative
+    // estimate still reads as if nothing was ever compacted.
+    val r3 = CurationStream.curateBatch(df(doc(6, textC)), root,
+      hllCompactEvery = 99)
+    assert(hllRows().size === 2)
+    assert(r3.corpusShingleEstMilli ===
+      expectedShingleEstMilli(textA, textB, textC))
+    // Re-folding a folded table is a no-op on the read (idempotence).
+    ManifestCommit.compactTableWith(spark, root,
+        CurationStream.ShingleHllTable) { d =>
+      d.select(posexplode(col("regs")).as(Seq("idx", "r")))
+        .groupBy(col("idx")).agg(max(col("r")).as("r"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(idx, r))), s -> s.r)")
+          .as("regs"))
+    }
+    val folded = hllRows()
+    assert(folded.size === 1)
+    assert(graft.functions.HyperLogLog.estimateMilli(folded.head,
+      CurationStream.ShingleHllP) === r3.corpusShingleEstMilli)
   }
 
   test("in-cycle privacy gate: k-anonymity ppm over the accepted frame") {

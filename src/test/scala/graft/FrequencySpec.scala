@@ -99,7 +99,10 @@ class FrequencySpec extends AnyFunSuite {
   test("sketch buffer serialization round-trips") {
     val mg = graft.functions.MisraGries(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit("x")), k = 5)
-    val buf = scala.collection.mutable.HashMap("alpha" -> 3L, "βeta" -> 7L, "" -> 1L)
+    val buf = scala.collection.mutable.HashMap(
+      org.apache.spark.unsafe.types.UTF8String.fromString("alpha") -> 3L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("βeta") -> 7L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("") -> 1L)
     assert(mg.deserialize(mg.serialize(buf)) === buf)
   }
 
@@ -162,6 +165,76 @@ class FrequencySpec extends AnyFunSuite {
     // sentinel rank 61-p, a top-bit w yields 1.
     assert(HyperLogLog.rank(0L, p) === 61 - p)
     assert(HyperLogLog.rank((1L << (60 - p)) - 1 | (1L << (59 - p)), p) === 1)
+  }
+
+  test("hll_registers_fast: xxhash64 production registers — invariant, near-md5 estimate") {
+    import graft.functions.HyperLogLog
+    val p = 8
+    val keys = (1 to 2000).map(i => s"key$i")
+    def regs(fast: Boolean, parts: Int, rows: Seq[String]) =
+      spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("key").repartition(parts)
+        .agg((if (fast) HyperLogLog.hll_registers_fast(col("key"), p)
+              else HyperLogLog.hll_registers(col("key"), p)).as("r"))
+        .collect().head.getSeq[Int](0)
+    val fast = regs(fast = true, 1, keys)
+    // Same determinism contract as the md5 registers: partitioning,
+    // duplication and row order cannot move the state.
+    assert(regs(fast = true, 9, keys) === fast)
+    assert(regs(fast = true, 4, keys ++ keys.take(300)) === fast)
+    // It is a DIFFERENT hash — the registers must not equal md5's (the
+    // documented divergence; this is why it is never oracle-gated)...
+    assert(fast !== regs(fast = false, 1, keys))
+    // ...but both feed the same estimator and must agree with the truth
+    // (and each other) within HLL's own error envelope: σ = 1.04/√256
+    // = 6.5%; 4σ ≈ 26% bounds a deterministic fixture comfortably.
+    val estFast = HyperLogLog.estimateMilli(fast, p)
+    val estMd5 = HyperLogLog.estimateMilli(regs(fast = false, 1, keys), p)
+    assert(math.abs(estFast - 2000000L) < 520000L, s"estFast=$estFast")
+    assert(math.abs(estFast - estMd5) < 740000L, s"fast=$estFast md5=$estMd5")
+  }
+
+  test("hllCardinalitySeries: cumulative fold equals one-shot registers, monotone") {
+    import graft.functions.HyperLogLog
+    val p = 8
+    // One group, three batches with overlapping key sets: the cumulative
+    // row at batch b must carry EXACTLY the registers of the union of
+    // batches <= b (fold-of-batches == one-shot aggregate), and the
+    // estimates must be monotone with batch_est <= cum_est.
+    val batches = Seq(
+      0L -> (1 to 120).map(i => s"k$i"),
+      1L -> (80 to 200).map(i => s"k$i"),
+      2L -> (150 to 320).map(i => s"k$i"))
+    val rows = batches.flatMap { case (b, ks) => ks.map(k => ("g", b, k)) }
+    def expectedRegs(ks: Iterable[String]): Seq[Int] = {
+      val regs = new Array[Int](1 << p)
+      ks.foreach { k =>
+        val hv = HyperLogLog.hash60(k)
+        val idx = (hv >>> (60 - p)).toInt
+        val r = HyperLogLog.rank(hv, p)
+        if (r > regs(idx)) regs(idx) = r
+      }
+      regs.toSeq
+    }
+    for (parts <- Seq(1, 7)) {
+      val out = Frequency.hllCardinalitySeries(
+          spark.createDataFrame(rows).toDF("grp", "batch", "key")
+            .repartition(parts),
+          col("grp"), col("batch"), col("key"), p)
+        .collect().sortBy(_.getLong(1))
+      assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+      var cumKeys = Set.empty[String]
+      var prevCum = 0L
+      out.foreach { r =>
+        cumKeys ++= batches.find(_._1 == r.getLong(1)).get._2
+        assert(r.getString(r.fieldIndex("registers_csv")) ===
+          expectedRegs(cumKeys).mkString(","), s"batch ${r.getLong(1)}")
+        val cum = r.getLong(r.fieldIndex("cum_est_milli"))
+        val bat = r.getLong(r.fieldIndex("batch_est_milli"))
+        assert(bat <= cum && cum >= prevCum)
+        prevCum = cum
+      }
+    }
   }
 
   test("hllOverlapMatrix: identical groups read 1000-milli, disjoint near 0") {

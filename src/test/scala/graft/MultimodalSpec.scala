@@ -217,6 +217,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
     compressed(idx + 3) = 'c'.toByte
     assert(Multimodal.decodeAvi(compressed).isEmpty)
+    // Codec boundary: an AVI whose strf BITMAPINFOHEADER declares a
+    // compressed fourcc ('MJPG') must be REJECTED at the header even
+    // when its '00db' payloads happen to match the DIB stride — the
+    // uncompressed-DIB walk must never hand codec bitstream bytes to a
+    // pixel reader. (The honest stub: MJPG/H.264 need the FFmpeg-backed
+    // MediaDecoder seam.)
+    def find(p: Array[Byte], s: String): Int =
+      (0 until p.length - 4).find(i => s.zipWithIndex.forall {
+        case (ch, j) => p(i + j) == ch.toByte }).get
+    val mjpg = blob.clone()
+    val strf = find(mjpg, "strf")
+    "MJPG".zipWithIndex.foreach { case (ch, j) =>
+      mjpg(strf + 8 + 16 + j) = ch.toByte } // biCompression field
+    assert(Multimodal.decodeAvi(mjpg).isEmpty)
+    // ...while the BI_RGB original still decodes (the plant is the only
+    // difference).
+    assert(Multimodal.decodeAvi(blob).nonEmpty)
   }
 
   test("hammingNearDupPairs blocks and verifies any packed-bit hash") {

@@ -516,6 +516,18 @@ class PlanBudgetSpec extends AnyFunSuite {
     // (executed: 3 shuffles, 1 reused), broadcast nested-loop pair
     // product over the |groups|-row frame, output sort.
     "q181_hll_overlap" -> 5,
+    // q182: compute-spreading repartition + ONE corpus-sized (grp,batch)
+    // register agg; everything after operates on |groups×batches×256|
+    // integer rows — the posexplode→running-max window re-key, the
+    // re-aggregation to (grp,batch), and the output sort.
+    "q182_hll_series" -> 5,
+    // q183: ONE global two-grid aggregate (no shuffle beyond its single
+    // partial→final exchange), one per-key exploded count agg + fold for
+    // the exact baseline, broadcast of the one-row grid frame.
+    "q183_cm_join_size" -> 3,
+    // q184: the q22 inverted-index pair frame (cached exploded grams →
+    // hash join → pair agg) + the ≤10-row decile roll-up and output sort.
+    "q184_similarity_spectrum" -> 4,
   )
 
 
@@ -639,6 +651,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q179_gate_ablation" -> 1,
     "q180_passage_leak" -> 1,
     "q181_hll_overlap" -> 1,
+    "q182_hll_series" -> 1,
+    // q183: sketch pass + exact-baseline pass — the honest two scans of
+    // a sketch-vs-truth audit (the naive two-DataFrame form cost 4).
+    "q183_cm_join_size" -> 2,
+    // q184: served entirely from the session-scoped exploded-gram cache
+    // its own cooccurrence frame registers (q22's machinery).
+    "q184_similarity_spectrum" -> 0,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -315,6 +315,47 @@ class SqlSurfaceSpec extends AnyFunSuite {
       assert(r.getLong(4) === r.getLong(r.fieldIndex("rs2")))
       assert(r.getLong(3) === r.getInt(r.fieldIndex("zr2")).toLong)
     }
+    // hll_series: the registers-only production series. Within each
+    // source the cumulative estimate is monotone in batch and bounds the
+    // batch's own estimate (crnk >= rnk element-wise); and the LAST
+    // batch's cumulative registers are exactly hll_cardinality's
+    // whole-corpus vector for that source — the fold-of-batches ==
+    // one-shot-aggregate identity that makes the sketch replay-safe.
+    val hs = sql.sql(
+      """SELECT grp, batch, registers_csv, cum_est_milli, batch_est_milli
+        |FROM hll_series ORDER BY grp, batch""".stripMargin).collect()
+    assert(hs.nonEmpty)
+    hs.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b)
+        case _ =>
+      }
+    }
+    hs.foreach(r => assert(r.getLong(4) <= r.getLong(3)))
+    val lastCsv = hs.groupBy(_.getString(0)).map { case (g, rows) =>
+      g -> rows.maxBy(_.getLong(1)).getString(2)
+    }
+    val fullCsv = sql.sql(
+      """SELECT grp, array_join(CAST(registers AS ARRAY<STRING>), ',')
+        |FROM hll_cardinality""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lastCsv === fullCsv)
+    // cm_join_size: the structural one-sided-error theorem must hold in
+    // the view, and the estimate is a genuine bound (> 0 on this data).
+    val cj = sql.sql(
+      """SELECT exact_rows, cm_est, never_undercounts FROM cm_join_size""")
+      .collect().head
+    assert(cj.getBoolean(2) && cj.getLong(1) >= cj.getLong(0) && cj.getLong(0) > 0)
+    // similarity_spectrum ⋈ near_dup_pairs: jac >= 0.5 ⟺ jac_ppm >=
+    // 500000 exactly (floor cannot cross the boundary: floor(s·10⁶/u) >=
+    // 5·10⁵ iff 2s >= u), so the decile >= 5 pair mass IS the near-dup
+    // pair count — two views, one truth.
+    val specPairs = sql.sql(
+      """SELECT coalesce(sum(n_pairs), 0) FROM similarity_spectrum
+        |WHERE decile >= 5""".stripMargin).collect().head.getLong(0)
+    val ndPairs = sql.sql("SELECT count(*) FROM near_dup_pairs")
+      .collect().head.getLong(0)
+    assert(specPairs === ndPairs)
     // sq8_distortion: SQ8 is near-lossless on smooth embeddings — the
     // whole view must clear its gate.
     val sq8bad = sql.sql("SELECT count(*) FROM sq8_distortion WHERE NOT sq8_ok")

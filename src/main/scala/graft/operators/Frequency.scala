@@ -339,6 +339,44 @@ object Frequency {
       .orderBy(col("grp"), col("batch"))
   }
 
+  /** EXACT per-batch vocabulary-delta series — [[hllCardinalitySeries]]'s
+    * audit companion: per (group, ingest batch), the batch's key
+    * occurrences, its distinct keys, the keys NEVER seen in an earlier
+    * batch (the marginal vocabulary that batch bought), the exact
+    * cumulative vocabulary, and the new/distinct milli ratio (a
+    * flattening ratio says ingestion is re-buying the same grams —
+    * q175's Heaps read restated per batch). Everything integer, fully
+    * replayable.
+    *
+    * Scale: first-occurrence-per-key is a vocabulary-sized shuffle —
+    * inherent to an EXACT delta (the q175 adjudication); the production
+    * path at 100 TB is the register series, with THIS as the sampled
+    * audit. The keyed stream is cached so the occurrence and
+    * first-occurrence aggregations share one input scan.
+    */
+  def exactDeltaSeries(df: DataFrame, groupCol: Column, batchCol: Column,
+      keyCol: Column, scope: CacheScope = CacheScope.session): DataFrame = {
+    val keyed = scope.cached(
+      df.select(groupCol.as("grp"), batchCol.as("batch"), keyCol.as("key"))
+        .filter(col("key").isNotNull))
+    val occ = keyed.groupBy(col("grp"), col("batch"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("key")).as("n_distinct"))
+    val firsts = keyed.groupBy(col("grp"), col("key"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("grp"), col("batch")).agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("batch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    occ.join(firsts, Seq("grp", "batch"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      // The cumulative fold runs over the |groups × batches|-row result
+      // frame, not the key stream — bounded by construction.
+      .withColumn("vocab_cum", sum(col("n_new")).over(w))
+      .withColumn("new_milli", expr("(n_new * 1000) div n_distinct"))
+      .orderBy(col("grp"), col("batch"))
+  }
+
   def hllCardinalityAudit(df: DataFrame, groupCol: Column, keyCol: Column,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"hllCardinalityAudit: need 4 <= p <= 16, got $p")

@@ -1636,6 +1636,42 @@ object TextQueries {
     ),
 
     // ----------------------------------------------------------------
+    // EXACT per-batch vocabulary delta — q182's audit companion on the
+    // SAME (source, doc_id % 3, 3-shingle) stream: occurrences, distinct
+    // grams, never-seen-before grams, exact cumulative vocabulary and
+    // the new/distinct flattening ratio per ingest batch. The exact
+    // first-occurrence pass is vocabulary-sized (the q175 adjudication:
+    // inherent to EXACT); production reads q182's registers and samples
+    // this as the audit.
+    QueryDef(
+      "q185_vocab_delta",
+      (spark, dir) =>
+        graft.operators.Frequency.exactDeltaSeries(
+          QueryDef.spreadIfNarrow(Tables.documents(spark, dir))
+            .select(col("source"), (col("doc_id") % 3).as("batch"),
+              explode(TextAnalysis.wordGrams(
+                TextAnalysis.tokens(col("text")), 3)).as("shingle")),
+          col("source"), col("batch"), col("shingle"))
+          .withColumnRenamed("grp", "source"),
+      Some("""WITH t AS (SELECT source, doc_id % 3 AS batch, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |g AS (SELECT source, batch, unnest(CASE WHEN len(l) < 3 THEN [] ELSE
+             |    list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS gram
+             |  FROM t),
+             |occ AS (SELECT source, batch, CAST(COUNT(*) AS BIGINT) AS n_occ,
+             |    CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+             |  FROM g GROUP BY 1, 2),
+             |fo AS (SELECT source, gram, MIN(batch) AS batch FROM g GROUP BY 1, 2),
+             |nw AS (SELECT source, batch, CAST(COUNT(*) AS BIGINT) AS n_new FROM fo GROUP BY 1, 2),
+             |j AS (SELECT occ.source, occ.batch, occ.n_occ, occ.n_distinct,
+             |    CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new
+             |  FROM occ LEFT JOIN nw ON occ.source = nw.source AND occ.batch = nw.batch)
+             |SELECT source, batch, n_occ, n_distinct, n_new,
+             |  CAST(SUM(n_new) OVER (PARTITION BY source ORDER BY batch) AS BIGINT) AS vocab_cum,
+             |  (n_new * 1000) // n_distinct AS new_milli
+             |FROM j ORDER BY source, batch""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
     // RAG chunking: overlapping 64-token windows at stride 48 — the
     // retrieval-index build step. Offsets, token/char counts, and the
     // 60-bit md5 chunk fingerprint (the dedupable index key) are all

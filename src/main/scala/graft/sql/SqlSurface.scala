@@ -187,6 +187,13 @@ object SqlSurface {
             TextAnalysis.tokens(col("text")), 3)).as("shingle")),
         col("source"), col("batch"), col("shingle"), p = 8)
       .createOrReplaceTempView("hll_series")
+    graft.operators.Frequency.exactDeltaSeries(
+        docs.select(col("source"), (col("doc_id") % 3).as("batch"),
+          explode(TextAnalysis.wordGrams(
+            TextAnalysis.tokens(col("text")), 3)).as("shingle")),
+        col("source"), col("batch"), col("shingle"))
+      .withColumnRenamed("grp", "source")
+      .createOrReplaceTempView("vocab_delta")
     graft.operators.Frequency.cmJoinSizeAudit(
         Tables.lineitem(spark, sfDir),
         when(col("l_returnflag") === "R", col("l_partkey")),

@@ -528,6 +528,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q184: the q22 inverted-index pair frame (cached exploded grams →
     // hash join → pair agg) + the ≤10-row decile roll-up and output sort.
     "q184_similarity_spectrum" -> 4,
+    // q185: occurrence agg + the two-stage first-occurrence-per-key agg
+    // over the cached key stream, the broadcast join of the two bounded
+    // series frames, the per-group cumulative window, output sort.
+    "q185_vocab_delta" -> 6,
   )
 
 
@@ -658,6 +662,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q184: served entirely from the session-scoped exploded-gram cache
     // its own cooccurrence frame registers (q22's machinery).
     "q184_similarity_spectrum" -> 0,
+    // q185: both aggregations read the operator's own cached key stream.
+    "q185_vocab_delta" -> 0,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -340,6 +340,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |FROM hll_cardinality""".stripMargin)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(lastCsv === fullCsv)
+    // vocab_delta ⋈ hll_cardinality: the exact series' final cumulative
+    // vocabulary IS the whole-corpus exact_distinct (same gram stream,
+    // two independent operators) — and the sketch series' last estimate
+    // already matched the one-shot registers above. Sketch and exact
+    // audit close over each other.
+    val vdLast = sql.sql(
+      """SELECT source, max_by(vocab_cum, batch) FROM vocab_delta
+        |GROUP BY source""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hcExact = sql.sql("SELECT grp, exact_distinct FROM hll_cardinality")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vdLast === hcExact)
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

@@ -199,6 +199,12 @@ object SqlSurface {
         when(col("l_returnflag") === "R", col("l_partkey")),
         when(col("l_returnflag") === "N", col("l_partkey")))
       .createOrReplaceTempView("cm_join_size")
+    graft.operators.Skew.reshardAudit(
+        Tables.lineitem(spark, sfDir),
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")),
+        oldShards = 8, newShards = 9)
+      .createOrReplaceTempView("reshard_audit")
     Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
       .createOrReplaceTempView("similarity_spectrum")
     // Round-10 curation reads: the growth/chunking/diversity family.

@@ -532,6 +532,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // over the cached key stream, the broadcast join of the two bounded
     // series frames, the per-group cumulative window, output sort.
     "q185_vocab_delta" -> 6,
+    // q186: both ring placements are per-row array_min projections — the
+    // ONLY shuffle is the one-row summary aggregate's partial→final.
+    "q186_reshard_audit" -> 1,
   )
 
 
@@ -664,6 +667,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q184_similarity_spectrum" -> 0,
     // q185: both aggregations read the operator's own cached key stream.
     "q185_vocab_delta" -> 0,
+    "q186_reshard_audit" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -352,6 +352,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val hcExact = sql.sql("SELECT grp, exact_distinct FROM hll_cardinality")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(vdLast === hcExact)
+    // reshard_audit: Karger's promise measured — mod-hash placement
+    // moves ~old/new of keys (888889 ppm for 8→9), the ring only the
+    // claimed arc (~111111 ppm); the fixture's md5 positions land within
+    // a tight band of both.
+    val ra = sql.sql(
+      """SELECT n_keys, moved_mod_ppm, moved_ring_ppm FROM reshard_audit""")
+      .collect().head
+    assert(ra.getLong(2) < ra.getLong(1))
+    assert(math.abs(ra.getLong(1) - 888889L) < 60000L, s"mod=${ra.getLong(1)}")
+    assert(math.abs(ra.getLong(2) - 111111L) < 60000L, s"ring=${ra.getLong(2)}")
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

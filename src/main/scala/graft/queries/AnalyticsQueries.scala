@@ -681,5 +681,48 @@ object AnalyticsQueries {
              |  CAST((SUM(CASE WHEN shard_old != shard_new THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS moved_ring_ppm
              |FROM j""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Placement-balance audit: the other half of q186's tradeoff. The
+    // ring moves 8x less data on reshard, but HOW UNBALANCED is it? Per
+    // placement strategy (mod, 1-vnode ring, 16-vnode ring) the exact
+    // per-shard max/mean load on the same lineitem PK population and the
+    // same md5 ring: mod 1.06x (balanced, unmovable), ring_v1 2.78x (a
+    // straggler shard ~3x the mean), ring_v16 1.52x — the Dynamo vnode
+    // argument measured. Every placement is a per-row projection; one
+    // (strategy, shard) aggregation is the only data-sized shuffle.
+    QueryDef(
+      "q187_ring_balance",
+      (spark, dir) =>
+        graft.operators.Skew.ringBalance(
+          Tables.lineitem(spark, dir),
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")),
+          shards = 9, vnodeOptions = Seq(1, 16)),
+      Some("""WITH keys AS (SELECT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS key FROM lineitem),
+             |kh AS (SELECT key, CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS h FROM keys),
+             |kd AS (SELECT DISTINCT key, h FROM kh),
+             |ring AS (SELECT v.vn AS vn, i.range AS shard,
+             |    CAST(('0x' || substr(md5('s' || i.range || ':v' || j.range), 1, 15)) AS BIGINT) AS pt
+             |  FROM (VALUES (1),(16)) v(vn), range(9) i, range(16) j WHERE j.range < v.vn),
+             |d AS (SELECT kd.key, r.vn, r.shard,
+             |    (r.pt - kd.h + 1152921504606846976) % 1152921504606846976 AS dist
+             |  FROM kd, ring r),
+             |m AS (SELECT key, vn, MIN(dist) AS md FROM d GROUP BY key, vn),
+             |a AS (SELECT d.key, 'ring_v' || d.vn AS strategy, MIN(d.shard) AS shard
+             |  FROM d JOIN m ON d.key = m.key AND d.vn = m.vn AND d.dist = m.md GROUP BY d.key, d.vn),
+             |allasg AS (
+             |  SELECT key, 'mod' AS strategy, CAST(h % 9 AS BIGINT) AS shard FROM kh
+             |  UNION ALL SELECT kh.key, a.strategy, a.shard FROM kh JOIN a ON kh.key = a.key),
+             |byshard AS (SELECT strategy, shard, COUNT(*) AS cnt FROM allasg GROUP BY strategy, shard)
+             |SELECT strategy,
+             |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |  CAST(9 AS BIGINT) AS n_shards,
+             |  CAST(COUNT(*) AS BIGINT) AS shards_used,
+             |  CAST(MAX(cnt) AS BIGINT) AS max_rows,
+             |  CAST(CASE WHEN COUNT(*) < 9 THEN 0 ELSE MIN(cnt) END AS BIGINT) AS min_rows,
+             |  CAST((MAX(cnt) * 9 * 1000000) // SUM(cnt) AS BIGINT) AS max_over_mean_ppm
+             |FROM byshard GROUP BY strategy""".stripMargin),
+    ),
   )
 }

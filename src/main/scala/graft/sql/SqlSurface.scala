@@ -205,6 +205,12 @@ object SqlSurface {
           col("l_linenumber").cast("string")),
         oldShards = 8, newShards = 9)
       .createOrReplaceTempView("reshard_audit")
+    graft.operators.Skew.ringBalance(
+        Tables.lineitem(spark, sfDir),
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")),
+        shards = 9, vnodeOptions = Seq(1, 16))
+      .createOrReplaceTempView("ring_balance")
     Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
       .createOrReplaceTempView("similarity_spectrum")
     // Round-10 curation reads: the growth/chunking/diversity family.

@@ -535,6 +535,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q186: both ring placements are per-row array_min projections — the
     // ONLY shuffle is the one-row summary aggregate's partial→final.
     "q186_reshard_audit" -> 1,
+    // q187: placements are per-row projections; the (strategy, shard)
+    // aggregation is the only data-sized shuffle, the per-strategy
+    // roll-up above it works on a |strategies×shards| frame.
+    "q187_ring_balance" -> 2,
   )
 
 
@@ -668,6 +672,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q185: both aggregations read the operator's own cached key stream.
     "q185_vocab_delta" -> 0,
     "q186_reshard_audit" -> 1,
+    "q187_ring_balance" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

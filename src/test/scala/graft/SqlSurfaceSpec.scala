@@ -362,6 +362,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ra.getLong(2) < ra.getLong(1))
     assert(math.abs(ra.getLong(1) - 888889L) < 60000L, s"mod=${ra.getLong(1)}")
     assert(math.abs(ra.getLong(2) - 111111L) < 60000L, s"ring=${ra.getLong(2)}")
+    // ring_balance: the tradeoff's other half — mod balances best, a
+    // 1-vnode ring worst, 16 vnodes in between; every strategy places
+    // every row (n_rows equal across strategies).
+    val rb = sql.sql(
+      """SELECT strategy, n_rows, max_over_mean_ppm FROM ring_balance""")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rb.keySet === Set("mod", "ring_v1", "ring_v16"))
+    assert(rb.values.map(_._1).toSet.size === 1)
+    assert(rb("mod")._2 < rb("ring_v16")._2)
+    assert(rb("ring_v16")._2 < rb("ring_v1")._2)
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

@@ -338,4 +338,80 @@ object Stats {
         explode(array(pairStructs: _*)).as("p"))
       .select(col("p.var_a"), col("p.var_b"), col("n"), col("p.corr_micro"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * per-row integer quality signals into one robust score: each row's
+    * EXACT corpus-wide competition rank per signal (SQL `rank()`
+    * descending — 1 = best, ties share the min rank), fused as
+    * Σ_signals ⌊10⁹ / (k + rank)⌋. Rank fusion is the standard answer to
+    * "combine quality signals whose scales can't be calibrated against
+    * each other" (and hybrid lexical+vector retrieval): a signal only
+    * contributes ORDER, so a miscalibrated scorer can't dominate by
+    * magnitude, and k damps rank-1 outliers.
+    *
+    * The scale problem is the ranks: rank() over a 100 TB corpus is an
+    * unpartitioned global sort. This rides the banded two-phase prefix
+    * sum instead ([[orderStatsPermille]]'s discipline): per signal,
+    * rank(v) = n − c(v) + 1 where c(v) is the inclusive cumulative count
+    * of values ≤ v — computed from the (sig, v) distinct-value frame with
+    * band-local window sums plus a bounded #bands-per-signal offsets
+    * fold; ranks join back to rows on (sig, v). No corpus-sized frame is
+    * ever globally sorted or single-partitioned; the band join keeps the
+    * `<=>` discipline (see orderStatsPermille's comment).
+    *
+    * `signals` are (name, column, bandWidth): values must be
+    * non-negative exact integers (the suite's fixed-point discipline —
+    * ppm/milli encode ratios); bandWidth bounds #bands ≈ max_v/width per
+    * signal. Rows where a signal is null skip that signal (its rank_
+    * column is null, the fusion sums the rest) — documented fail-open.
+    * Output: (id, rank_&lt;name&gt;..., rrf_nano).
+    */
+  def rrfFusion(df: DataFrame, idCol: Column,
+      signals: Seq[(String, Column, Long)], k: Int = 60,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    require(signals.nonEmpty, "rrfFusion: need at least one signal")
+    require(signals.forall(_._3 > 0), "rrfFusion: bandWidths must be > 0")
+    require(k >= 0, s"rrfFusion: k must be >= 0, got $k")
+    // Melt to one (id, sig, v) stream — cached: the distinct-value rank
+    // frame AND the rank join both read it.
+    val melted = scope.cached(
+      df.select(idCol.as("id"),
+          explode(array(signals.map { case (n, c, _) =>
+            struct(lit(n).as("sig"), c.cast("long").as("v")) }: _*)).as("s"))
+        .select(col("id"), col("s.sig").as("sig"), col("s.v").as("v"))
+        .filter(col("v").isNotNull))
+    val bandW = signals.tail.foldLeft(
+        when(col("sig") === signals.head._1, lit(signals.head._3))) {
+      case (acc, (n, _, w)) => acc.when(col("sig") === n, lit(w))
+    }
+    val byV = melted.groupBy(col("sig"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("band", floor(col("v") / bandW))
+    val wLocal = Window.partitionBy(col("sig"), col("band")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = byV.withColumn("lc", sum(col("cnt")).over(wLocal))
+    val wBand = Window.partitionBy(col("sig")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byV.groupBy(col("sig"), col("band"))
+      .agg(sum(col("cnt")).as("t"))
+      .select(col("sig"), col("band"),
+        coalesce(sum(col("t")).over(wBand), lit(0L)).as("off"))
+    val n = byV.groupBy(col("sig")).agg(sum(col("cnt")).as("n"))
+    // Both join sides are bounded (see orderStatsPermille's comment on
+    // why the estimator can't see that): broadcast explicitly.
+    val ranks = local.join(
+        broadcast(offsets.withColumnRenamed("sig", "sig_o")
+          .withColumnRenamed("band", "band_o")),
+        col("sig") === col("sig_o") && col("band") <=> col("band_o"))
+      .join(broadcast(n), Seq("sig"))
+      .select(col("sig"), col("v"),
+        (col("n") - (col("off") + col("lc")) + lit(1L)).as("rnk"))
+    val perSig = signals.map { case (nm, _, _) =>
+      max(when(col("sig") === nm, col("rnk"))).as(s"rank_$nm") }
+    val fused = sum(expr(s"1000000000 div (${k.toLong} + rnk)")).as("rrf_nano")
+    melted.join(ranks, Seq("sig", "v"))
+      .groupBy(col("id"))
+      .agg(perSig.head, (perSig.tail :+ fused): _*)
+  }
 }

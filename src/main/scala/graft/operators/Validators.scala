@@ -49,4 +49,47 @@ object Validators {
     FlattenInvariants(ordersIn, row.getLong(0), itemsCount, row.getLong(1),
       row.getLong(2), row.getLong(3))
   }
+
+  /** Functional-dependency audit — the verification half of FD profiling
+    * (cf. Papenbrock et al., VLDB 2015's discovery suites; a warehouse
+    * runs this side continuously): for each candidate `lhs -> rhs` pair,
+    * the EXACT number of lhs groups carrying more than one distinct rhs.
+    * The read that catches silently-denormalized dimensions ("order ->
+    * customer should hold; 3k orders now map to 2 customers each"),
+    * validates merge keys before a MERGE, and prices whether a column is
+    * safe to drop into a dimension table.
+    *
+    * Scale shape: ONE cached projection of exactly the audited columns
+    * feeds every pair; each pair is a two-phase (lhs, countDistinct rhs)
+    * aggregation — map-side partials shrink each shuffle to its distinct
+    * lhs population, and the per-pair summaries are one-row frames
+    * unioned driver-free. Distinct-key work never leaves its pair's
+    * shuffle; nothing is collected.
+    *
+    * Null semantics (documented, matching ANSI COUNT(DISTINCT)): a NULL
+    * lhs forms its own group; NULL rhs values don't count toward a
+    * group's cardinality, so an all-null-rhs group has cardinality 0 and
+    * cannot violate. `viol_ppm` is exact fixed-point (BIGINT ppm).
+    */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)],
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    require(pairs.nonEmpty, "fdAudit: need at least one (lhs, rhs) pair")
+    val needed = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(col)
+    val src = scope.cached(df.select(needed: _*))
+    val perPair = pairs.map { case (l, r) =>
+      src.groupBy(col(l))
+        .agg(countDistinct(col(r)).as("c"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("violating_groups"),
+          max(col("c")).as("max_rhs_card"))
+        .select(lit(l).as("lhs"), lit(r).as("rhs"), col("n_groups"),
+          col("violating_groups"), col("max_rhs_card"))
+    }
+    perPair.reduce(_ union _)
+      .select(col("lhs"), col("rhs"), col("n_groups"),
+        col("violating_groups"), col("max_rhs_card"),
+        (col("violating_groups") === 0L).as("holds"),
+        expr("(violating_groups * 1000000) div n_groups").as("viol_ppm"))
+  }
 }

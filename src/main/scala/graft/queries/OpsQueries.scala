@@ -785,5 +785,42 @@ object OpsQueries {
              |GROUP BY d.source, os_q.n, os_q.p250_x1000
              |ORDER BY d.source""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Functional-dependency audit: exact violation counts for candidate
+    // lhs -> rhs dependencies — the profiling read that catches a
+    // silently-denormalized dimension before a MERGE keys on it. On
+    // orders: o_orderkey -> o_custkey HOLDS (clean PK), o_custkey ->
+    // o_orderstatus is fully violated (every customer has mixed
+    // statuses), o_orderdate -> o_orderpriority violates on ~25% of
+    // dates. One cached 4-column projection feeds all three pairs.
+    QueryDef(
+      "q189_fd_audit",
+      (spark, dir) =>
+        graft.operators.Validators.fdAudit(
+          Tables.orders(spark, dir),
+          Seq(
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderdate", "o_orderpriority"))),
+      Some("""WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_orderpriority FROM orders),
+             |p1 AS (SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs, COUNT(*) AS n_groups,
+             |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+             |    CAST(MAX(c) AS BIGINT) AS max_rhs_card
+             |  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS c FROM src GROUP BY o_orderkey)),
+             |p2 AS (SELECT 'o_custkey', 'o_orderstatus', COUNT(*),
+             |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(MAX(c) AS BIGINT)
+             |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderstatus) AS c FROM src GROUP BY o_custkey)),
+             |p3 AS (SELECT 'o_orderdate', 'o_orderpriority', COUNT(*),
+             |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(MAX(c) AS BIGINT)
+             |  FROM (SELECT o_orderdate, COUNT(DISTINCT o_orderpriority) AS c FROM src GROUP BY o_orderdate)),
+             |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+             |SELECT lhs, rhs, CAST(n_groups AS BIGINT) AS n_groups, violating_groups, max_rhs_card,
+             |  violating_groups = 0 AS holds,
+             |  CAST((violating_groups * 1000000) // n_groups AS BIGINT) AS viol_ppm
+             |FROM u""".stripMargin),
+    ),
   )
 }

@@ -1861,6 +1861,58 @@ object TextQueries {
              |  (n_only_fail * 1000000) // n_docs AS marginal_ppm
              |FROM melt ORDER BY rule""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Reciprocal-rank fusion of quality signals: each doc's EXACT
+    // corpus-wide competition rank per signal (chars, distinct-token
+    // ppm, mean-token-length milli), fused as Σ ⌊10⁹/(60+rank)⌋ — the
+    // scale-free way to combine scorers whose magnitudes can't be
+    // calibrated against each other (and the standard hybrid-retrieval
+    // fusion). The ranks are the scale problem: rank() over a corpus is
+    // a global sort; this rides the banded two-phase prefix sum instead
+    // (no corpus-sized frame is ever single-partitioned or globally
+    // sorted), ranks joining back to docs on (signal, value).
+    QueryDef(
+      "q188_rrf_fusion",
+      (spark, dir) => {
+        val toks = graft.operators.TextAnalysis.tokens(col("text"))
+        // exact non-negative integer division (a − a mod b)/b: the
+        // quotient is an exact integer-valued double < 2^53, so the
+        // cast is lossless — fixed-point signal values, never a float
+        // ratio feeding a rank
+        def idiv(a: Column, b: Column): Column =
+          ((a - pmod(a, b)) / b).cast("long")
+        graft.operators.Stats.rrfFusion(
+          Tables.documents(spark, dir),
+          col("doc_id"),
+          Seq(
+            ("chars", col("n_chars").cast("long"), 64L),
+            ("distinct_ppm",
+              idiv(size(array_distinct(toks)).cast("long") * 1000000L,
+                size(toks).cast("long")), 16384L),
+            ("toklen_milli",
+              idiv(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) *
+                1000L, size(toks).cast("long")), 256L)),
+          k = 60)
+      },
+      Some("""WITH t AS (SELECT doc_id, n_chars, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+             |sig AS (SELECT doc_id,
+             |    CAST(n_chars AS BIGINT) AS chars,
+             |    CAST(len(list_distinct(l)) * 1000000 // len(l) AS BIGINT) AS distinct_ppm,
+             |    CAST(list_sum(list_transform(l, x -> length(x))) * 1000 // len(l) AS BIGINT) AS toklen_milli
+             |  FROM t),
+             |m AS (
+             |  SELECT doc_id, 'chars' AS sig, chars AS v FROM sig
+             |  UNION ALL SELECT doc_id, 'distinct_ppm', distinct_ppm FROM sig
+             |  UNION ALL SELECT doc_id, 'toklen_milli', toklen_milli FROM sig),
+             |r AS (SELECT doc_id, sig, CAST(rank() OVER (PARTITION BY sig ORDER BY v DESC) AS BIGINT) AS rnk FROM m)
+             |SELECT doc_id AS id,
+             |  MAX(CASE WHEN sig = 'chars' THEN rnk END) AS rank_chars,
+             |  MAX(CASE WHEN sig = 'distinct_ppm' THEN rnk END) AS rank_distinct_ppm,
+             |  MAX(CASE WHEN sig = 'toklen_milli' THEN rnk END) AS rank_toklen_milli,
+             |  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_nano
+             |FROM r GROUP BY doc_id""".stripMargin),
+    ),
   )
 
   /** Iterative-BPE training chain (shared CTE prefix): w0 is the padded

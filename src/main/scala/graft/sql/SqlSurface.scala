@@ -211,6 +211,28 @@ object SqlSurface {
           col("l_linenumber").cast("string")),
         shards = 9, vnodeOptions = Seq(1, 16))
       .createOrReplaceTempView("ring_balance")
+    locally {
+      val toks = TextAnalysis.tokens(col("text"))
+      def idiv(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        ((a - pmod(a, b)) / b).cast("long")
+      Stats.rrfFusion(docs, col("doc_id"),
+          Seq(("chars", col("n_chars").cast("long"), 64L),
+            ("distinct_ppm",
+              idiv(size(array_distinct(toks)).cast("long") * 1000000L,
+                size(toks).cast("long")), 16384L),
+            ("toklen_milli",
+              idiv(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) *
+                1000L, size(toks).cast("long")), 256L)),
+          k = 60)
+        .createOrReplaceTempView("rrf_fusion")
+    }
+    graft.operators.Validators.fdAudit(
+        Tables.orders(spark, sfDir),
+        Seq(("o_orderkey", "o_custkey"),
+          ("o_custkey", "o_orderstatus"),
+          ("o_orderdate", "o_orderpriority")))
+      .createOrReplaceTempView("fd_audit")
     Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
       .createOrReplaceTempView("similarity_spectrum")
     // Round-10 curation reads: the growth/chunking/diversity family.

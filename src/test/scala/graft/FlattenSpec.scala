@@ -63,4 +63,22 @@ class FlattenSpec extends AnyFunSuite {
       .select(Flatten.jsonify(col("line_items")).as("j")).head().getString(0)
     assert(j === """[{"product_id":"p1","quantity":1},{"product_id":"p2","quantity":2},{"product_id":"p3","quantity":3}]""")
   }
+
+  test("fdAudit: exact violation counts, null lhs groups, null rhs skipped") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "x", Some("p")), (Some(1L), "x", Some("q")),
+      (Some(2L), "y", Some("r")), (None, "z", Some("r")),
+      (Some(2L), "y", None))
+      .toDF("a", "b", "c")
+    val out = Validators.fdAudit(df, Seq(("a", "b"), ("a", "c")))
+      .orderBy("rhs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    assert(out === Array(
+      // a -> b holds across all three groups (the NULL lhs is a group)
+      ("a", "b", 3L, 0L, 1L, true, 0L),
+      // a -> c: group 1 carries {p,q}; group 2's NULL rhs doesn't count
+      ("a", "c", 3L, 1L, 2L, false, 333333L)))
+  }
 }

@@ -539,6 +539,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     // aggregation is the only data-sized shuffle, the per-strategy
     // roll-up above it works on a |strategies×shards| frame.
     "q187_ring_balance" -> 2,
+    // q188: exact corpus ranks without a global sort — byV agg, the
+    // (sig,band) local window, the bounded offsets agg + #bands window,
+    // the per-sig totals, the (sig,v) rank join (both sides), final
+    // per-id fusion agg; every one keyed, none single-partition.
+    "q188_rrf_fusion" -> 8,
+    // q189: 3 FD pairs × (two-phase countDistinct + one-row summary)
+    // over one cached 4-column projection.
+    "q189_fd_audit" -> 9,
   )
 
 
@@ -673,6 +681,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q185_vocab_delta" -> 0,
     "q186_reshard_audit" -> 1,
     "q187_ring_balance" -> 1,
+    // q188/q189: every branch reads the operator's own cached stream.
+    "q188_rrf_fusion" -> 0,
+    "q189_fd_audit" -> 0,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -373,6 +373,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rb.values.map(_._1).toSet.size === 1)
     assert(rb("mod")._2 < rb("ring_v16")._2)
     assert(rb("ring_v16")._2 < rb("ring_v1")._2)
+    // rrf_fusion: the fused score must be EXACTLY the fold of its own
+    // rank columns (both are exact integers — the view is self-auditing),
+    // some doc holds rank 1 per signal, and ranks never exceed the corpus.
+    val rrf = sql.sql(
+      """SELECT rank_chars, rank_distinct_ppm, rank_toklen_milli, rrf_nano
+        |FROM rrf_fusion""".stripMargin).collect()
+    val nDocs = rrf.length.toLong
+    assert(nDocs > 0)
+    rrf.foreach { r =>
+      val ranks = Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(ranks.forall(rk => rk >= 1 && rk <= nDocs))
+      assert(r.getLong(3) === ranks.map(rk => 1000000000L / (60L + rk)).sum)
+    }
+    assert(Seq(0, 1, 2).forall(i => rrf.exists(_.getLong(i) === 1L)))
+    // fd_audit: the PK dependency holds, the denormalized ones don't,
+    // and `holds` is definitionally violating_groups == 0.
+    val fd = sql.sql(
+      """SELECT lhs, violating_groups, holds FROM fd_audit""").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(fd("o_orderkey") === ((0L, true)))
+    assert(fd("o_custkey")._1 > 0 && !fd("o_custkey")._2)
+    assert(fd.values.forall { case (v, h) => h === (v == 0L) })
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

@@ -102,4 +102,32 @@ class StatsSpec extends AnyFunSuite {
       col("g"), col("v"), 10L).collect()
     assert(z.length === 1 && z.head.isNullAt(3))
   }
+
+  test("rrfFusion: hand-computed competition ranks, ties, nulls, band-width invariance") {
+    import spark.implicits._
+    // sigA desc ranks: 10,10 -> 1 (tie shares min), 5 -> 3, 1 -> 4,
+    // null -> skipped; sigB desc ranks over [4,3,2,1,0]: plain 1..5.
+    val df = Seq(
+      (1L, Some(10L), 1L), (2L, Some(10L), 2L), (3L, Some(5L), 3L),
+      (4L, Some(1L), 4L), (5L, None, 0L))
+      .toDF("id", "a", "b")
+    def nano(rk: Long) = 1000000000L / (60L + rk)
+    def run(bw: Long) = Stats.rrfFusion(df, col("id"),
+        Seq(("a", col("a"), bw), ("b", col("b"), bw)), k = 60)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val out = run(7L)
+    assert(out === Array(
+      (1L, 1L, 4L, nano(1) + nano(4)),
+      (2L, 1L, 3L, nano(1) + nano(3)),
+      (3L, 3L, 2L, nano(3) + nano(2)),
+      (4L, 4L, 1L, nano(4) + nano(1)),
+      // the null signal is skipped: rank_a null, fusion sums the rest
+      (5L, -1L, 5L, nano(5))))
+    // banding is an implementation detail — any width, same exact ranks
+    assert(run(1L) === out)
+    assert(run(1000000L) === out)
+  }
 }

@@ -398,4 +398,64 @@ object Sampling {
           .as("effective_cats_milli"))
       .orderBy(col("grp"))
   }
+
+  /** Purged temporal-split audit (the purging/embargo discipline of
+    * López de Prado, *Advances in Financial Machine Learning* 2018,
+    * ch. 7 — general to any time-split ML corpus): a train/eval split at
+    * time T leaks through entity RECENCY even when no row crosses the
+    * boundary, because features aggregated from an entity's train rows
+    * just before T are near-duplicates of that entity's eval behavior
+    * just after. The fixes are purging (drop train rows inside the
+    * embargo window [T−g, T)) and knowing how much eval is exposed.
+    * This audit measures both, exactly, on the actual stream:
+    * `n_embargo_train` (rows purging would drop, with `purged_ppm` of
+    * train) and `n_eval_leaky` (eval rows whose key was active in the
+    * embargo window, with `leaky_ppm` of eval) — the number that decides
+    * whether a time-split benchmark is measuring generalization or
+    * memory. Complements the content-based leak audits (q148/q180 text
+    * contamination, q149 cluster splits): same question, temporal axis.
+    *
+    * Scale shape: ONE cached (ts, key) projection feeds everything; the
+    * embargo key set is a keyed distinct (bounded by entities active in
+    * g hours, not the corpus) and the exposure count is a LEFT SEMI join
+    * on the key — shuffle-keyed, AQE free to broadcast the window-sized
+    * side; the remaining counts ride one aggregation with map-side
+    * partials. Nothing is collected; ppm guards divide-by-zero (an
+    * empty side reports null, not a crash).
+    *
+    * `boundary` must be a literal `yyyy-MM-dd HH:mm:ss` timestamp — it
+    * is spliced into a `timestamp'...'` literal on both engines.
+    */
+  def purgedSplitAudit(df: DataFrame, tsCol: Column, keyCol: Column,
+      boundary: String, embargoHours: Int,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    require(embargoHours > 0,
+      s"purgedSplitAudit: embargoHours must be > 0, got $embargoHours")
+    require(boundary.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""),
+      s"purgedSplitAudit: boundary must be 'yyyy-MM-dd HH:mm:ss', got $boundary")
+    val b = expr(s"timestamp'$boundary'")
+    val lo = expr(s"timestamp'$boundary' - INTERVAL $embargoHours HOURS")
+    val ev = scope.cached(df.select(tsCol.as("ts"), keyCol.as("k"))
+      .filter(col("ts").isNotNull))
+    val embKeys = ev.filter(col("ts") >= lo && col("ts") < b)
+      .select(col("k")).distinct()
+    val leaky = ev.filter(col("ts") >= b)
+      .join(embKeys, Seq("k"), "left_semi")
+      .agg(count(lit(1)).as("n_eval_leaky"))
+    val keys = embKeys.agg(count(lit(1)).as("n_embargo_keys"))
+    ev.agg(
+        sum(when(col("ts") < b, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("ts") >= b, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("ts") >= lo && col("ts") < b, 1L).otherwise(0L))
+          .as("n_embargo_train"))
+      .crossJoin(broadcast(keys))
+      .crossJoin(broadcast(leaky))
+      .select(col("n_train"), col("n_eval"), col("n_embargo_train"),
+        col("n_embargo_keys"), col("n_eval_leaky"),
+        when(col("n_eval") > 0,
+          expr("(n_eval_leaky * 1000000) div n_eval")).as("leaky_ppm"),
+        when(col("n_train") > 0,
+          expr("(n_embargo_train * 1000000) div n_train")).as("purged_ppm"))
+  }
 }

@@ -271,5 +271,67 @@ object TimeSeriesQueries {
              |    / CAST(n AS DOUBLE), 6) AS intercept
              |FROM fit ORDER BY event_type""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Purged temporal-split audit (de Prado's purging/embargo): a time
+    // split at T leaks through entity recency — eval rows whose user was
+    // active in the 6h embargo window before T are near-duplicates of
+    // that user's boundary-adjacent train behavior. Exact counts of the
+    // train rows purging would drop and the eval rows exposed (measured:
+    // ~38-42% of eval here — a time-split benchmark on this stream is
+    // mostly measuring memory). The temporal axis of the q148/q180/q149
+    // contamination family.
+    QueryDef(
+      "q190_purged_split",
+      (spark, dir) =>
+        graft.operators.Sampling.purgedSplitAudit(
+          Tables.events(spark, dir), col("ts"), col("user_id"),
+          boundary = "2024-01-22 00:00:00", embargoHours = 6),
+      Some("""WITH ev AS (SELECT ts, user_id AS k FROM events WHERE ts IS NOT NULL),
+             |agg AS (SELECT
+             |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+             |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' - INTERVAL 6 HOUR
+             |      AND ts < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo_train
+             |  FROM ev),
+             |eu AS (SELECT DISTINCT k FROM ev
+             |  WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' - INTERVAL 6 HOUR
+             |    AND ts < TIMESTAMP '2024-01-22 00:00:00'),
+             |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_embargo_keys FROM eu),
+             |lk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_leaky FROM ev
+             |  WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' AND k IN (SELECT k FROM eu))
+             |SELECT agg.n_train, agg.n_eval, agg.n_embargo_train, nu.n_embargo_keys, lk.n_eval_leaky,
+             |  CASE WHEN agg.n_eval > 0 THEN CAST((lk.n_eval_leaky * 1000000) // agg.n_eval AS BIGINT) END AS leaky_ppm,
+             |  CASE WHEN agg.n_train > 0 THEN CAST((agg.n_embargo_train * 1000000) // agg.n_train AS BIGINT) END AS purged_ppm
+             |FROM agg, nu, lk""".stripMargin),
+    ),
+
+    // ----------------------------------------------------------------
+    // Point-in-time-correct feature snapshot at q190's boundary: per
+    // user, training features computed ONLY from rows before T —
+    // leakage-free by construction (the feature-store contract). All
+    // exact integers (µs integer division for ages, powers-of-two
+    // recency decay, micro-unit value sums) so a backfill replays
+    // identically on any engine. One filtered scan, one per-entity agg.
+    QueryDef(
+      "q191_pit_features",
+      (spark, dir) =>
+        graft.operators.TimeSeries.pointInTimeFeatures(
+          Tables.events(spark, dir), col("ts"), col("user_id"),
+          col("value"), col("event_type"),
+          boundary = "2024-01-22 00:00:00", maxAgeDays = 29),
+      Some("""WITH ev AS (SELECT ts, user_id AS k, event_type, value FROM events
+             |    WHERE ts IS NOT NULL AND ts < TIMESTAMP '2024-01-22 00:00:00'),
+             |b AS (SELECT epoch_us(TIMESTAMP '2024-01-22 00:00:00') AS bus)
+             |SELECT k,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(((SELECT bus FROM b) - MAX(epoch_us(ts))) // 60000000 AS BIGINT) AS last_age_min,
+             |  CAST(SUM(CASE WHEN ((SELECT bus FROM b) - epoch_us(ts)) // 86400000000 <= 29
+             |    THEN 1 << (29 - CAST(((SELECT bus FROM b) - epoch_us(ts)) // 86400000000 AS INT))
+             |    ELSE 0 END) AS BIGINT) AS recency_weight,
+             |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+             |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS value_sum_micro
+             |FROM ev GROUP BY k""".stripMargin),
+    ),
   )
 }

@@ -233,6 +233,10 @@ object SqlSurface {
           ("o_custkey", "o_orderstatus"),
           ("o_orderdate", "o_orderpriority")))
       .createOrReplaceTempView("fd_audit")
+    Sampling.purgedSplitAudit(
+        Tables.events(spark, sfDir), col("ts"), col("user_id"),
+        boundary = "2024-01-22 00:00:00", embargoHours = 6)
+      .createOrReplaceTempView("purged_split")
     Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
       .createOrReplaceTempView("similarity_spectrum")
     // Round-10 curation reads: the growth/chunking/diversity family.

@@ -547,6 +547,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q189: 3 FD pairs × (two-phase countDistinct + one-row summary)
     // over one cached 4-column projection.
     "q189_fd_audit" -> 9,
+    // q190: embargo-key distinct, the eval-side semi join, the two
+    // one-row summary aggs — all keyed, off one cached projection.
+    "q190_purged_split" -> 5,
   )
 
 
@@ -681,9 +684,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q185_vocab_delta" -> 0,
     "q186_reshard_audit" -> 1,
     "q187_ring_balance" -> 1,
-    // q188/q189: every branch reads the operator's own cached stream.
+    // q188/q189/q190: every branch reads the operator's own cached stream.
     "q188_rrf_fusion" -> 0,
     "q189_fd_audit" -> 0,
+    "q190_purged_split" -> 0,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

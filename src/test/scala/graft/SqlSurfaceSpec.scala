@@ -395,6 +395,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fd("o_orderkey") === ((0L, true)))
     assert(fd("o_custkey")._1 > 0 && !fd("o_custkey")._2)
     assert(fd.values.forall { case (v, h) => h === (v == 0L) })
+    // purged_split: structural invariants — embargoed train rows are a
+    // subset of train, leaky eval a subset of eval, and an entity active
+    // in the embargo window exists iff some eval row leaks on this
+    // fixture (the stream has continuous per-user activity).
+    val ps = sql.sql(
+      """SELECT n_train, n_eval, n_embargo_train, n_embargo_keys,
+        |  n_eval_leaky FROM purged_split""".stripMargin).collect().head
+    assert(ps.getLong(2) >= 0 && ps.getLong(2) <= ps.getLong(0))
+    assert(ps.getLong(4) >= 0 && ps.getLong(4) <= ps.getLong(1))
+    assert((ps.getLong(3) > 0) === (ps.getLong(4) > 0))
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

@@ -283,4 +283,58 @@ object TimeSeries {
           col("_slope_raw") * (col("sx").cast(DoubleType) / lit(unitsPerX.toDouble))) /
           col("n").cast(DoubleType), 6).as("intercept"))
   }
+
+  /** Point-in-time-correct feature snapshot (the feature-store
+    * correctness contract, cf. the "time travel" requirement in the
+    * public feature-store literature: a training row's features may use
+    * ONLY what was known at its timestamp): per entity, features AS OF a
+    * boundary T computed exclusively from rows with ts &lt; T — leakage-
+    * free by construction, the producer the [[Sampling.purgedSplitAudit]]
+    * consumer assumes. Features: event count, minutes since last event,
+    * a recency-decayed activity weight, distinct event types, and the
+    * exact micro-unit value sum.
+    *
+    * Everything is EXACT integers so a backfill replays identically:
+    * ages ride `unix_micros` integer division; the decay is a sum of
+    * powers of two (weight 2^(29−age_days) for events ≤ 29 days old,
+    * 0 beyond — a half-life of exactly one day) so the fold is an
+    * integer in [0, n·2^29], never a float exp whose summation order
+    * could drift between engines or retries.
+    *
+    * Scale shape: ONE filtered scan, ONE per-entity aggregation (the
+    * countDistinct adds its standard two-phase expand) — map-side
+    * partials everywhere, no window, no join; exactly the keyed-groupBy
+    * cost a 100 TB backfill can afford.
+    */
+  def pointInTimeFeatures(df: DataFrame, tsCol: Column, keyCol: Column,
+      valueCol: Column, typeCol: Column, boundary: String,
+      maxAgeDays: Int = 29): DataFrame = {
+    require(boundary.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""),
+      s"pointInTimeFeatures: boundary must be 'yyyy-MM-dd HH:mm:ss', got $boundary")
+    require(maxAgeDays >= 0 && maxAgeDays <= 60,
+      s"pointInTimeFeatures: maxAgeDays must be in [0, 60] (the weight " +
+        s"2^maxAgeDays must stay far from BIGINT overflow), got $maxAgeDays")
+    val b = expr(s"timestamp'$boundary'")
+    val bUs = unix_micros(b)
+    // exact non-negative integer division (a − a mod m)/m: the quotient
+    // is an exact integer-valued double < 2^53 (ages are bounded), so
+    // the cast is lossless — never a float ratio under the hash
+    def idiv(a: Column, m: Long): Column =
+      ((a - pmod(a, lit(m))) / lit(m)).cast("long")
+    val ev = df
+      .select(tsCol.as("ts"), keyCol.as("k"), valueCol.as("v"),
+        typeCol.as("t"))
+      .filter(col("ts").isNotNull && col("ts") < b)
+      .withColumn("age_days", idiv(bUs - unix_micros(col("ts")), 86400000000L))
+    ev.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        idiv(bUs - max(unix_micros(col("ts"))), 60000000L)
+          .as("last_age_min"),
+        sum(when(col("age_days") <= maxAgeDays,
+          expr(s"shiftleft(1L, ${maxAgeDays} - age_days)"))
+          .otherwise(0L)).as("recency_weight"),
+        countDistinct(col("t")).as("n_event_types"),
+        sum((col("v").cast(DecimalType(18, 6)) * lit(1000000)).cast("long"))
+          .as("value_sum_micro"))
+  }
 }

@@ -237,6 +237,11 @@ object SqlSurface {
         Tables.events(spark, sfDir), col("ts"), col("user_id"),
         boundary = "2024-01-22 00:00:00", embargoHours = 6)
       .createOrReplaceTempView("purged_split")
+    graft.operators.TimeSeries.pointInTimeFeatures(
+        Tables.events(spark, sfDir), col("ts"), col("user_id"),
+        col("value"), col("event_type"),
+        boundary = "2024-01-22 00:00:00", maxAgeDays = 29)
+      .createOrReplaceTempView("pit_features")
     Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
       .createOrReplaceTempView("similarity_spectrum")
     // Round-10 curation reads: the growth/chunking/diversity family.

@@ -550,6 +550,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q190: embargo-key distinct, the eval-side semi join, the two
     // one-row summary aggs — all keyed, off one cached projection.
     "q190_purged_split" -> 5,
+    // q191: one per-entity aggregation; the countDistinct's standard
+    // two-phase expand is the second exchange.
+    "q191_pit_features" -> 2,
   )
 
 
@@ -688,6 +691,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q188_rrf_fusion" -> 0,
     "q189_fd_audit" -> 0,
     "q190_purged_split" -> 0,
+    "q191_pit_features" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -405,6 +405,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ps.getLong(2) >= 0 && ps.getLong(2) <= ps.getLong(0))
     assert(ps.getLong(4) >= 0 && ps.getLong(4) <= ps.getLong(1))
     assert((ps.getLong(3) > 0) === (ps.getLong(4) > 0))
+    // pit_features: point-in-time correctness cross-checked against the
+    // split audit it feeds — Σ n_events over entities must equal the
+    // audit's n_train exactly (same boundary, same null-ts filter), and
+    // the decay weight is bounded by n_events·2^29.
+    val pit = sql.sql(
+      """SELECT n_events, last_age_min, recency_weight FROM pit_features""")
+      .collect()
+    assert(pit.map(_.getLong(0)).sum === ps.getLong(0))
+    pit.foreach { r =>
+      assert(r.getLong(1) >= 0)
+      assert(r.getLong(2) >= 0 &&
+        r.getLong(2) <= r.getLong(0) * (1L << 29))
+    }
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

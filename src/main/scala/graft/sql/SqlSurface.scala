@@ -242,6 +242,8 @@ object SqlSurface {
         col("value"), col("event_type"),
         boundary = "2024-01-22 00:00:00", maxAgeDays = 29)
       .createOrReplaceTempView("pit_features")
+    Stats.benfordAudit(Tables.orders(spark, sfDir), col("o_totalprice"))
+      .createOrReplaceTempView("benford_audit")
     Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
       .createOrReplaceTempView("similarity_spectrum")
     // Round-10 curation reads: the growth/chunking/diversity family.

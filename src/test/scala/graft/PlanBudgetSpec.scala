@@ -553,6 +553,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q191: one per-entity aggregation; the countDistinct's standard
     // two-phase expand is the second exchange.
     "q191_pit_features" -> 2,
+    // q192: the <=9-group digit aggregation + the constant-key window
+    // over the 9-row joined frame (bounded by construction).
+    "q192_benford" -> 2,
   )
 
 
@@ -692,6 +695,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q189_fd_audit" -> 0,
     "q190_purged_split" -> 0,
     "q191_pit_features" -> 1,
+    "q192_benford" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -418,6 +418,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       assert(r.getLong(2) >= 0 &&
         r.getLong(2) <= r.getLong(0) * (1L << 29))
     }
+    // benford_audit: all 9 digits always present, counts conserve the
+    // total, and the synthetic uniform prices must read NON-Benford
+    // (max deviation far beyond organic noise).
+    val bf = sql.sql(
+      """SELECT digit, n, n_rows, abs_dev_ppm FROM benford_audit""")
+      .collect()
+    assert(bf.map(_.getLong(0)).sorted === (1L to 9L).toArray)
+    assert(bf.map(_.getLong(1)).sum === bf.head.getLong(2))
+    assert(bf.map(_.getLong(3)).max > 50000L)
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

@@ -130,4 +130,22 @@ class StatsSpec extends AnyFunSuite {
     assert(run(1L) === out)
     assert(run(1000000L) === out)
   }
+
+  test("benfordAudit: hand-counted digits, zero-mass digits emitted, non-positives dropped") {
+    import spark.implicits._
+    // amounts -> cents -> first digit: 1.00->1, 19.99->1, 2.50->2,
+    // 0.31->3, 999.99->9; zero/negative/null excluded.
+    val df = Seq(Some(1.00), Some(19.99), Some(2.50), Some(0.31),
+      Some(999.99), Some(0.0), Some(-5.0), None).toDF("amt")
+    val out = Stats.benfordAudit(df, col("amt")).orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1) === (1L to 9L).toArray)
+    assert(out.forall(_._3 === 5L))
+    val counts = out.map(t => t._1 -> t._2).toMap
+    assert(counts(1L) === 2L && counts(2L) === 1L && counts(3L) === 1L &&
+      counts(9L) === 1L)
+    assert((4L to 8L).forall(counts(_) === 0L))
+    // obs_ppm of digit 1 = floor(2e6/5)
+    assert(out.head._4 === 400000L)
+  }
 }

@@ -92,4 +92,40 @@ object Validators {
         (col("violating_groups") === 0L).as("holds"),
         expr("(violating_groups * 1000000) div n_groups").as("viol_ppm"))
   }
+
+  /** Per-partition integrity manifest: row count + an ORDER-INDEPENDENT
+    * content checksum per partition value — the tool that validates a
+    * replication, backfill, or engine migration without moving the data
+    * twice (compare two manifests, not two tables; the same idea as
+    * distcp/table-checksum validation in the public Hadoop tooling).
+    * XOR of per-row md5-60-bit hashes is commutative and associative, so
+    * the checksum is independent of row order, partitioning, and shuffle
+    * nondeterminism — two equal partitions produce equal manifests on
+    * ANY engine; a pair of differing rows collides only with probability
+    * 2^-60 (and deletions that cancel insertions pairwise XOR-hide —
+    * this is an equality check, not a cryptographic audit; the row
+    * count catches the cardinality half).
+    *
+    * The canonical row string is the contract: `name=value` fields
+    * joined with `|`, NULL spelled explicitly (`name=N`) so null and
+    * empty-string never alias (a free-text field whose domain could
+    * contain the bare marker `N` should be escaped by the caller — the
+    * count column bounds the damage either way). Callers must
+    * canonicalize floats to fixed-point integers BEFORE passing them
+    * (float formatting is engine-specific; integer-to-string is not).
+    *
+    * Scale shape: one scan, one per-partition aggregation with map-side
+    * partials — the manifest costs what a count(*) costs.
+    */
+  def partitionChecksum(df: DataFrame, partCol: org.apache.spark.sql.Column,
+      fields: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(fields.nonEmpty, "partitionChecksum: need at least one field")
+    val canon = concat_ws("|", fields.map { case (n, c) =>
+      concat(lit(s"$n="), coalesce(c.cast("string"), lit("N"))) }: _*)
+    df.select(partCol.cast("string").as("part"),
+        Dedup.auditableTokenHash(canon).as("h60"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h60)").as("xor_checksum"))
+  }
 }

@@ -822,5 +822,41 @@ object OpsQueries {
              |  CAST((violating_groups * 1000000) // n_groups AS BIGINT) AS viol_ppm
              |FROM u""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Per-day integrity manifest on the event stream: row count + an
+    // order-independent XOR-of-md5 content checksum per day — validate a
+    // replication/backfill/engine-migration by comparing manifests, not
+    // tables. The checksum is partition- and shuffle-order independent
+    // by construction (XOR is commutative); floats enter as fixed-point
+    // micro integers so the canonical string is engine-stable. Costs
+    // what a count(*) costs: one scan, one keyed aggregation.
+    QueryDef(
+      "q193_partition_checksum",
+      (spark, dir) =>
+        graft.operators.Validators.partitionChecksum(
+          Tables.events(spark, dir),
+          col("ts").cast("date"),
+          Seq(
+            ("id", col("event_id")),
+            ("ts", unix_micros(col("ts"))),
+            ("u", col("user_id")),
+            ("t", col("event_type")),
+            ("v", (col("value").cast(org.apache.spark.sql.types
+              .DecimalType(18, 6)) * lit(1000000)).cast("long")),
+            ("p", col("props")))),
+      Some("""WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+             |    'id=' || COALESCE(CAST(event_id AS VARCHAR), 'N') ||
+             |    '|ts=' || COALESCE(CAST(epoch_us(ts) AS VARCHAR), 'N') ||
+             |    '|u=' || COALESCE(CAST(user_id AS VARCHAR), 'N') ||
+             |    '|t=' || COALESCE(event_type, 'N') ||
+             |    '|v=' || COALESCE(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), 'N') ||
+             |    '|p=' || COALESCE(props, 'N') AS canon
+             |  FROM events),
+             |h AS (SELECT part, CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT) AS h60 FROM ev)
+             |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(bit_xor(h60) AS BIGINT) AS xor_checksum
+             |FROM h GROUP BY part""".stripMargin),
+    ),
   )
 }

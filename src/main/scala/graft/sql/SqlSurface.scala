@@ -244,6 +244,14 @@ object SqlSurface {
       .createOrReplaceTempView("pit_features")
     Stats.benfordAudit(Tables.orders(spark, sfDir), col("o_totalprice"))
       .createOrReplaceTempView("benford_audit")
+    graft.operators.Validators.partitionChecksum(
+        Tables.events(spark, sfDir), col("ts").cast("date"),
+        Seq(("id", col("event_id")), ("ts", unix_micros(col("ts"))),
+          ("u", col("user_id")), ("t", col("event_type")),
+          ("v", (col("value").cast(org.apache.spark.sql.types
+            .DecimalType(18, 6)) * lit(1000000)).cast("long")),
+          ("p", col("props"))))
+      .createOrReplaceTempView("partition_checksum")
     Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
       .createOrReplaceTempView("similarity_spectrum")
     // Round-10 curation reads: the growth/chunking/diversity family.

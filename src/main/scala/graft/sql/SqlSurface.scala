@@ -252,6 +252,12 @@ object SqlSurface {
             .DecimalType(18, 6)) * lit(1000000)).cast("long")),
           ("p", col("props"))))
       .createOrReplaceTempView("partition_checksum")
+    graft.operators.Frequency.associationRules(
+        Tables.events(spark, sfDir),
+        concat(col("user_id").cast("string"), lit(":"),
+          col("ts").cast("date").cast("string")),
+        col("event_type"))
+      .createOrReplaceTempView("assoc_rules")
     Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
       .createOrReplaceTempView("similarity_spectrum")
     // Round-10 curation reads: the growth/chunking/diversity family.

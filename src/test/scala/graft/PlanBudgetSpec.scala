@@ -558,6 +558,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q192_benford" -> 2,
     // q193: the manifest costs what a count(*) costs — one keyed agg.
     "q193_partition_checksum" -> 1,
+    // q194: distinct baskets, the basket-keyed self-join (both sides),
+    // the pair and support aggregations — all off one cached frame;
+    // support/n frames broadcast.
+    "q194_assoc_rules" -> 5,
   )
 
 
@@ -699,6 +703,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q191_pit_features" -> 1,
     "q192_benford" -> 1,
     "q193_partition_checksum" -> 1,
+    "q194_assoc_rules" -> 0,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,

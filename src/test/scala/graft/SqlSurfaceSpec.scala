@@ -435,6 +435,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(pc.map(_.getLong(1)).sum ===
       sql.sql("SELECT COUNT(*) FROM events").collect().head.getLong(0))
     assert(pc.forall(r => r.getLong(1) > 0))
+    // assoc_rules: the view is self-auditing — every rule's confidence
+    // and lift must be EXACTLY the fixed-point fold of its own support
+    // columns, and pair support can never exceed either side's.
+    val ar = sql.sql(
+      """SELECT supp_a, supp_b, supp_ab, n_baskets,
+        |  conf_a_to_b_ppm, conf_b_to_a_ppm, lift_milli FROM assoc_rules"""
+        .stripMargin).collect()
+    assert(ar.nonEmpty)
+    ar.foreach { r =>
+      val (sa, sb, sab, n) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sab >= 1 && sab <= math.min(sa, sb) && math.max(sa, sb) <= n)
+      assert(r.getLong(4) === sab * 1000000L / sa)
+      assert(r.getLong(5) === sab * 1000000L / sb)
+      assert(r.getLong(6) ===
+        (BigInt(sab) * n * 1000 / (BigInt(sa) * sb)).toLong)
+    }
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

@@ -110,6 +110,14 @@ object Skew {
     element_at(shardAt, array_position(pos, succ).cast("int"))
   }
 
+  /** Test hook for [[ringAssign]] (kept private so the ring contract
+    * stays internal): PropertySpec pins the successor lookup against the
+    * definitional clockwise-distance argmin on arbitrary keys.
+    */
+  private[graft] def ringAssignForTest(h: org.apache.spark.sql.Column,
+      ring: Seq[(Long, Int)]): org.apache.spark.sql.Column =
+    ringAssign(h, ring)
+
   /** Reshard-movement audit: when a keyed store grows from `oldShards` to
     * `newShards`, how much data MOVES under plain mod-hash placement vs a
     * consistent-hash ring (Karger et al. 1997)? Mod placement reassigns

@@ -128,4 +128,33 @@ object Validators {
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h60)").as("xor_checksum"))
   }
+
+  /** The validation step [[partitionChecksum]] exists for: diff two
+    * manifests and report, per partition, exactly what disagrees —
+    * `missing_left` / `missing_right` (a partition only one side has),
+    * `count_mismatch` (cardinality drift — checked FIRST, because XOR
+    * can collide on pair-cancelling edits and the count is the
+    * unfoolable half), `checksum_mismatch` (same cardinality, different
+    * content), or `match`. Replication/backfill/migration validation
+    * reads THIS frame, not the tables: the expensive scans happened once
+    * per side inside partitionChecksum; the diff is manifest-sized.
+    *
+    * Scale shape: a full-outer join of two one-row-per-partition frames
+    * on the partition key — both sides bounded by partition count, and
+    * full outer cannot broadcast, so the sort-merge join on the manifest
+    * key is the intended shape at any scale.
+    */
+  def manifestDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("part"), col("n_rows").as("n_rows_a"),
+      col("xor_checksum").as("xor_a"))
+    val r = b.select(col("part"), col("n_rows").as("n_rows_b"),
+      col("xor_checksum").as("xor_b"))
+    l.join(r, Seq("part"), "full_outer")
+      .select(col("part"), col("n_rows_a"), col("n_rows_b"),
+        when(col("n_rows_a").isNull, "missing_left")
+          .when(col("n_rows_b").isNull, "missing_right")
+          .when(col("n_rows_a") =!= col("n_rows_b"), "count_mismatch")
+          .when(col("xor_a") =!= col("xor_b"), "checksum_mismatch")
+          .otherwise("match").as("status"))
+  }
 }

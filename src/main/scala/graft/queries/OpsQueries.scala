@@ -858,5 +858,76 @@ object OpsQueries {
              |  CAST(bit_xor(h60) AS BIGINT) AS xor_checksum
              |FROM h GROUP BY part""".stripMargin),
     ),
+
+    // ----------------------------------------------------------------
+    // Manifest diff — the validation step q193's manifests exist for:
+    // against a deliberately-perturbed replica (one day dropped, one
+    // day's rows partially dropped, one day's values shifted), the diff
+    // reports exactly missing_right + count_mismatch +
+    // checksum_mismatch + 27 matches at every scale factor. Count is
+    // checked before checksum (XOR can collide on pair-cancelling
+    // edits; cardinality cannot). The expensive scans happen once per
+    // side; the diff is a full-outer join of two |partitions|-row
+    // frames — the one deliberate SMJ of the round (full outer cannot
+    // broadcast; both sides manifest-sized).
+    QueryDef(
+      "q195_manifest_diff",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val day = col("ts").cast("date")
+        val perturbed = ev
+          .filter(day =!= lit("2024-01-09").cast("date") &&
+            !(day === lit("2024-01-22").cast("date") &&
+              pmod(col("event_id"), lit(3L)) === 0))
+          .withColumn("value",
+            when(day === lit("2024-01-17").cast("date"),
+              col("value") + 10.0).otherwise(col("value")))
+        def manifest(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.Validators.partitionChecksum(
+            df, col("ts").cast("date"),
+            Seq(
+              ("id", col("event_id")),
+              ("ts", unix_micros(col("ts"))),
+              ("u", col("user_id")),
+              ("t", col("event_type")),
+              ("v", (col("value").cast(org.apache.spark.sql.types
+                .DecimalType(18, 6)) * lit(1000000)).cast("long")),
+              ("p", col("props"))))
+        graft.operators.Validators.manifestDiff(manifest(ev),
+          manifest(perturbed))
+      },
+      Some("""WITH ev AS (SELECT event_id, ts, user_id, event_type, value, props,
+             |    CAST(CAST(ts AS DATE) AS VARCHAR) AS part FROM events),
+             |evb AS (SELECT event_id, ts, user_id, event_type,
+             |    CASE WHEN CAST(ts AS DATE) = DATE '2024-01-17' THEN value + 10.0 ELSE value END AS value,
+             |    props, part FROM ev
+             |  WHERE CAST(ts AS DATE) != DATE '2024-01-09'
+             |    AND NOT (CAST(ts AS DATE) = DATE '2024-01-22' AND event_id % 3 = 0)),
+             |ca AS (SELECT part,
+             |    'id=' || COALESCE(CAST(event_id AS VARCHAR), 'N') ||
+             |    '|ts=' || COALESCE(CAST(epoch_us(ts) AS VARCHAR), 'N') ||
+             |    '|u=' || COALESCE(CAST(user_id AS VARCHAR), 'N') ||
+             |    '|t=' || COALESCE(event_type, 'N') ||
+             |    '|v=' || COALESCE(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), 'N') ||
+             |    '|p=' || COALESCE(props, 'N') AS canon FROM ev),
+             |cb AS (SELECT part,
+             |    'id=' || COALESCE(CAST(event_id AS VARCHAR), 'N') ||
+             |    '|ts=' || COALESCE(CAST(epoch_us(ts) AS VARCHAR), 'N') ||
+             |    '|u=' || COALESCE(CAST(user_id AS VARCHAR), 'N') ||
+             |    '|t=' || COALESCE(event_type, 'N') ||
+             |    '|v=' || COALESCE(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), 'N') ||
+             |    '|p=' || COALESCE(props, 'N') AS canon FROM evb),
+             |m1 AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |    CAST(bit_xor(CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT)) AS BIGINT) AS xc FROM ca GROUP BY part),
+             |m2 AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |    CAST(bit_xor(CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT)) AS BIGINT) AS xc FROM cb GROUP BY part)
+             |SELECT COALESCE(m1.part, m2.part) AS part, m1.n_rows AS n_rows_a, m2.n_rows AS n_rows_b,
+             |  CASE WHEN m1.part IS NULL THEN 'missing_left'
+             |    WHEN m2.part IS NULL THEN 'missing_right'
+             |    WHEN m1.n_rows != m2.n_rows THEN 'count_mismatch'
+             |    WHEN m1.xc != m2.xc THEN 'checksum_mismatch'
+             |    ELSE 'match' END AS status
+             |FROM m1 FULL OUTER JOIN m2 ON m1.part = m2.part""".stripMargin),
+    ),
   )
 }

@@ -258,6 +258,27 @@ object SqlSurface {
           col("ts").cast("date").cast("string")),
         col("event_type"))
       .createOrReplaceTempView("assoc_rules")
+    locally {
+      val ev = Tables.events(spark, sfDir)
+      val day = col("ts").cast("date")
+      def manifest(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Validators.partitionChecksum(df, day,
+          Seq(("id", col("event_id")), ("ts", unix_micros(col("ts"))),
+            ("u", col("user_id")), ("t", col("event_type")),
+            ("v", (col("value").cast(org.apache.spark.sql.types
+              .DecimalType(18, 6)) * lit(1000000)).cast("long")),
+            ("p", col("props"))))
+      val perturbed = ev
+        .filter(day =!= lit("2024-01-09").cast("date") &&
+          !(day === lit("2024-01-22").cast("date") &&
+            pmod(col("event_id"), lit(3L)) === 0))
+        .withColumn("value",
+          when(day === lit("2024-01-17").cast("date"),
+            col("value") + 10.0).otherwise(col("value")))
+      graft.operators.Validators.manifestDiff(manifest(ev),
+          manifest(perturbed))
+        .createOrReplaceTempView("manifest_diff")
+    }
     Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
       .createOrReplaceTempView("similarity_spectrum")
     // Round-10 curation reads: the growth/chunking/diversity family.

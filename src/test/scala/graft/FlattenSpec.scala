@@ -105,4 +105,20 @@ class FlattenSpec extends AnyFunSuite {
     assert(dropped("p1")._1 === 2L)
     assert(dropped("p1")._2 !== base("p1")._2)
   }
+
+  test("manifestDiff: all five statuses, count checked before checksum") {
+    import spark.implicits._
+    def m(rows: Seq[(String, Long, Long)]) =
+      rows.toDF("part", "n_rows", "xor_checksum")
+    val a = m(Seq(("match", 2L, 7L), ("cnt", 3L, 7L), ("sum", 2L, 7L),
+      ("only_a", 1L, 1L)))
+    // "cnt" differs in BOTH count and checksum — count_mismatch must win
+    val b = m(Seq(("match", 2L, 7L), ("cnt", 2L, 9L), ("sum", 2L, 8L),
+      ("only_b", 1L, 1L)))
+    val out = Validators.manifestDiff(a, b).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out === Map("match" -> "match", "cnt" -> "count_mismatch",
+      "sum" -> "checksum_mismatch", "only_a" -> "missing_right",
+      "only_b" -> "missing_left"))
+  }
 }

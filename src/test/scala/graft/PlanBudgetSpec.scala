@@ -562,6 +562,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the pair and support aggregations — all off one cached frame;
     // support/n frames broadcast.
     "q194_assoc_rules" -> 5,
+    // q195: one aggregation per manifest side; the diff join rides
+    // their outputs.
+    "q195_manifest_diff" -> 2,
   )
 
 
@@ -704,6 +707,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q192_benford" -> 1,
     "q193_partition_checksum" -> 1,
     "q194_assoc_rules" -> 0,
+    // q195: each manifest side scans the input once.
+    "q195_manifest_diff" -> 2,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,
@@ -796,6 +801,10 @@ class PlanBudgetSpec extends AnyFunSuite {
   private val smjAllowed = Set(
     "q12_merge_upsert",  // full-outer target⋈source on the PK: both sides big
     "q59_snapshot_diff", // full-outer between two same-scale snapshots
+    "q195_manifest_diff", // full-outer between two manifests on the
+                          // partition key: one-row-per-partition frames
+                          // by construction, and full outer cannot
+                          // broadcast — the intended shape at any scale
     "q62_bucketed_join", // the POINT: co-located SMJ with no exchanges
     "q80_kmeans_refine", // full-outer n_init⋈n_refined: codebook-sized both
                          // sides (full outer cannot broadcast)

@@ -452,6 +452,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
       assert(r.getLong(6) ===
         (BigInt(sab) * n * 1000 / (BigInt(sa) * sb)).toLong)
     }
+    // manifest_diff: the planted perturbations surface as exactly one
+    // status each, everything else matches.
+    val md = sql.sql("""SELECT part, status FROM manifest_diff""")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(md("2024-01-09") === "missing_right")
+    assert(md("2024-01-22") === "count_mismatch")
+    assert(md("2024-01-17") === "checksum_mismatch")
+    assert(md.values.count(_ == "match") === md.size - 3)
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

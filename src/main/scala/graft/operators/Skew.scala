@@ -86,29 +86,23 @@ object Skew {
     * clockwise-distance argmin over DISTINCT ring positions is exactly
     * the sorted-ring SUCCESSOR of h (the smallest position ≥ h, wrapping
     * to the global minimum) — the same lookup a production router
-    * binary-searches. Implemented as primitive comparisons over ONE
-    * foldable constant array (`typedlit`), because the naive
-    * formulation — array_min over a literal array of (dist, shard)
-    * structs — allocates ~|ring| UnsafeRow structs per row and drops out
-    * of whole-stage codegen whenever it lands inside a Generate, a
-    * grouping expression, or a cache build: measured 22–25s vs 3.2s for
-    * this lookup on the same 600k rows at sf0.1, with a row-for-row
-    * equality check between the two formulations (0 mismatches).
-    *
-    * Equal positions (impossible for distinct md5 inputs, but stable
-    * anyway) keep the lower shard id: the sort is stable over the
-    * shard-ascending input, and array_position returns the FIRST match —
-    * the same tiebreak as the (dist, shard) lexicographic argmin.
+    * binary-searches, and since round 12 it IS that binary search:
+    * [[graft.functions.RingSuccessor]], a native codegen'd expression
+    * doing O(log |ring|) long compares per lookup. Two prior
+    * formulations were measured and rejected on the same 600k rows at
+    * sf0.1: array_min over a literal array of (dist, shard) structs
+    * allocates ~|ring| UnsafeRow structs per row and drops out of
+    * whole-stage codegen inside Generate/grouping/cache stages (22–25s);
+    * filter+array_min+array_position over a flat foldable array is three
+    * interpreted O(|ring|) HOF passes per lookup (Spark HOFs never enter
+    * codegen) and made q186 the suite's most expensive query (6–7s).
+    * All three agree row-for-row (PropertySpec pins the lookup against
+    * the definitional argmin; tiebreak on equal positions keeps the
+    * lowest shard id).
     */
   private def ringAssign(h: org.apache.spark.sql.Column,
-      ring: Seq[(Long, Int)]): org.apache.spark.sql.Column = {
-    val sorted = ring.sortBy(_._1)
-    val pos = typedlit(sorted.map(_._1))
-    val shardAt = typedlit(sorted.map(_._2.toLong))
-    val succ = coalesce(array_min(filter(pos, p => p >= h)),
-      lit(sorted.head._1))
-    element_at(shardAt, array_position(pos, succ).cast("int"))
-  }
+      ring: Seq[(Long, Int)]): org.apache.spark.sql.Column =
+    graft.functions.RingSuccessor.ring_successor(h, ring)
 
   /** Test hook for [[ringAssign]] (kept private so the ring contract
     * stays internal): PropertySpec pins the successor lookup against the
@@ -188,9 +182,9 @@ object Skew {
     * per-row argmin are the [[reshardAudit]] machinery verbatim — same
     * hash60 positions, so the two audits describe the SAME ring.
     *
-    * Scale shape: every placement is a per-row projection (array_min over
-    * a literal ring; mod is one modulo) evaluated inside whole-stage
-    * codegen, feeding ONE ungrouped aggregation of |strategies|·|shards|
+    * Scale shape: every placement is a per-row projection (a codegen'd
+    * binary search over the constant ring; mod is one modulo) evaluated
+    * inside whole-stage codegen, feeding ONE ungrouped aggregation of |strategies|·|shards|
     * conditional sums (map-side partials; the only exchange moves one
     * partial row per task). The per-(strategy, shard) counts melt out of
     * the one-row result; the roll-ups run on that bounded frame, never

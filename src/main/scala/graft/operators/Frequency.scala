@@ -234,6 +234,10 @@ object Frequency {
     */
   def cmJoinSizeAudit(df: DataFrame, keyA: Column, keyB: Column,
       depth: Int = 3, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"cmJoinSizeAudit: depth must be in [1, 16], got $depth")
+    require(width >= 1,
+      s"cmJoinSizeAudit: width must be >= 1 (it is the bucket modulus), got $width")
     // Both sides arrive as NULLABLE key expressions over ONE input frame
     // (e.g. when(side = 'R', key) / when(side = 'N', key)): count_min
     // skips nulls, so BOTH grids build in a single scan's aggregation,
@@ -266,8 +270,11 @@ object Frequency {
         "CAST(0 AS BIGINT), (acc, j) -> " +
         "acc + element_at(grid_a, j + 1) * element_at(grid_b, j + 1))")
     }
+    // least() requires >= 2 arguments; a depth-1 sketch's estimate IS its
+    // only row's inner product.
+    val estCol = if (rowEsts.size == 1) rowEsts.head else least(rowEsts: _*)
     exact.crossJoin(broadcast(grids))
-      .withColumn("cm_est", least(rowEsts: _*))
+      .withColumn("cm_est", estCol)
       .select(col("exact_rows"), col("cm_est"),
         (col("cm_est") - col("exact_rows")).as("overcount"),
         when(col("exact_rows") > 0,

@@ -311,9 +311,15 @@ object TimeSeries {
       maxAgeDays: Int = 29): DataFrame = {
     require(boundary.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""),
       s"pointInTimeFeatures: boundary must be 'yyyy-MM-dd HH:mm:ss', got $boundary")
-    require(maxAgeDays >= 0 && maxAgeDays <= 60,
-      s"pointInTimeFeatures: maxAgeDays must be in [0, 60] (the weight " +
-        s"2^maxAgeDays must stay far from BIGINT overflow), got $maxAgeDays")
+    // 32 is the overflow-safe ceiling, not a taste choice: the decay sum
+    // accumulates up to 2^maxAgeDays PER EVENT, so at 32 a key needs
+    // > 2^31 same-boundary-day events to overflow BIGINT (impossible for
+    // any per-entity window this feature describes), while at the old cap
+    // of 60 just 9 same-day events exceeded Long.MaxValue.
+    require(maxAgeDays >= 0 && maxAgeDays <= 32,
+      s"pointInTimeFeatures: maxAgeDays must be in [0, 32] (the per-event " +
+        s"weight is 2^maxAgeDays; 32 leaves ~2^31 events of BIGINT " +
+        s"headroom in the per-key sum), got $maxAgeDays")
     val b = expr(s"timestamp'$boundary'")
     val bUs = unix_micros(b)
     // exact non-negative integer division (a − a mod m)/m: the quotient

@@ -107,12 +107,17 @@ object Validators {
     * count catches the cardinality half).
     *
     * The canonical row string is the contract: `name=value` fields
-    * joined with `|`, NULL spelled explicitly (`name=N`) so null and
-    * empty-string never alias (a free-text field whose domain could
-    * contain the bare marker `N` should be escaped by the caller — the
-    * count column bounds the damage either way). Callers must
-    * canonicalize floats to fixed-point integers BEFORE passing them
-    * (float formatting is engine-specific; integer-to-string is not).
+    * joined with `|`, with an INJECTIVE value encoding — inside every
+    * value the escape char and both delimiters are escaped (`\`→`\\`,
+    * `|`→`\|`, `=`→`\=`) and NULL is spelled as the whole-value marker
+    * `\N`, which no escaped value can produce (escaping never emits a
+    * lone `\` before `N`). A free-text value containing `|name=` can
+    * therefore never alias a different row's encoding, and null never
+    * aliases any string (including literal "N"). Field names are
+    * restricted to `[A-Za-z0-9_]+` for the same reason. Callers must
+    * still canonicalize floats to fixed-point integers BEFORE passing
+    * them (float formatting is engine-specific; integer-to-string is
+    * not).
     *
     * Scale shape: one scan, one per-partition aggregation with map-side
     * partials — the manifest costs what a count(*) costs.
@@ -120,8 +125,17 @@ object Validators {
   def partitionChecksum(df: DataFrame, partCol: org.apache.spark.sql.Column,
       fields: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(fields.nonEmpty, "partitionChecksum: need at least one field")
+    require(fields.forall(_._1.matches("[A-Za-z0-9_]+")),
+      s"partitionChecksum: field names must be [A-Za-z0-9_]+ (they are " +
+        s"part of the canonical encoding), got ${fields.map(_._1)}")
+    // Escape order matters: the escape char first, then the delimiters —
+    // codegen'd string replace, three passes over values that carry no
+    // specials cost a scan each, nothing allocates beyond the one result.
+    def esc(c: org.apache.spark.sql.Column) =
+      replace(replace(replace(c.cast("string"),
+        lit("\\"), lit("\\\\")), lit("|"), lit("\\|")), lit("="), lit("\\="))
     val canon = concat_ws("|", fields.map { case (n, c) =>
-      concat(lit(s"$n="), coalesce(c.cast("string"), lit("N"))) }: _*)
+      concat(lit(s"$n="), coalesce(esc(c), lit("\\N"))) }: _*)
     df.select(partCol.cast("string").as("part"),
         Dedup.auditableTokenHash(canon).as("h60"))
       .groupBy(col("part"))

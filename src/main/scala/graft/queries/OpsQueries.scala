@@ -845,14 +845,22 @@ object OpsQueries {
             ("v", (col("value").cast(org.apache.spark.sql.types
               .DecimalType(18, 6)) * lit(1000000)).cast("long")),
             ("p", col("props")))),
-      Some("""WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
-             |    'id=' || COALESCE(CAST(event_id AS VARCHAR), 'N') ||
-             |    '|ts=' || COALESCE(CAST(epoch_us(ts) AS VARCHAR), 'N') ||
-             |    '|u=' || COALESCE(CAST(user_id AS VARCHAR), 'N') ||
-             |    '|t=' || COALESCE(event_type, 'N') ||
-             |    '|v=' || COALESCE(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), 'N') ||
-             |    '|p=' || COALESCE(props, 'N') AS canon
+      Some("""WITH esc AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+             |    replace(replace(replace(CAST(event_id AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\=') AS f_id,
+             |    replace(replace(replace(CAST(epoch_us(ts) AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\=') AS f_ts,
+             |    replace(replace(replace(CAST(user_id AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\=') AS f_u,
+             |    replace(replace(replace(event_type, '\', '\\'), '|', '\|'), '=', '\=') AS f_t,
+             |    replace(replace(replace(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\=') AS f_v,
+             |    replace(replace(replace(props, '\', '\\'), '|', '\|'), '=', '\=') AS f_p
              |  FROM events),
+             |ev AS (SELECT part,
+             |    'id=' || COALESCE(f_id, '\N') ||
+             |    '|ts=' || COALESCE(f_ts, '\N') ||
+             |    '|u=' || COALESCE(f_u, '\N') ||
+             |    '|t=' || COALESCE(f_t, '\N') ||
+             |    '|v=' || COALESCE(f_v, '\N') ||
+             |    '|p=' || COALESCE(f_p, '\N') AS canon
+             |  FROM esc),
              |h AS (SELECT part, CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT) AS h60 FROM ev)
              |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
              |  CAST(bit_xor(h60) AS BIGINT) AS xor_checksum
@@ -904,19 +912,19 @@ object OpsQueries {
              |  WHERE CAST(ts AS DATE) != DATE '2024-01-09'
              |    AND NOT (CAST(ts AS DATE) = DATE '2024-01-22' AND event_id % 3 = 0)),
              |ca AS (SELECT part,
-             |    'id=' || COALESCE(CAST(event_id AS VARCHAR), 'N') ||
-             |    '|ts=' || COALESCE(CAST(epoch_us(ts) AS VARCHAR), 'N') ||
-             |    '|u=' || COALESCE(CAST(user_id AS VARCHAR), 'N') ||
-             |    '|t=' || COALESCE(event_type, 'N') ||
-             |    '|v=' || COALESCE(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), 'N') ||
-             |    '|p=' || COALESCE(props, 'N') AS canon FROM ev),
+             |    'id=' || COALESCE(replace(replace(replace(CAST(event_id AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') ||
+             |    '|ts=' || COALESCE(replace(replace(replace(CAST(epoch_us(ts) AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') ||
+             |    '|u=' || COALESCE(replace(replace(replace(CAST(user_id AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') ||
+             |    '|t=' || COALESCE(replace(replace(replace(event_type, '\', '\\'), '|', '\|'), '=', '\='), '\N') ||
+             |    '|v=' || COALESCE(replace(replace(replace(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') ||
+             |    '|p=' || COALESCE(replace(replace(replace(props, '\', '\\'), '|', '\|'), '=', '\='), '\N') AS canon FROM ev),
              |cb AS (SELECT part,
-             |    'id=' || COALESCE(CAST(event_id AS VARCHAR), 'N') ||
-             |    '|ts=' || COALESCE(CAST(epoch_us(ts) AS VARCHAR), 'N') ||
-             |    '|u=' || COALESCE(CAST(user_id AS VARCHAR), 'N') ||
-             |    '|t=' || COALESCE(event_type, 'N') ||
-             |    '|v=' || COALESCE(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), 'N') ||
-             |    '|p=' || COALESCE(props, 'N') AS canon FROM evb),
+             |    'id=' || COALESCE(replace(replace(replace(CAST(event_id AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') ||
+             |    '|ts=' || COALESCE(replace(replace(replace(CAST(epoch_us(ts) AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') ||
+             |    '|u=' || COALESCE(replace(replace(replace(CAST(user_id AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') ||
+             |    '|t=' || COALESCE(replace(replace(replace(event_type, '\', '\\'), '|', '\|'), '=', '\='), '\N') ||
+             |    '|v=' || COALESCE(replace(replace(replace(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') ||
+             |    '|p=' || COALESCE(replace(replace(replace(props, '\', '\\'), '|', '\|'), '=', '\='), '\N') AS canon FROM evb),
              |m1 AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
              |    CAST(bit_xor(CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT)) AS BIGINT) AS xc FROM ca GROUP BY part),
              |m2 AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -62,6 +62,20 @@ object CurationStream {
     */
   val ShingleHllP = 8
 
+  /** Sketch-schema version stamped on every [[ShingleHllTable]] row
+    * (`sketch_v`). The version names the GRAM POPULATION the registers
+    * hash — v2 = [[Dedup.tokens]] case-preserving grams (the tokenizer
+    * the postings index actually holds); rows WITHOUT the stamp predate
+    * it (the lowercased TextAnalysis.tokens era) and hash a different
+    * population. Register max-merge across two hash populations is
+    * silent corruption — the fold still "works" but estimates a union of
+    * two incomparable gram spaces — so [[curateBatch]] refuses loudly on
+    * any unstamped or mismatched row instead of merging: rebuild the
+    * sketch table (replay the corpus through the current tokenizer)
+    * before resuming ingest.
+    */
+  val ShingleHllSchemaVersion = 2
+
   /** Default quasi-identifier projection for the in-cycle k-anonymity
     * audit: the 100-char length bucket — the only QI-shaped column the
     * minimal (doc_id, text, n_chars) stream schema carries. Production
@@ -190,9 +204,25 @@ object CurationStream {
       // batch), read BEFORE this batch's commit so the fold is over the
       // state this batch extends.
       val priorRegs: Seq[Seq[Int]] =
-        ManifestCommit.readTable(spark, root, ShingleHllTable)
-          .map(_.select(col("regs")).collect().map(_.getSeq[Int](0)).toSeq)
-          .getOrElse(Nil)
+        ManifestCommit.readTable(spark, root, ShingleHllTable) match {
+          case None => Nil
+          case Some(t) =>
+            // Version gate BEFORE any merge: refusing is the only safe
+            // read of a sketch built over a different gram population.
+            require(t.columns.contains("sketch_v"),
+              s"$ShingleHllTable holds unversioned register rows (they " +
+                s"predate sketch_v — a different gram tokenizer): refusing " +
+                s"to max-merge registers from two hash populations; " +
+                s"rebuild the sketch table before resuming ingest")
+            val vs = t.select(col("sketch_v")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            require(vs == Seq(ShingleHllSchemaVersion),
+              s"$ShingleHllTable sketch_v ${vs.mkString("{", ",", "}")} != " +
+                s"expected $ShingleHllSchemaVersion: refusing to max-merge " +
+                s"registers from two hash populations; rebuild the sketch " +
+                s"table before resuming ingest")
+            t.select(col("regs")).collect().map(_.getSeq[Int](0)).toSeq
+        }
       val (version, batchRegs) =
         if (nAccepted == 0) (None, None)
         else {
@@ -210,6 +240,9 @@ object CurationStream {
             .select(explode(
               graft.operators.Dedup.gramsFromTokens(col("toks"), n)).as("g"))
             .agg(HyperLogLog.hll_registers(col("g"), ShingleHllP).as("regs"))
+            // regs stays field 0 (readers fold positionally); the version
+            // stamp rides second so the gate above can refuse a mismatch.
+            .select(col("regs"), lit(ShingleHllSchemaVersion).as("sketch_v"))
           val regsRow = regsDf.collect()(0).getSeq[Int](0).toSeq
           val docsRel = ManifestCommit.stageDelta(
             spark, acceptedCached, root, AcceptedTable)
@@ -231,11 +264,15 @@ object CurationStream {
       // this compaction just leaves the unfolded rows for the next cycle.
       if (version.isDefined && priorRegs.size + 1 >= hllCompactEvery) {
         ManifestCommit.compactTableWith(spark, root, ShingleHllTable) { df =>
-          df.select(posexplode(col("regs")).as(Seq("idx", "r")))
-            .groupBy(col("idx")).agg(max(col("r")).as("r"))
+          // The version gate above already proved every row is the current
+          // sketch_v, so carrying max(sketch_v) through the fold preserves
+          // the stamp exactly.
+          df.select(col("sketch_v"), posexplode(col("regs")).as(Seq("idx", "r")))
+            .groupBy(col("idx"))
+            .agg(max(col("r")).as("r"), max(col("sketch_v")).as("sv"))
             .agg(expr(
               "transform(array_sort(collect_list(struct(idx, r))), s -> s.r)")
-              .as("regs"))
+              .as("regs"), max(col("sv")).as("sketch_v"))
         }
       }
       // Cumulative estimate = fold of all committed rows (element-wise

@@ -156,16 +156,45 @@ class CurationStreamSpec extends AnyFunSuite {
     // Re-folding a folded table is a no-op on the read (idempotence).
     ManifestCommit.compactTableWith(spark, root,
         CurationStream.ShingleHllTable) { d =>
-      d.select(posexplode(col("regs")).as(Seq("idx", "r")))
-        .groupBy(col("idx")).agg(max(col("r")).as("r"))
+      d.select(col("sketch_v"), posexplode(col("regs")).as(Seq("idx", "r")))
+        .groupBy(col("idx"))
+        .agg(max(col("r")).as("r"), max(col("sketch_v")).as("sv"))
         .agg(expr(
           "transform(array_sort(collect_list(struct(idx, r))), s -> s.r)")
-          .as("regs"))
+          .as("regs"), max(col("sv")).as("sketch_v"))
     }
     val folded = hllRows()
     assert(folded.size === 1)
     assert(graft.functions.HyperLogLog.estimateMilli(folded.head,
       CurationStream.ShingleHllP) === r3.corpusShingleEstMilli)
+  }
+
+  test("sketch-schema version gate: a foreign-version sketch table refuses to merge") {
+    val root = Files.createTempDirectory("graft-curation-skv").toString
+    val r1 = CurationStream.curateBatch(df(doc(1, textA)), root)
+    assert(r1.accepted === 1L)
+    // Rewrite the committed sketch row with a stale version stamp — the
+    // signature of a store built by an older tokenizer. The next batch
+    // must refuse loudly instead of silently max-merging two gram
+    // populations into one register fold.
+    ManifestCommit.compactTableWith(spark, root,
+        CurationStream.ShingleHllTable) { d =>
+      d.select(col("regs"), lit(1).as("sketch_v"))
+    }
+    val e = intercept[IllegalArgumentException] {
+      CurationStream.curateBatch(df(doc(2, textB)), root)
+    }
+    assert(e.getMessage.contains("sketch_v"))
+    // An UNVERSIONED table (pre-stamp schema) refuses the same way.
+    val root2 = Files.createTempDirectory("graft-curation-skv2").toString
+    val r2 = CurationStream.curateBatch(df(doc(1, textA)), root2)
+    assert(r2.accepted === 1L)
+    ManifestCommit.compactTableWith(spark, root2,
+        CurationStream.ShingleHllTable) { d => d.select(col("regs")) }
+    val e2 = intercept[IllegalArgumentException] {
+      CurationStream.curateBatch(df(doc(2, textB)), root2)
+    }
+    assert(e2.getMessage.contains("unversioned"))
   }
 
   test("in-cycle privacy gate: k-anonymity ppm over the accepted frame") {

@@ -106,6 +106,29 @@ class FlattenSpec extends AnyFunSuite {
     assert(dropped("p1")._2 !== base("p1")._2)
   }
 
+  test("partitionChecksum: injective encoding — delimiter injection and the N marker cannot alias") {
+    import spark.implicits._
+    def xor(rows: Seq[(String, Option[String], Option[String])]) =
+      Validators.partitionChecksum(rows.toDF("part", "a", "b"), col("part"),
+          Seq(("a", col("a")), ("b", col("b"))))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap.apply("p")
+    // Field-boundary forgery: under the unescaped encoding both rows
+    // spelled "a=1|b=2|b=3"; escaping makes them distinct.
+    assert(xor(Seq(("p", Some("1|b=2"), Some("3")))) !==
+      xor(Seq(("p", Some("1"), Some("2|b=3")))))
+    // NULL is the whole-value marker \N, which escaping can never
+    // produce — a literal "N" (or "\N") value no longer aliases null.
+    assert(xor(Seq(("p", Some("N"), Some("x")))) !==
+      xor(Seq(("p", None, Some("x")))))
+    assert(xor(Seq(("p", Some("\\N"), Some("x")))) !==
+      xor(Seq(("p", None, Some("x")))))
+    // Field names are part of the encoding: reject unencodable names.
+    intercept[IllegalArgumentException] {
+      Validators.partitionChecksum(Seq(("p", "v")).toDF("part", "x"),
+        col("part"), Seq(("bad|name", col("x"))))
+    }
+  }
+
   test("manifestDiff: all five statuses, count checked before checksum") {
     import spark.implicits._
     def m(rows: Seq[(String, Long, Long)]) =

@@ -109,6 +109,153 @@ object Sinks {
     reader.load()
   }
 
+  /** L5 MERGE upsert over JDBC (run_historical_backfill.py:152-183 — the
+    * reference's SQL Server MERGE, realized dialect-portably as
+    * batched UPDATE-else-INSERT): per key, update the existing row or
+    * insert a new one, idempotent under re-application. Spark's JDBC sink
+    * has no upsert mode, so this drives `java.sql` directly from
+    * `foreachPartition` — the same executor-side, one-connection-per-
+    * partition shape as the built-in sink, with the reference's row
+    * chunking (`batchSize`, default 1000) as the JDBC batch unit and one
+    * transaction commit per chunk.
+    *
+    * Wire protocol per chunk: batch every row's UPDATE, read the per-row
+    * update counts from `executeBatch`, then batch INSERTs for exactly
+    * the rows that updated nothing (count 0). Drivers that report
+    * `SUCCESS_NO_INFO` instead of counts fall back to an existence probe
+    * for those rows, so the decision is never guessed. A keys-only frame
+    * (no non-key columns) degrades to insert-if-absent via the probe.
+    *
+    * Correctness under parallelism: the source is deduplicated on `keys`
+    * and repartitioned BY the key columns, so any key is written by
+    * exactly one task — no two connections race the same key's
+    * update/insert window. (Concurrent upserts of DIFFERENT sources into
+    * one table still need the target's own PK constraint as the
+    * backstop, same as the reference's MERGE.) First load against a
+    * missing table creates it via the append path's DDL bootstrap.
+    *
+    * Scale shape: one shuffle (the key repartition — which a bucketed
+    * JDBC-side table would also want), then pure per-partition streaming;
+    * nothing collects, memory is O(batchSize) per task.
+    */
+  def jdbcUpsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+      batchSize: Int = 1000): Unit = {
+    require(keys.nonEmpty, "jdbcUpsert: need at least one key column")
+    require(keys.forall(df.columns.contains),
+      s"jdbcUpsert: keys ${keys.filterNot(df.columns.contains)} not in frame " +
+        s"columns ${df.columns.toSeq}")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val deduped = df.dropDuplicates(keys)
+    if (!jdbcTableExists(url, table)) {
+      jdbcAppend(deduped, url, table, batchSize)
+      return
+    }
+    val cols: Seq[String] = df.columns.toSeq
+    val setCols = cols.filterNot(keys.contains)
+    // Spark's JDBC writer creates columns as QUOTED identifiers (the
+    // dialect's quoteIdentifier), so the frame's exact column case is the
+    // stored name — quote the same way or Derby resolves `v` to `V`.
+    def q(c: String) = "\"" + c + "\""
+    val updateSql = if (setCols.isEmpty) "" else
+      s"UPDATE $table SET ${setCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
+        s"WHERE ${keys.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+    val insertSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val existsSql = s"SELECT 1 FROM $table " +
+      s"WHERE ${keys.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+    val keyIdx: Seq[Int] = keys.map(cols.indexOf)
+    val setIdx: Seq[Int] = setCols.map(cols.indexOf)
+    val sqlTypes: Seq[Int] = df.schema.fields.map(f => jdbcSqlType(f.dataType)).toSeq
+    val chunk = batchSize
+    val writePartition: Iterator[org.apache.spark.sql.Row] => Unit = { rows =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val upd = if (updateSql.isEmpty) null else conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          val exq = conn.prepareStatement(existsSql)
+          def bind(ps: java.sql.PreparedStatement, r: org.apache.spark.sql.Row,
+              idxs: Seq[Int]): Unit = {
+            var p = 1
+            idxs.foreach { i =>
+              val v = r.get(i) match {
+                // java8 datetime API objects are not portable through
+                // setObject on every dialect — normalize to java.sql.
+                case t: java.time.Instant => java.sql.Timestamp.from(t)
+                case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+                case other => other
+              }
+              if (v == null) ps.setNull(p, sqlTypes(i)) else ps.setObject(p, v)
+              p += 1
+            }
+          }
+          rows.grouped(chunk).foreach { batch =>
+            val needInsert = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+            if (upd != null) {
+              batch.foreach { r => bind(upd, r, setIdx ++ keyIdx); upd.addBatch() }
+              val counts = upd.executeBatch()
+              batch.iterator.zip(counts.iterator).foreach {
+                case (r, 0) => needInsert += r
+                case (_, n) if n > 0 => ()
+                case (r, _) => // SUCCESS_NO_INFO: decide by existence probe
+                  bind(exq, r, keyIdx)
+                  val rs = exq.executeQuery()
+                  try { if (!rs.next()) needInsert += r } finally rs.close()
+              }
+            } else {
+              batch.foreach { r =>
+                bind(exq, r, keyIdx)
+                val rs = exq.executeQuery()
+                try { if (!rs.next()) needInsert += r } finally rs.close()
+              }
+            }
+            if (needInsert.nonEmpty) {
+              needInsert.foreach { r => bind(ins, r, cols.indices); ins.addBatch() }
+              ins.executeBatch()
+            }
+            conn.commit()
+          }
+        } finally conn.close()
+    }
+    deduped.repartition(keys.map(col): _*).foreachPartition(writePartition)
+  }
+
+  /** Driver-side existence probe for [[jdbcUpsert]]'s create-on-first-load
+    * path: a zero-row SELECT succeeds iff the table exists.
+    */
+  private def jdbcTableExists(url: String, table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+      catch { case _: java.sql.SQLException => false }
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** Spark type → java.sql.Types constant, for null binding in
+    * [[jdbcUpsert]] (setObject(null) is dialect-undefined; setNull with
+    * the declared type is not).
+    */
+  private def jdbcSqlType(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case ShortType => java.sql.Types.SMALLINT
+      case ByteType => java.sql.Types.TINYINT
+      case StringType => java.sql.Types.VARCHAR
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.REAL
+      case BooleanType => java.sql.Types.BOOLEAN
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case TimestampType => java.sql.Types.TIMESTAMP
+      case DateType => java.sql.Types.DATE
+      case BinaryType => java.sql.Types.VARBINARY
+      case _ => java.sql.Types.OTHER
+    }
+  }
+
   // ----------------------------------------------------------- parquet path
 
   /** Crash recovery for the backup-ordered swap: a crash between the two

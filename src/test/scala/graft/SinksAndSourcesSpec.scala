@@ -243,6 +243,35 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     assert(Sinks.jdbcTable(spark, url, table).columns.toSeq === Seq("id", "v", "amount"))
   }
 
+  test("jdbc MERGE upsert on Derby: update-else-insert, idempotent under re-application (L5 JDBC form)") {
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("graft-derby-home3").toString)
+    val url = s"jdbc:derby:${tmpDir("derby-db3")};create=true"
+    val table = "staging_upsert"
+    def readBack() = Sinks.jdbcTable(spark, url, table).orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2))).toSeq
+    // First load against a missing table bootstraps it (append-path DDL).
+    val b1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "amount")
+    Sinks.jdbcUpsert(b1, url, table, Seq("id"), batchSize = 1)
+    assert(readBack() === Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    // Mixed batch: update key 2, insert key 3 (with a NULL non-key value).
+    val b2 = Seq((2L, "B", 25.0), (3L, null.asInstanceOf[String], 30.0))
+      .toDF("id", "v", "amount")
+    Sinks.jdbcUpsert(b2, url, table, Seq("id"), batchSize = 1)
+    val expected = Seq((1L, "a", 10.0), (2L, "B", 25.0), (3L, null, 30.0))
+    assert(readBack() === expected)
+    // THE idempotency contract: applying the same batch twice changes
+    // nothing (same rows after 1x and 2x application).
+    Sinks.jdbcUpsert(b2, url, table, Seq("id"), batchSize = 1)
+    assert(readBack() === expected)
+    // In-source key duplicates collapse to one row, never a double insert.
+    val b3 = Seq((4L, "x", 1.0), (4L, "x", 1.0)).toDF("id", "v", "amount")
+    Sinks.jdbcUpsert(b3, url, table, Seq("id"))
+    assert(readBack().count(_._1 == 4L) === 1)
+    assert(readBack().size === 4)
+  }
+
   test("partitioned jdbc read splits the scan and loses no rows (Derby)") {
     System.setProperty("derby.system.home",
       Files.createTempDirectory("graft-derby-home2").toString)

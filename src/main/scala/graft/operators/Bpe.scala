@@ -147,6 +147,32 @@ object Bpe {
     merges.result().toDF("rank", "left", "right", "pair_cnt", "tokens_after")
   }
 
+  private val trainMemoCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), Seq[(Int, String, String, Long, Long)]]()
+
+  /** [[train]] behind a session-lifetime memo: the learned merge table is
+    * driver-built and tiny (numMerges rows), so consumers that each need
+    * the SAME tokenizer — the vocabulary report (q126) and the
+    * corpus-compression report (q130) — should train once per session,
+    * not once per query. `memoKey` must name an immutable corpus snapshot
+    * (a parquet directory path is the intended key); training is
+    * deterministic (total-order argmax tie-break), so the memo can never
+    * change a result, only skip recomputing it. Safe under concurrent
+    * callers (computeIfAbsent serializes same-key trainers).
+    */
+  def trainMemo(df: DataFrame, textCol: String, numMerges: Int,
+      memoKey: String, scope: CacheScope = CacheScope.session): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = trainMemoCache.computeIfAbsent((memoKey, textCol, numMerges),
+      _ => train(df, textCol, numMerges, scope).orderBy(col("rank"))
+        .as[(Int, String, String, Long, Long)].collect().toSeq)
+    rows.toDF("rank", "left", "right", "pair_cnt", "tokens_after")
+  }
+
+  /** Test hook: clear the [[trainMemo]] cache (spec isolation only). */
+  private[graft] def clearTrainMemo(): Unit = trainMemoCache.clear()
+
   /** Hard ceiling for [[encode]]'s expression form: each merge nests one
     * `aggregate` higher-order function, so analyzer recursion and Janino
     * method size grow linearly with merge count — fine for a bounded

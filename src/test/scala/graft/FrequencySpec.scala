@@ -194,6 +194,33 @@ class FrequencySpec extends AnyFunSuite {
     assert(math.abs(estFast - estMd5) < 740000L, s"fast=$estFast md5=$estMd5")
   }
 
+  test("hll_registers_fast envelope at sf0.1: xxhash64 estimate within HLL rel-error of md5 on the real corpus") {
+    import graft.functions.HyperLogLog
+    val p = 8
+    // The production-path claim, measured instead of asserted-by-doc: on
+    // the real sf0.1 corpus the fast (xxhash64) registers and the oracle
+    // (md5-60) registers are different sketches of the SAME population,
+    // so their estimates must sit within HLL's own error envelope of
+    // each other — σ = 1.04/√256 = 6.5% per sketch; 4σ ≈ 26% bounds the
+    // pair with a wide margin on a deterministic corpus. Both registers
+    // build in ONE scan per table (two aggregate expressions).
+    val sf = "/root/testdata/sf0.1"
+    def envelope(df: org.apache.spark.sql.DataFrame, keyCol: String): Unit = {
+      val row = df.agg(
+        HyperLogLog.hll_registers_fast(col(keyCol).cast("string"), p).as("f"),
+        HyperLogLog.hll_registers(col(keyCol).cast("string"), p).as("m"))
+        .collect().head
+      val estFast = HyperLogLog.estimateMilli(row.getSeq[Int](0), p)
+      val estMd5 = HyperLogLog.estimateMilli(row.getSeq[Int](1), p)
+      assert(estFast > 0L && estMd5 > 0L)
+      assert(math.abs(estFast - estMd5) <= (estMd5 * 26) / 100,
+        s"$keyCol: fast=$estFast md5=$estMd5 diverge beyond the 4-sigma envelope")
+    }
+    envelope(spark.read.parquet(s"$sf/events.parquet"), "user_id")
+    envelope(spark.read.parquet(s"$sf/lineitem.parquet"), "l_orderkey")
+    envelope(spark.read.parquet(s"$sf/documents.parquet"), "doc_id")
+  }
+
   test("hllCardinalitySeries: cumulative fold equals one-shot registers, monotone") {
     import graft.functions.HyperLogLog
     val p = 8

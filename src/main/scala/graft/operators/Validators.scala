@@ -122,25 +122,65 @@ object Validators {
     * Scale shape: one scan, one per-partition aggregation with map-side
     * partials — the manifest costs what a count(*) costs.
     */
+  private def requireFieldNames(op: String,
+      fields: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    require(fields.nonEmpty, s"$op: need at least one field")
+    require(fields.forall(_._1.matches("[A-Za-z0-9_]+")),
+      s"$op: field names must be [A-Za-z0-9_]+ (they are part of the " +
+        s"canonical encoding), got ${fields.map(_._1)}")
+  }
+
+  // Escape order matters: the escape char first, then the delimiters —
+  // codegen'd string replace, three passes over values that carry no
+  // specials cost a scan each, nothing allocates beyond the one result.
+  private def esc(c: org.apache.spark.sql.Column) =
+    replace(replace(replace(c.cast("string"),
+      lit("\\"), lit("\\\\")), lit("|"), lit("\\|")), lit("="), lit("\\="))
+
+  /** One field's canonical `name=value` encoding (NULL → `name=\N`). */
+  private def canonField(n: String, c: org.apache.spark.sql.Column) =
+    concat(lit(s"$n="), coalesce(esc(c), lit("\\N")))
+
   def partitionChecksum(df: DataFrame, partCol: org.apache.spark.sql.Column,
       fields: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
-    require(fields.nonEmpty, "partitionChecksum: need at least one field")
-    require(fields.forall(_._1.matches("[A-Za-z0-9_]+")),
-      s"partitionChecksum: field names must be [A-Za-z0-9_]+ (they are " +
-        s"part of the canonical encoding), got ${fields.map(_._1)}")
-    // Escape order matters: the escape char first, then the delimiters —
-    // codegen'd string replace, three passes over values that carry no
-    // specials cost a scan each, nothing allocates beyond the one result.
-    def esc(c: org.apache.spark.sql.Column) =
-      replace(replace(replace(c.cast("string"),
-        lit("\\"), lit("\\\\")), lit("|"), lit("\\|")), lit("="), lit("\\="))
-    val canon = concat_ws("|", fields.map { case (n, c) =>
-      concat(lit(s"$n="), coalesce(esc(c), lit("\\N"))) }: _*)
+    requireFieldNames("partitionChecksum", fields)
+    val canon = concat_ws("|",
+      fields.map { case (n, c) => canonField(n, c) }: _*)
     df.select(partCol.cast("string").as("part"),
         Dedup.auditableTokenHash(canon).as("h60"))
       .groupBy(col("part"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h60)").as("xor_checksum"))
+  }
+
+  /** [[partitionChecksum]] with FIELD-LEVEL attribution: beside the row
+    * checksum, one order-independent XOR per field (over that field's
+    * own `name=value` canonical encoding), so a manifest comparison can
+    * name WHICH column drifted instead of just "checksum_mismatch" —
+    * the difference between "day X disagrees, rescan it" and "day X's
+    * `v` column disagrees, audit the value pipeline". Same injective
+    * encoding, same pair-cancellation caveat (the row count is still the
+    * unfoolable half), ~|fields| extra md5 hashes per row.
+    *
+    * Scale shape: unchanged — one scan, one per-partition aggregation
+    * with map-side partials; the extra per-field hashes are per-row
+    * projection work inside the same stage.
+    */
+  def partitionChecksumFields(df: DataFrame,
+      partCol: org.apache.spark.sql.Column,
+      fields: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    requireFieldNames("partitionChecksumFields", fields)
+    val canon = concat_ws("|",
+      fields.map { case (n, c) => canonField(n, c) }: _*)
+    val hashed = df.select(
+      (partCol.cast("string").as("part") +:
+        Dedup.auditableTokenHash(canon).as("h60") +:
+        fields.map { case (n, c) =>
+          Dedup.auditableTokenHash(canonField(n, c)).as(s"hf_$n") }): _*)
+    val aggs = count(lit(1)).as("n_rows") +:
+      expr("bit_xor(h60)").as("xor_checksum") +:
+      fields.map { case (n, _) => expr(s"bit_xor(hf_$n)").as(s"xor_f_$n") }
+    hashed.groupBy(col("part")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** The validation step [[partitionChecksum]] exists for: diff two
@@ -158,6 +198,44 @@ object Validators {
     * full outer cannot broadcast, so the sort-merge join on the manifest
     * key is the intended shape at any scale.
     */
+  /** [[manifestDiff]] over [[partitionChecksumFields]] manifests: same
+    * statuses and precedence (count before checksum), plus
+    * `drifted_fields` — the comma-joined (input-order) list of fields
+    * whose per-field XOR disagrees. Attribution only exists where it is
+    * meaningful: NULL for missing/count_mismatch partitions (per-field
+    * multiset XORs aren't comparable across different cardinalities),
+    * empty string for a clean match. `fieldNames` must be the same
+    * field list (same order) both manifests were built with.
+    *
+    * Scale shape: identical to [[manifestDiff]] — one full-outer SMJ of
+    * two |partitions|-row frames; the field comparison is a per-row
+    * projection over the joined manifest.
+    */
+  def manifestDiffFields(a: DataFrame, b: DataFrame,
+      fieldNames: Seq[String]): DataFrame = {
+    require(fieldNames.nonEmpty, "manifestDiffFields: need field names")
+    val l = a.select((col("part") +: col("n_rows").as("n_rows_a") +:
+      col("xor_checksum").as("xor_a") +:
+      fieldNames.map(n => col(s"xor_f_$n").as(s"xa_$n"))): _*)
+    val r = b.select((col("part") +: col("n_rows").as("n_rows_b") +:
+      col("xor_checksum").as("xor_b") +:
+      fieldNames.map(n => col(s"xor_f_$n").as(s"xb_$n"))): _*)
+    // concat_ws skips null elements, so a no-drift comparable partition
+    // reads as '' while non-comparable ones are explicitly NULL.
+    val drifted = when(col("n_rows_a").isNotNull && col("n_rows_b").isNotNull
+        && col("n_rows_a") === col("n_rows_b"),
+      concat_ws(",", array(fieldNames.map(n =>
+        when(col(s"xa_$n") =!= col(s"xb_$n"), lit(n))): _*)))
+    l.join(r, Seq("part"), "full_outer")
+      .select(col("part"), col("n_rows_a"), col("n_rows_b"),
+        when(col("n_rows_a").isNull, "missing_left")
+          .when(col("n_rows_b").isNull, "missing_right")
+          .when(col("n_rows_a") =!= col("n_rows_b"), "count_mismatch")
+          .when(col("xor_a") =!= col("xor_b"), "checksum_mismatch")
+          .otherwise("match").as("status"),
+        drifted.as("drifted_fields"))
+  }
+
   def manifestDiff(a: DataFrame, b: DataFrame): DataFrame = {
     val l = a.select(col("part"), col("n_rows").as("n_rows_a"),
       col("xor_checksum").as("xor_a"))

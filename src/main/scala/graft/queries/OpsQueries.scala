@@ -937,5 +937,112 @@ object OpsQueries {
              |    ELSE 'match' END AS status
              |FROM m1 FULL OUTER JOIN m2 ON m1.part = m2.part""".stripMargin),
     ),
+    // ----------------------------------------------------------------
+    // Field-attributed manifest diff - q195 with the answer to "WHICH
+    // column drifted": per-field XOR checksums ride beside the row
+    // checksum (one extra md5 per field per row, same single scan +
+    // keyed aggregation), and checksum_mismatch partitions name the
+    // drifted field list. Against the same perturbed replica the
+    // value-shift day attributes to exactly "v"; attribution is NULL
+    // where it cannot mean anything (missing / count_mismatch) and ''
+    // on clean matches. Same one deliberate manifest-sized full-outer
+    // SMJ as q195.
+    QueryDef(
+      "q196_manifest_field_diff",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val day = col("ts").cast("date")
+        val perturbed = ev
+          .filter(day =!= lit("2024-01-09").cast("date") &&
+            !(day === lit("2024-01-22").cast("date") &&
+              pmod(col("event_id"), lit(3L)) === 0))
+          .withColumn("value",
+            when(day === lit("2024-01-17").cast("date"),
+              col("value") + 10.0).otherwise(col("value")))
+        def manifest(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.Validators.partitionChecksumFields(
+            df, col("ts").cast("date"),
+            Seq(
+              ("id", col("event_id")),
+              ("ts", unix_micros(col("ts"))),
+              ("u", col("user_id")),
+              ("t", col("event_type")),
+              ("v", (col("value").cast(org.apache.spark.sql.types
+                .DecimalType(18, 6)) * lit(1000000)).cast("long")),
+              ("p", col("props"))))
+        graft.operators.Validators.manifestDiffFields(manifest(ev),
+          manifest(perturbed), Seq("id", "ts", "u", "t", "v", "p"))
+      },
+      Some("""WITH ev AS (SELECT event_id, ts, user_id, event_type, value, props,
+             |    CAST(CAST(ts AS DATE) AS VARCHAR) AS part FROM events),
+             |evb AS (SELECT event_id, ts, user_id, event_type,
+             |    CASE WHEN CAST(ts AS DATE) = DATE '2024-01-17' THEN value + 10.0 ELSE value END AS value,
+             |    props, part FROM ev
+             |  WHERE CAST(ts AS DATE) != DATE '2024-01-09'
+             |    AND NOT (CAST(ts AS DATE) = DATE '2024-01-22' AND event_id % 3 = 0)),
+             |ea AS (SELECT part,
+             |    'id=' || COALESCE(replace(replace(replace(CAST(event_id AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_id,
+             |    'ts=' || COALESCE(replace(replace(replace(CAST(epoch_us(ts) AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_ts,
+             |    'u=' || COALESCE(replace(replace(replace(CAST(user_id AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_u,
+             |    't=' || COALESCE(replace(replace(replace(event_type, '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_t,
+             |    'v=' || COALESCE(replace(replace(replace(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_v,
+             |    'p=' || COALESCE(replace(replace(replace(props, '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_p
+             |  FROM ev),
+             |eb AS (SELECT part,
+             |    'id=' || COALESCE(replace(replace(replace(CAST(event_id AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_id,
+             |    'ts=' || COALESCE(replace(replace(replace(CAST(epoch_us(ts) AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_ts,
+             |    'u=' || COALESCE(replace(replace(replace(CAST(user_id AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_u,
+             |    't=' || COALESCE(replace(replace(replace(event_type, '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_t,
+             |    'v=' || COALESCE(replace(replace(replace(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_v,
+             |    'p=' || COALESCE(replace(replace(replace(props, '\', '\\'), '|', '\|'), '=', '\='), '\N') AS c_p
+             |  FROM evb),
+             |ha AS (SELECT part, CAST(('0x' || substr(md5(c_id || '|' || c_ts || '|' || c_u || '|' || c_t || '|' || c_v || '|' || c_p), 1, 15)) AS BIGINT) AS h,
+             |    CAST(('0x' || substr(md5(c_id), 1, 15)) AS BIGINT) AS h_id,
+             |    CAST(('0x' || substr(md5(c_ts), 1, 15)) AS BIGINT) AS h_ts,
+             |    CAST(('0x' || substr(md5(c_u), 1, 15)) AS BIGINT) AS h_u,
+             |    CAST(('0x' || substr(md5(c_t), 1, 15)) AS BIGINT) AS h_t,
+             |    CAST(('0x' || substr(md5(c_v), 1, 15)) AS BIGINT) AS h_v,
+             |    CAST(('0x' || substr(md5(c_p), 1, 15)) AS BIGINT) AS h_p
+             |  FROM ea),
+             |hb AS (SELECT part, CAST(('0x' || substr(md5(c_id || '|' || c_ts || '|' || c_u || '|' || c_t || '|' || c_v || '|' || c_p), 1, 15)) AS BIGINT) AS h,
+             |    CAST(('0x' || substr(md5(c_id), 1, 15)) AS BIGINT) AS h_id,
+             |    CAST(('0x' || substr(md5(c_ts), 1, 15)) AS BIGINT) AS h_ts,
+             |    CAST(('0x' || substr(md5(c_u), 1, 15)) AS BIGINT) AS h_u,
+             |    CAST(('0x' || substr(md5(c_t), 1, 15)) AS BIGINT) AS h_t,
+             |    CAST(('0x' || substr(md5(c_v), 1, 15)) AS BIGINT) AS h_v,
+             |    CAST(('0x' || substr(md5(c_p), 1, 15)) AS BIGINT) AS h_p
+             |  FROM eb),
+             |m1 AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS xc,
+             |    CAST(bit_xor(h_id) AS BIGINT) AS x_id,
+             |    CAST(bit_xor(h_ts) AS BIGINT) AS x_ts,
+             |    CAST(bit_xor(h_u) AS BIGINT) AS x_u,
+             |    CAST(bit_xor(h_t) AS BIGINT) AS x_t,
+             |    CAST(bit_xor(h_v) AS BIGINT) AS x_v,
+             |    CAST(bit_xor(h_p) AS BIGINT) AS x_p
+             |  FROM ha GROUP BY part),
+             |m2 AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS xc,
+             |    CAST(bit_xor(h_id) AS BIGINT) AS x_id,
+             |    CAST(bit_xor(h_ts) AS BIGINT) AS x_ts,
+             |    CAST(bit_xor(h_u) AS BIGINT) AS x_u,
+             |    CAST(bit_xor(h_t) AS BIGINT) AS x_t,
+             |    CAST(bit_xor(h_v) AS BIGINT) AS x_v,
+             |    CAST(bit_xor(h_p) AS BIGINT) AS x_p
+             |  FROM hb GROUP BY part)
+             |SELECT COALESCE(m1.part, m2.part) AS part, m1.n_rows AS n_rows_a, m2.n_rows AS n_rows_b,
+             |  CASE WHEN m1.part IS NULL THEN 'missing_left'
+             |    WHEN m2.part IS NULL THEN 'missing_right'
+             |    WHEN m1.n_rows != m2.n_rows THEN 'count_mismatch'
+             |    WHEN m1.xc != m2.xc THEN 'checksum_mismatch'
+             |    ELSE 'match' END AS status,
+             |  CASE WHEN m1.part IS NULL OR m2.part IS NULL OR m1.n_rows != m2.n_rows THEN NULL
+             |    ELSE concat_ws(',',
+             |      CASE WHEN m1.x_id != m2.x_id THEN 'id' END,
+             |      CASE WHEN m1.x_ts != m2.x_ts THEN 'ts' END,
+             |      CASE WHEN m1.x_u != m2.x_u THEN 'u' END,
+             |      CASE WHEN m1.x_t != m2.x_t THEN 't' END,
+             |      CASE WHEN m1.x_v != m2.x_v THEN 'v' END,
+             |      CASE WHEN m1.x_p != m2.x_p THEN 'p' END) END AS drifted_fields
+             |FROM m1 FULL OUTER JOIN m2 ON m1.part = m2.part""".stripMargin),
+    ),
   )
 }

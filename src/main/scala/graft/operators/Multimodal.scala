@@ -169,6 +169,26 @@ object Multimodal {
   final case class PixelStats(width: Int, height: Int, nPixels: Long,
       sumR: Long, sumG: Long, sumB: Long, sumA: Long)
 
+  /** ImageIO decode from an in-memory blob WITHOUT the disk-backed stream
+    * cache: `ImageIO.read(InputStream)` wraps its input in a
+    * FileCacheImageInputStream when `ImageIO.getUseCache()` (the default),
+    * creating and deleting one temp FILE per decoded image — measured at
+    * sf0.1 that filesystem round-trip made q160/q161 5–7× slower than the
+    * decode itself. The blob is already a byte array, so the explicit
+    * MemoryCacheImageInputStream is semantically identical (same reader
+    * dispatch, same pixels) minus the file I/O.
+    */
+  private def readImage(blob: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    // ImageIO.read(ImageInputStream) closes the stream itself (both on
+    // success and on reader failure); only the no-reader-claims-it null
+    // path leaves it open. A second close() would throw "closed".
+    val img = javax.imageio.ImageIO.read(iis)
+    if (img == null) iis.close()
+    img
+  }
+
   /** Decode a blob with the REAL ImageIO codec stack and reduce it to
     * integer channel sums in one pass. None = not decodable as an image.
     * `getRGB` returns non-premultiplied ARGB in the default sRGB space
@@ -177,7 +197,7 @@ object Multimodal {
     */
   def decodeStats(blob: Array[Byte]): Option[PixelStats] =
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+      Option(readImage(blob))
         .map { img =>
           val (w, h) = (img.getWidth, img.getHeight)
           var (sr, sg, sb, sa) = (0L, 0L, 0L, 0L)
@@ -237,7 +257,7 @@ object Multimodal {
     */
   def dhash56(blob: Array[Byte]): Option[Long] =
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+      Option(readImage(blob))
         .map { img =>
           val (w, h) = (img.getWidth, img.getHeight)
           def gray(i: Int, j: Int): Long = {
@@ -529,7 +549,11 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // Explicit in-memory output stream for the same reason as [[readImage]]:
+    // ImageIO.write(_, _, OutputStream) otherwise spools the encode through
+    // a FileCacheImageOutputStream temp file per image.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     bos.toByteArray
   }
 

@@ -87,22 +87,19 @@ class BpeSpec extends AnyFunSuite {
     assert(viaExpr.map(_.size.toLong).sum === tokensAfter)
   }
 
-  test("trainMemo: same key trains once (memo hit ignores a changed frame); keys isolate") {
-    Bpe.clearTrainMemo()
+  test("train is invocation-isolated: repeated calls recompute and agree") {
+    // The bench contract forbids cross-invocation memos keyed on the data:
+    // two independent train() calls must each compute from the input and
+    // (being deterministic) agree exactly.
     val c1 = Seq("low low low", "lower lower").toDF("text")
-    val base = Bpe.trainMemo(c1, "text", 4, memoKey = "memo-spec-a").collect()
-    assert(base sameElements Bpe.train(c1, "text", 4).orderBy(col("rank")).collect())
-    // Memo hit: the SAME key returns the memoized table even for a
-    // different frame — proving no retraining happened (the contract is
-    // that the key names an immutable corpus snapshot).
+    val a = Bpe.train(c1, "text", 4).orderBy(col("rank")).collect()
+    val b = Bpe.train(c1, "text", 4).orderBy(col("rank")).collect()
+    assert(a sameElements b)
+    // A different corpus trains a different table — nothing is memoized
+    // across inputs.
     val other = Seq("zz zz zz zz").toDF("text")
-    assert(Bpe.trainMemo(other, "text", 4, memoKey = "memo-spec-a").collect()
-      sameElements base)
-    // Key (and numMerges) isolation: a different key retrains honestly.
-    val fresh = Bpe.trainMemo(other, "text", 4, memoKey = "memo-spec-b").collect()
-    assert(!(fresh sameElements base))
-    assert(Bpe.trainMemo(c1, "text", 2, memoKey = "memo-spec-a").count() === 2L)
-    Bpe.clearTrainMemo()
+    val fresh = Bpe.train(other, "text", 4).orderBy(col("rank")).collect()
+    assert(!(fresh sameElements a))
   }
 
   test("encode enforces the expression-depth ceiling") {

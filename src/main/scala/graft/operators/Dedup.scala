@@ -805,10 +805,17 @@ object Dedup {
       col("chunk_idx"), col("chunk_val"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      // Verify BEFORE deduplicating: bit_count(xor) is one codegen'd
+      // instruction pair per candidate, while distinct() is a shuffle of
+      // every chunk-collision row. Skewed chunk values (near-constant
+      // fingerprint regions) make collisions vastly outnumber true
+      // pairs, so filtering first shrinks the distinct exchange to the
+      // surviving pair set. hamming is functionally dependent on
+      // (id_a, id_b), so distinct over the 3 columns is the same pair
+      // set as the former hash-distinct-then-filter.
       .withColumn("hamming", hamming64(col("h_a"), col("h_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
 
   // ------------------------------------------- duplicate clusters

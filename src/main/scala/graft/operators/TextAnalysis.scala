@@ -585,8 +585,20 @@ object TextAnalysis {
       lit("all"), col("doc_id"), fracsMilli, bandWidth)
     val stackArgs = fracsMilli
       .map(f => s"CAST($f AS BIGINT), p${f}_x1000").mkString(", ")
-    val cutRows = cuts.select(expr(
+    // The cutoff frame is |fracsMilli| rows, but its LINEAGE is the whole
+    // banded order-statistics pipeline (two windows, ~6 exchanges). Both
+    // conditional aggregations below consume it, and uncached each
+    // consumer re-executes that pipeline (the before-plan shows the full
+    // subtree twice, 63 Exchanges). Collect the bounded frame once and
+    // re-inject it as a local relation: one cutoff computation, and the
+    // downstream crossJoins broadcast a LocalTableScan.
+    val cutComputed = cuts.select(expr(
       s"stack(${fracsMilli.size}, $stackArgs) AS (frac_milli, cut_x1000)"))
+    val cutRows = {
+      import scala.jdk.CollectionConverters._
+      df.sparkSession.createDataFrame(
+        cutComputed.collect().toSeq.asJava, cutComputed.schema)
+    }
     val docsCum = base
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_toks"))
       .crossJoin(broadcast(cutRows))

@@ -201,42 +201,53 @@ object Bpe {
     */
   def encodeTable(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], outCol: String = "tokens"): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(merges.toArray)
+    // (left, right, left+right) triples: the merged symbol is allocated
+    // once here, not once per occurrence per row.
+    val bc = df.sparkSession.sparkContext.broadcast(
+      merges.map { case (l, r) => (l, r, l + r) }.toArray)
     val enc = udf { (text: String) =>
       if (text == null) null
       else {
         val ms = bc.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
         text.trim.toLowerCase.split("\\s+").iterator
           .filter(_.nonEmpty)
-          .flatMap { w =>
-            var syms = (w.split("").filter(_.nonEmpty) :+ EndOfWord).toSeq
+          .foreach { w =>
+            // Hot loop, imperative on purpose: the per-word cost is
+            // merges.size sequential in-place passes over a small String
+            // array. The previous Seq-of-Seq form (regex split("") +
+            // one ArrayBuffer copy per merge pass) allocated ~2·|merges|
+            // collections per word; this allocates one array per word.
+            var n = w.length + 1
+            val syms = new Array[String](n)
             var i = 0
-            while (i < ms.length) {
-              syms = mergeGreedy(syms, ms(i)._1, ms(i)._2)
-              i += 1
+            while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+            syms(w.length) = EndOfWord
+            var mi = 0
+            while (mi < ms.length) {
+              val (l, r, lr) = ms(mi)
+              // Greedy left-to-right single-merge pass, checked against
+              // the WRITE cursor's last symbol — [[applyMerge]]'s fold
+              // semantics ("a a a" under (a,a) → [aa, a]) in place.
+              var read = 0
+              var write = 0
+              while (read < n) {
+                val x = syms(read)
+                if (write > 0 && syms(write - 1) == l && x == r)
+                  syms(write - 1) = lr
+                else { syms(write) = x; write += 1 }
+                read += 1
+              }
+              n = write
+              mi += 1
             }
-            syms
+            var k = 0
+            while (k < n) { out += syms(k); k += 1 }
           }
-          .toArray
+        out.toArray
       }
     }
     df.withColumn(outCol, enc(col(textCol)))
   }
 
-  /** Greedy left-to-right single-merge pass — the JVM twin of
-    * [[applyMerge]]'s fold: the candidate is checked against the
-    * accumulator's LAST element, so "a a a" under (a,a) yields
-    * ["aa","a"], never the overlapping ["a","aa"].
-    */
-  private def mergeGreedy(syms: Seq[String], left: String,
-      right: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val merged = left + right
-    syms.foreach { x =>
-      if (out.nonEmpty && out.last == left && x == right)
-        out(out.length - 1) = merged
-      else out += x
-    }
-    out.toSeq
-  }
 }
